@@ -1,0 +1,29 @@
+"""TPU Transformer Engine — a TPU-native low-precision training and
+inference framework for Transformers (JAX / XLA / Pallas / pjit).
+
+Built from scratch with the capability surface of NVIDIA
+TransformerEngine (see SURVEY.md), designed idiomatically for the TPU:
+quantized tensors are pytrees, parallelism is mesh sharding, kernels are
+Pallas, and everything composes with jit/grad/scan/shard_map.
+"""
+from .common import recipe
+from .common.recipe import (
+    DelayedScaling, Float8CurrentScaling, MXFP8BlockScaling,
+    Float8BlockScaling, NVFP4BlockScaling, CustomRecipe, Recipe,
+    Format, E4M3, E5M2, HYBRID, QParams, MMParams,
+)
+from .quantize.helper import (
+    autocast, fp8_autocast, get_quantize_config, is_quantize_enabled,
+    QuantizeConfig, QuantizerFactory,
+)
+from .quantize.quantizer import (
+    Quantizer, QuantizerSet, QuantizeLayout, CurrentScaleQuantizer,
+    DelayedScaleQuantizer, BlockScaleQuantizer, NVFP4Quantizer,
+    noop_quantizer_set,
+)
+from .quantize.scaling_modes import ScalingMode
+from .quantize.tensor import ScaledTensor1x, ScaledTensor2x
+from .parallel.sharding import MeshResource, global_shard_guard, global_mesh_resource
+from .dense import dense, dense_and_state
+
+__version__ = "0.1.0"

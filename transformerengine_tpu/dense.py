@@ -1,0 +1,157 @@
+"""Functional quantized dense layer (custom VJP).
+
+The TPU counterpart of the reference's fused Linear path (reference:
+jax/dense.py:57 dense(); pytorch/module/linear.py:252 fwd / :727 bwd).
+The fwd rule quantizes input + weight and runs the fwd GEMM; the bwd
+rule quantizes the incoming gradient and runs dgrad/wgrad GEMMs. All
+three GEMMs contract along the stored last axis of both operands, so
+block-scale metadata always lines up with the contraction.
+
+Quantizer state (delayed-scaling scale/amax history) is threaded
+functionally: the cotangent returned for ``quantizer_set`` is the
+*updated* quantizer state ("overwrite-with-gradient" convention, as used
+by Flax's fp8_ops). Stateless recipes return the set unchanged.
+"""
+from __future__ import annotations
+
+from functools import partial, reduce
+import operator
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.gemm import tn_dot
+from .parallel.sharding import with_sharding_constraint_by_logical_axes
+from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.tensor import get_colwise, get_rowwise
+from .utils.pytree import Static
+
+
+def _prod(xs):
+    return reduce(operator.mul, xs, 1)
+
+
+def _amax_of(t):
+    rw = get_rowwise(t)
+    a = getattr(rw, "amax", None)
+    return a if a is not None else jnp.float32(0.0)
+
+
+def _update_set(qset: QuantizerSet, amax_x, amax_k, amax_g) -> QuantizerSet:
+    return QuantizerSet(
+        x=qset.x.update(amax_x) if qset.x is not None else None,
+        kernel=qset.kernel.update(amax_k) if qset.kernel is not None else None,
+        dgrad=qset.dgrad.update(amax_g) if qset.dgrad is not None else None,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dense(cfg, x, kernel, bias, quantizer_set):
+    out, _ = _dense_fwd(cfg, x, kernel, bias, quantizer_set)
+    return out
+
+
+def _dense_fwd(cfg, x, kernel, bias, quantizer_set):
+    n_cdims, input_axes, kernel_axes = cfg
+    x = with_sharding_constraint_by_logical_axes(x, input_axes)
+    kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
+
+    batch_shape = x.shape[: x.ndim - n_cdims]
+    k_shape = kernel.shape[:n_cdims]
+    out_shape = kernel.shape[n_cdims:]
+    m, k, n = _prod(batch_shape), _prod(k_shape), _prod(out_shape)
+    x2d = x.reshape(m, k)
+    k2d = kernel.reshape(k, n)
+
+    if quantizer_set.x is None:
+        out2d = tn_dot(x2d, k2d.T)
+        res = (x2d, k2d, None, None, None, None)
+    else:
+        qx = quantizer_set.x.quantize(x2d)
+        qk = quantizer_set.kernel.quantize(k2d)
+        # fwd GEMM: rowwise(x) (M,K) x colwise(kernel) (N,K) -> (M,N)
+        out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
+        res = (get_colwise(qx), get_rowwise(qk), _amax_of(qx), _amax_of(qk),
+               None, None)
+
+    if bias is not None:
+        out2d = out2d + bias.reshape(1, n).astype(jnp.float32)
+    out = out2d.reshape(*batch_shape, *out_shape).astype(x.dtype)
+    meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype,
+                   bias is not None, bias.dtype if bias is not None else None))
+    return out, (res, meta, quantizer_set)
+
+
+def _dense_bwd(cfg, residuals, g):
+    n_cdims, input_axes, kernel_axes = cfg
+    res, meta, quantizer_set = residuals
+    x_shape, kernel_shape, x_dtype, k_dtype, has_bias, b_dtype = meta.value
+    batch_shape = x_shape[: len(x_shape) - n_cdims]
+    k_shape = kernel_shape[:n_cdims]
+    out_shape = kernel_shape[n_cdims:]
+    m, k, n = _prod(batch_shape), _prod(k_shape), _prod(out_shape)
+    g2d = g.reshape(m, n)
+
+    if quantizer_set.x is None:
+        x2d, k2d = res[0], res[1]
+        dx2d = tn_dot(g2d, k2d)              # (M,N) x (K,N) -> (M,K)
+        dw2d = tn_dot(x2d.T, g2d.T)          # (K,M) x (N,M) -> (K,N)
+        d_qset = quantizer_set
+    else:
+        qx_col, qk_row, amax_x, amax_k = res[0], res[1], res[2], res[3]
+        qg = quantizer_set.dgrad.quantize(g2d)
+        dx2d = tn_dot(get_rowwise(qg), qk_row)      # (M,N) x (K,N) -> (M,K)
+        dw2d = tn_dot(qx_col, get_colwise(qg))      # (K,M) x (N,M) -> (K,N)
+        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg))
+
+    dx = dx2d.reshape(x_shape).astype(x_dtype)
+    dx = with_sharding_constraint_by_logical_axes(dx, input_axes)
+    dw = dw2d.reshape(kernel_shape).astype(k_dtype)
+    dbias = g2d.sum(axis=0).reshape(out_shape).astype(b_dtype) if has_bias else None
+    return dx, dw, dbias, d_qset
+
+
+_dense.defvjp(_dense_fwd, _dense_bwd)
+
+
+def dense(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    contracting_dims: Tuple[Tuple[int, ...], Tuple[int, ...]] = ((-1,), (0,)),
+    input_axes=None,
+    kernel_axes=None,
+    quantizer_set: QuantizerSet = noop_quantizer_set,
+) -> jax.Array:
+    """Quantized GEMM layer: ``out = x . kernel + bias``.
+
+    ``contracting_dims`` must name the trailing dims of ``x`` and the
+    leading dims of ``kernel`` (the natural layout for all framework
+    modules; reference: jax/dense.py:57).
+    """
+    x_cdims, k_cdims = contracting_dims
+    n_cdims = len(x_cdims)
+    assert tuple(d % x.ndim for d in x_cdims) == tuple(
+        range(x.ndim - n_cdims, x.ndim)), "x contracting dims must be trailing"
+    assert tuple(d % kernel.ndim for d in k_cdims) == tuple(
+        range(n_cdims)), "kernel contracting dims must be leading"
+    cfg = (n_cdims,
+           tuple(input_axes) if input_axes else None,
+           tuple(kernel_axes) if kernel_axes else None)
+    return _dense(cfg, x, kernel, bias, quantizer_set)
+
+
+def dense_and_state(x, kernel, bias=None, **kwargs):
+    """Like :func:`dense`, but also returns the updated quantizer set by
+    differentiating through the overwrite-with-gradient slot. Useful for
+    explicit training loops that keep quantizer state outside Flax."""
+    qset = kwargs.pop("quantizer_set", noop_quantizer_set)
+
+    def f(qs):
+        return dense(x, kernel, bias, quantizer_set=qs, **kwargs)
+
+    out, vjp = jax.vjp(f, qset)
+    new_qset = vjp(jnp.ones_like(out))[0]
+    return out, new_qset

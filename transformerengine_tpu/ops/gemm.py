@@ -1,0 +1,70 @@
+"""Scaled matmul — the TPU replacement for cuBLASLt FP8 GEMM.
+
+Design (reference counterpart: common/gemm/cublaslt_gemm.cu +
+jax/cpp_extensions/gemm.py:487):
+
+* Every quantized GEMM contracts along the **last stored axis of both
+  operands** ("TN" in BLAS terms) — the same invariant the reference's
+  FP8 GEMMs require. Block scales always run along the stored last axis,
+  so the contraction axis is exactly the scaled axis and per-block scale
+  application decomposes over the dot product.
+* Per-tensor scaling: feed the fp8 payloads straight into
+  `lax.dot_general` (XLA uses the native low-precision MXU path on TPU
+  generations that have one, and upcasts otherwise) and apply the two
+  scalar scales on the f32 accumulator.
+* Block scaling (MXFP8 / FP8-block / NVFP4): dequantize-to-bf16 fused
+  into the matmul. With power-of-two scales this is *exact* (pow2
+  scaling preserves the mantissa), so numerics match a true in-kernel
+  scaled matmul. A Pallas MXU kernel with in-VMEM dequant is the
+  optimization path and is numerically identical.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quantize.tensor import ScaledTensor1x, is_scaled
+
+
+def _dq_block_to_bf16(t: ScaledTensor1x) -> jax.Array:
+    rows, cols = t._2d_shape()
+    x = t.data.reshape(rows, cols).astype(jnp.float32)
+    br, bc = t.scaling_mode.block_shape
+    s = t.scaling_mode.decode_scale_inv(t.scale_inv)
+    gr, gc = -(-rows // br), -(-cols // bc)
+    s = s[:gr, :gc]
+    s = jnp.repeat(jnp.repeat(s, br, axis=0), bc, axis=1)[:rows, :cols]
+    return (x * s).astype(jnp.bfloat16).reshape(t.data.shape)
+
+
+def tn_dot(lhs, rhs, precision=None) -> jax.Array:
+    """out[i, j] = sum_k lhs[i, k] * rhs[j, k], with lhs/rhs either plain
+    arrays or ScaledTensor1x. Leading dims of each operand are flattened
+    by the caller; this takes strict 2D operands and returns f32.
+    """
+    post_scale = jnp.float32(1.0)
+
+    def prep(t):
+        nonlocal post_scale
+        if not is_scaled(t):
+            return t
+        if t.scaling_mode.is_tensor_scaling:
+            post_scale = post_scale * t.scale_inv.astype(jnp.float32).reshape(())
+            # bf16 holds fp8 payloads exactly; the bench TPU's MXU has no
+            # fp8 MAC, so bf16 is both the exact and the fast path.
+            return t.data.astype(jnp.bfloat16)
+        if t.tensor_scale_inv is not None:
+            post_scale = post_scale * t.tensor_scale_inv.astype(jnp.float32).reshape(())
+        return _dq_block_to_bf16(t)
+
+    a, b = prep(lhs), prep(rhs)
+    out = jax.lax.dot_general(
+        a, b, dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    return out * post_scale
+
+
+def dequantize_any(x) -> jax.Array:
+    return x.dequantize() if is_scaled(x) else x

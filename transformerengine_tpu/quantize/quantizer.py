@@ -1,0 +1,230 @@
+"""Quantizer hierarchy — the functional quantization state machine.
+
+TPU re-design of the reference's quantizer stack (reference:
+jax/quantize/quantizer.py:76-1059, pytorch/quantized_tensor.py:205).
+Quantizers are frozen pytree dataclasses: any state they carry (delayed
+scaling's scale + amax history) is explicit data threaded through the
+step function, so everything works under jit/scan/shard_map with no
+global mutable state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import qmath
+from .dtypes import float4_e2m1, float8_e4m3
+from .hadamard import apply_rht
+from .scaling_modes import ScalingMode
+from .tensor import ScaledTensor1x, ScaledTensor2x, make_scaled_tensor
+
+
+class QuantizeLayout(enum.Enum):
+    ROWWISE = enum.auto()
+    COLWISE = enum.auto()
+    ROWWISE_COLWISE = enum.auto()
+
+    @property
+    def is_2x(self) -> bool:
+        return self is QuantizeLayout.ROWWISE_COLWISE
+
+
+def _2d_views(x: jax.Array, flatten_axis: int):
+    """Return (rowwise 2D view, colwise 2D view, colwise ND shape)."""
+    fa = flatten_axis % max(x.ndim, 1)
+    rows = 1
+    for d in x.shape[:fa]:
+        rows *= d
+    cols = 1
+    for d in x.shape[fa:]:
+        cols *= d
+    x2d = x.reshape(rows, cols)
+    t_shape = x.shape[fa:] + x.shape[:fa]
+    return x2d, x2d.T, t_shape
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Quantizer:
+    """Base quantizer. Subclasses implement `_quantize_2d`."""
+
+    q_dtype: jnp.dtype = dataclasses.field(metadata=dict(static=True))
+    scaling_mode: ScalingMode = dataclasses.field(metadata=dict(static=True))
+    q_layout: QuantizeLayout = dataclasses.field(metadata=dict(static=True))
+
+    # ---- subclass hook ---------------------------------------------------
+    def _quantize_2d(self, x2d, key, is_colwise=False):
+        """Quantize a 2D array along its last axis.
+
+        Returns (data2d, scale_inv, tensor_scale_inv|None, amax|None).
+        """
+        raise NotImplementedError
+
+    # ---- public API -------------------------------------------------------
+    def quantize(
+        self,
+        x: jax.Array,
+        *,
+        dq_dtype=None,
+        flatten_axis: int = -1,
+        key: Optional[jax.Array] = None,
+    ):
+        dq_dtype = jnp.dtype(dq_dtype or x.dtype)
+        fa = flatten_axis % max(x.ndim, 1)
+        x2d, x2d_t, t_shape = _2d_views(x, fa)
+
+        def build(v2d, nd_shape, layout, this_fa, key):
+            data, s_inv, ts_inv, amax = self._quantize_2d(
+                v2d, key, is_colwise=(layout == "T"))
+            return make_scaled_tensor(
+                data.reshape(nd_shape), s_inv, scaling_mode=self.scaling_mode,
+                dq_dtype=dq_dtype, amax=amax, tensor_scale_inv=ts_inv,
+                layout=layout, flatten_axis=this_fa)
+
+        kr, kc = (jax.random.split(key) if key is not None else (None, None))
+        if self.q_layout is QuantizeLayout.ROWWISE:
+            return build(x2d, x.shape, "N", fa, kr)
+        if self.q_layout is QuantizeLayout.COLWISE:
+            return build(x2d_t, t_shape, "T", x.ndim - fa, kc)
+        rw = build(x2d, x.shape, "N", fa, kr)
+        if self.scaling_mode.is_tensor_scaling:
+            # Same scale both ways -> colwise payload is an exact transpose.
+            cw = make_scaled_tensor(
+                rw.data.reshape(x2d.shape).T.reshape(t_shape), rw.scale_inv,
+                scaling_mode=self.scaling_mode, dq_dtype=dq_dtype, amax=rw.amax,
+                tensor_scale_inv=rw.tensor_scale_inv, layout="T",
+                flatten_axis=x.ndim - fa)
+        else:
+            cw = build(x2d_t, t_shape, "T", x.ndim - fa, kc)
+        return ScaledTensor2x(rowwise=rw, colwise=cw)
+
+    def update(self, amax: jax.Array) -> "Quantizer":
+        """End-of-step state update (no-op for stateless quantizers)."""
+        return self
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CurrentScaleQuantizer(Quantizer):
+    """Per-tensor scaling from the current amax
+    (reference: jax/quantize/quantizer.py:218)."""
+
+    def _quantize_2d(self, x2d, key, is_colwise=False):
+        data, s_inv, amax = qmath.current_scale_quantize(x2d, self.q_dtype, key)
+        return data, s_inv, None, amax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DelayedScaleQuantizer(Quantizer):
+    """Per-tensor scaling from an amax *history* carried across steps
+    (reference: jax/quantize/quantizer.py:321, recipe DelayedScaling).
+
+    ``scale`` and ``amax_history`` are pytree data: the training loop (or
+    the Flax module's mutable collection) threads the updated quantizer
+    returned by :meth:`update` into the next step.
+    """
+
+    scale: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.ones((1,), jnp.float32))
+    amax_history: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1024,), jnp.float32))
+    margin: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    amax_compute_algo: str = dataclasses.field(default="max", metadata=dict(static=True))
+
+    def _quantize_2d(self, x2d, key, is_colwise=False):
+        data, s_inv, amax = qmath.tensor_scale_quantize(
+            x2d, self.q_dtype, self.scale.reshape(()), key)
+        return data, s_inv, None, amax
+
+    def update(self, amax: jax.Array) -> "DelayedScaleQuantizer":
+        """Record this step's (possibly all-reduced) amax, roll the history,
+        and recompute the scale — the reference's
+        amax_and_scale_update kernel (common/recipe/delayed_scaling.cu)."""
+        hist = self.amax_history.at[0].set(jnp.asarray(amax, jnp.float32).reshape(()))
+        if self.amax_compute_algo == "max":
+            amax_red = jnp.max(hist)
+        else:  # most_recent
+            amax_red = hist[0]
+        new_scale = qmath.compute_scale_from_amax(amax_red, self.q_dtype, self.margin)
+        new_hist = jnp.roll(hist, -1).at[0].set(0.0)
+        return dataclasses.replace(
+            self, scale=new_scale.reshape(1), amax_history=new_hist)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockScaleQuantizer(Quantizer):
+    """MXFP8 (E8M0 32-block) and FP8-blockwise (fp32 128 / 128x128 block)
+    quantization (reference: jax/quantize/quantizer.py:474)."""
+
+    pow2_scales: bool = dataclasses.field(default=True, metadata=dict(static=True))
+
+    def _quantize_2d(self, x2d, key, is_colwise=False):
+        if self.scaling_mode is ScalingMode.MXFP8_1D_SCALING:
+            data, scale = qmath.mxfp8_quantize(x2d, self.q_dtype, key)
+            return data, scale, None, None
+        br, bc = self.scaling_mode.block_shape
+        data, s_inv = qmath.block_quantize(
+            x2d, self.q_dtype, br, bc, self.pow2_scales, key)
+        return data, s_inv, None, None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NVFP4Quantizer(Quantizer):
+    """NVFP4 two-level quantizer with optional random Hadamard transform
+    and stochastic rounding (reference: jax/quantize/quantizer.py:586,
+    pytorch/tensor/nvfp4_tensor.py:113)."""
+
+    with_rht: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    rht_sign_mask: int = dataclasses.field(default=0, metadata=dict(static=True))
+    stochastic_rounding: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    def _quantize_2d(self, x2d, key, is_colwise=False):
+        # RHT is applied only to the colwise usage: the two colwise
+        # operands meet in the wgrad GEMM contracting over tokens, where
+        # the rotations cancel (H H^T = I). Rowwise usages feed fwd/dgrad
+        # GEMMs whose partners are unrotated
+        # (reference: jax/quantize/quantizer.py:711,730-733).
+        if self.with_rht and is_colwise:
+            x2d = apply_rht(x2d, self.rht_sign_mask)
+        if not self.stochastic_rounding:
+            key = None
+        data, block_scale, ts_inv, amax = qmath.nvfp4_quantize(x2d, key)
+        return data, block_scale, ts_inv, amax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NoopQuantizer(Quantizer):
+    """Pass-through 'quantizer' used when quantization is disabled for a
+    tensor role (reference: higher-precision fallback paths)."""
+
+    def quantize(self, x, *, dq_dtype=None, flatten_axis=-1, key=None):
+        return x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizerSet:
+    """The per-GEMM trio of quantizers: activation input, weight, and
+    incoming gradient (reference: jax/quantize/quantizer.py QuantizerSet)."""
+
+    x: Optional[Quantizer]
+    kernel: Optional[Quantizer]
+    dgrad: Optional[Quantizer]
+
+    def update(self, amaxes: "QuantizerSet") -> "QuantizerSet":
+        return QuantizerSet(
+            x=self.x.update(amaxes.x) if self.x is not None else None,
+            kernel=self.kernel.update(amaxes.kernel) if self.kernel is not None else None,
+            dgrad=self.dgrad.update(amaxes.dgrad) if self.dgrad is not None else None,
+        )
+
+
+noop_quantizer_set = QuantizerSet(x=None, kernel=None, dgrad=None)
