@@ -1,0 +1,365 @@
+"""Fused attention — public API, mask/bias/layout taxonomy, backends.
+
+TPU counterpart of the reference attention stack (reference:
+jax/attention.py:1447 fused_attn, SequenceDescriptor :789;
+pytorch/attention/dot_product_attention/*; common/fused_attn/). The
+reference dispatches to cuDNN graphs / FlashAttention / unfused torch;
+here the backends are:
+
+* ``FLASH``   — Pallas TPU flash-attention kernels (ops/flash_attention.py)
+* ``UNFUSED`` — pure-XLA reference math (always available, any feature)
+
+Backend selection mirrors ``get_attention_backend``
+(reference: pytorch/attention/dot_product_attention/utils.py:327): the
+Pallas kernel handles the hot configurations (BSHD, no/causal/padding
+masks, GQA, sliding window); anything exotic (arbitrary bias grads,
+float masks) falls back to UNFUSED.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class AttnBiasType(enum.Enum):
+    """(reference: common/fused_attn NVTE_Bias_Type)"""
+    NO_BIAS = "no_bias"
+    PRE_SCALE_BIAS = "pre_scale_bias"
+    POST_SCALE_BIAS = "post_scale_bias"
+
+
+class AttnMaskType(enum.Enum):
+    """(reference: common/fused_attn NVTE_Mask_Type; 10 variants collapse
+    to these — "bottom right" variants differ only for cross attention)"""
+    NO_MASK = "no_mask"
+    PADDING = "padding"
+    CAUSAL = "causal"
+    PADDING_CAUSAL = "padding_causal"
+    CAUSAL_BOTTOM_RIGHT = "causal_bottom_right"
+    PADDING_CAUSAL_BOTTOM_RIGHT = "padding_causal_bottom_right"
+
+    @property
+    def is_causal(self) -> bool:
+        return self in (AttnMaskType.CAUSAL, AttnMaskType.PADDING_CAUSAL,
+                        AttnMaskType.CAUSAL_BOTTOM_RIGHT,
+                        AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT)
+
+    @property
+    def is_padding(self) -> bool:
+        return self in (AttnMaskType.PADDING, AttnMaskType.PADDING_CAUSAL,
+                        AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT)
+
+    @property
+    def is_bottom_right(self) -> bool:
+        return self in (AttnMaskType.CAUSAL_BOTTOM_RIGHT,
+                        AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT)
+
+
+class QKVLayout(enum.Enum):
+    """Input packing (reference: fused_attn.h:29-57, 26 layouts collapse
+    to the 4 logical groups; THD ragged batches are expressed with
+    SequenceDescriptor segment lengths)."""
+    BS3HD = "bs3hd"            # one packed qkv tensor
+    BSHD_BS2HD = "bshd_bs2hd"  # separate q, packed kv
+    BSHD_BSHD_BSHD = "bshd_bshd_bshd"
+    T3HD = "t3hd"
+    THD_T2HD = "thd_t2hd"
+    THD_THD_THD = "thd_thd_thd"
+
+    @property
+    def is_qkvpacked(self):
+        return self in (QKVLayout.BS3HD, QKVLayout.T3HD)
+
+    @property
+    def is_kvpacked(self):
+        return self in (QKVLayout.BSHD_BS2HD, QKVLayout.THD_T2HD)
+
+    @property
+    def is_thd(self):
+        return self in (QKVLayout.T3HD, QKVLayout.THD_T2HD,
+                        QKVLayout.THD_THD_THD)
+
+
+class AttnBackend(enum.Enum):
+    AUTO = "auto"
+    FLASH = "flash"      # Pallas TPU kernel
+    UNFUSED = "unfused"  # pure-XLA reference
+
+
+class CPStrategy(enum.Enum):
+    """Context-parallel strategy (reference: jax/attention.py:201)."""
+    DEFAULT = 0
+    ALL_GATHER = 1
+    RING = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SequenceDescriptor:
+    """Describes valid sequence lengths / segments for ragged or padded
+    batches (reference: jax/attention.py:789).
+
+    ``seqlens``: (B,) valid lengths (padded BSHD batches).
+    ``segment_ids``: (B, S) integer segment ids for packed (THD-style)
+    batches; 0 marks padding, equal nonzero ids may attend to each other.
+    ``segment_pos``: (B, S) position of each token within its segment
+    (defaults to arange per segment).
+    """
+
+    q_seqlens: Optional[jax.Array] = None
+    kv_seqlens: Optional[jax.Array] = None
+    q_segment_ids: Optional[jax.Array] = None
+    kv_segment_ids: Optional[jax.Array] = None
+    q_segment_pos: Optional[jax.Array] = None
+    kv_segment_pos: Optional[jax.Array] = None
+
+    @classmethod
+    def from_seqlens(cls, q_seqlens, kv_seqlens=None):
+        return cls(q_seqlens=q_seqlens,
+                   kv_seqlens=kv_seqlens if kv_seqlens is not None else q_seqlens)
+
+    @classmethod
+    def from_segment_ids_and_pos(cls, q_segment_ids, kv_segment_ids=None,
+                                 q_segment_pos=None, kv_segment_pos=None):
+        return cls(q_segment_ids=q_segment_ids,
+                   kv_segment_ids=(kv_segment_ids if kv_segment_ids is not None
+                                   else q_segment_ids),
+                   q_segment_pos=q_segment_pos, kv_segment_pos=kv_segment_pos)
+
+
+jax.tree_util.register_dataclass(
+    SequenceDescriptor,
+    data_fields=["q_seqlens", "kv_seqlens", "q_segment_ids", "kv_segment_ids",
+                 "q_segment_pos", "kv_segment_pos"],
+    meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# Layout canonicalization
+# ---------------------------------------------------------------------------
+
+def canonicalize_qkv(qkv: Sequence[jax.Array], qkv_layout: QKVLayout):
+    """Unpack any supported layout into (q, k, v), each (B, S, H, D)."""
+    if qkv_layout.is_qkvpacked:
+        (packed,) = qkv
+        q, k, v = packed[..., 0, :, :], packed[..., 1, :, :], packed[..., 2, :, :]
+    elif qkv_layout.is_kvpacked:
+        q, kv = qkv
+        k, v = kv[..., 0, :, :], kv[..., 1, :, :]
+    else:
+        q, k, v = qkv
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
+# Mask construction (shared by the unfused backend and tests; the Pallas
+# kernel evaluates the same predicate block-wise without materializing it)
+# ---------------------------------------------------------------------------
+
+def make_attention_mask(
+    seq_desc: Optional[SequenceDescriptor],
+    attn_mask_type: AttnMaskType,
+    q_len: int,
+    kv_len: int,
+    batch: int,
+    window_size: Optional[Tuple[int, int]] = None,
+) -> Optional[jax.Array]:
+    """Boolean mask (B, 1, Sq, Skv): True = may attend."""
+    rows = jnp.arange(q_len)[:, None]
+    cols = jnp.arange(kv_len)[None, :]
+    mask = jnp.ones((batch, 1, q_len, kv_len), jnp.bool_)
+
+    if seq_desc is not None and seq_desc.q_segment_ids is not None:
+        qs = seq_desc.q_segment_ids
+        ks = seq_desc.kv_segment_ids
+        seg = (qs[:, :, None] == ks[:, None, :]) & (qs[:, :, None] != 0)
+        mask = mask & seg[:, None]
+        q_pos = seq_desc.q_segment_pos
+        kv_pos = seq_desc.kv_segment_pos
+    elif seq_desc is not None and seq_desc.q_seqlens is not None:
+        qlens = seq_desc.q_seqlens
+        klens = (seq_desc.kv_seqlens if seq_desc.kv_seqlens is not None else qlens)
+        valid = (rows[None] < qlens[:, None, None]) & (cols[None] < klens[:, None, None])
+        mask = mask & valid[:, None]
+        q_pos = kv_pos = None
+    else:
+        q_pos = kv_pos = None
+
+    if attn_mask_type.is_causal:
+        qp = q_pos if q_pos is not None else jnp.broadcast_to(rows.T[0], (batch, q_len))
+        kp = kv_pos if kv_pos is not None else jnp.broadcast_to(cols[0], (batch, kv_len))
+        offset = 0
+        if attn_mask_type.is_bottom_right and q_pos is None:
+            offset = kv_len - q_len
+        causal = qp[:, :, None] + offset >= kp[:, None, :]
+        mask = mask & causal[:, None]
+
+    if window_size is not None and window_size != (-1, -1):
+        left, right = window_size
+        qp = q_pos if q_pos is not None else jnp.broadcast_to(rows.T[0], (batch, q_len))
+        kp = kv_pos if kv_pos is not None else jnp.broadcast_to(cols[0], (batch, kv_len))
+        diff = qp[:, :, None] - kp[:, None, :]
+        win = jnp.ones_like(diff, jnp.bool_)
+        if left >= 0:
+            win = win & (diff <= left)
+        if right >= 0:
+            win = win & (diff >= -right)
+        mask = mask & win[:, None]
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Unfused (pure-XLA) backend — the always-available reference
+# (reference counterpart: pytorch UnfusedDotProductAttention, backends.py:320)
+# ---------------------------------------------------------------------------
+
+def _unfused_attn(
+    q, k, v, bias, mask, *,
+    scaling_factor: float,
+    dropout_probability: float,
+    dropout_rng,
+    attn_bias_type: AttnBiasType,
+    is_training: bool,
+):
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # Straightforward GQA: repeat kv heads.
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=2)
+        vf = jnp.repeat(vf, group, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if attn_bias_type is AttnBiasType.PRE_SCALE_BIAS and bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    logits = logits * scaling_factor
+    if attn_bias_type is AttnBiasType.POST_SCALE_BIAS and bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        # Rows with no valid keys produce uniform softmax garbage; zero them.
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        probs = jnp.where(any_valid, probs, 0.0)
+    if is_training and dropout_probability > 0.0:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_probability, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_probability), 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backend selection
+# ---------------------------------------------------------------------------
+
+def get_attention_backend(
+    *,
+    attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS,
+    attn_mask_type: AttnMaskType = AttnMaskType.NO_MASK,
+    head_dim: int = 128,
+    dropout_probability: float = 0.0,
+    is_training: bool = True,
+    has_explicit_mask: bool = False,
+    window_size: Optional[Tuple[int, int]] = None,
+) -> AttnBackend:
+    """Pick the fastest backend that supports the request (reference:
+    pytorch/.../utils.py:327 get_attention_backend). Overridable with
+    ``TE_TPU_ATTN_BACKEND={flash,unfused}``."""
+    env = os.environ.get("TE_TPU_ATTN_BACKEND", "").lower()
+    if env == "unfused":
+        return AttnBackend.UNFUSED
+    if env == "flash":
+        return AttnBackend.FLASH
+    if attn_bias_type is not AttnBiasType.NO_BIAS:
+        return AttnBackend.UNFUSED     # bias dgrad not in the Pallas kernel yet
+    if dropout_probability > 0.0 and is_training:
+        return AttnBackend.UNFUSED
+    if has_explicit_mask:
+        return AttnBackend.UNFUSED
+    if head_dim % 8 != 0 or head_dim > 256:
+        return AttnBackend.UNFUSED
+    return AttnBackend.FLASH
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def fused_attn(
+    qkv: Sequence[jax.Array],
+    bias: Optional[jax.Array] = None,
+    sequence_descriptor: Optional[SequenceDescriptor] = None,
+    seed: Optional[jax.Array] = None,
+    *,
+    attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS,
+    attn_mask_type: AttnMaskType = AttnMaskType.NO_MASK,
+    qkv_layout: QKVLayout = QKVLayout.BSHD_BSHD_BSHD,
+    scaling_factor: Optional[float] = None,
+    dropout_probability: float = 0.0,
+    is_training: bool = True,
+    window_size: Optional[Tuple[int, int]] = None,
+    mask: Optional[jax.Array] = None,
+    backend: AttnBackend = AttnBackend.AUTO,
+    context_parallel_strategy: CPStrategy = CPStrategy.DEFAULT,
+    context_parallel_axis: str = "",
+) -> jax.Array:
+    """Multi-head scaled dot-product attention (reference:
+    jax/attention.py:1447). Returns (B, Sq, Hq, D).
+
+    ``mask`` (optional, bool, broadcastable to (B, H, Sq, Skv), True =
+    attend) is for arbitrary user masks; structured masking should use
+    ``attn_mask_type`` + ``sequence_descriptor`` so the flash backend can
+    skip blocks.
+    """
+    q, k, v = canonicalize_qkv(qkv, qkv_layout)
+    if scaling_factor is None:
+        scaling_factor = 1.0 / (q.shape[-1] ** 0.5)
+
+    if context_parallel_strategy is CPStrategy.RING and context_parallel_axis:
+        from .parallel.ring_attention import ring_attn_under_shard_map
+        return ring_attn_under_shard_map(
+            q, k, v, sequence_descriptor,
+            axis_name=context_parallel_axis,
+            attn_mask_type=attn_mask_type,
+            scaling_factor=scaling_factor,
+            window_size=window_size)
+
+    chosen = backend
+    if chosen is AttnBackend.AUTO:
+        chosen = get_attention_backend(
+            attn_bias_type=attn_bias_type, attn_mask_type=attn_mask_type,
+            head_dim=q.shape[-1], dropout_probability=dropout_probability,
+            is_training=is_training, has_explicit_mask=mask is not None,
+            window_size=window_size)
+
+    if chosen is AttnBackend.FLASH:
+        from .ops.flash_attention import flash_attention
+        return flash_attention(
+            q, k, v, sequence_descriptor,
+            attn_mask_type=attn_mask_type,
+            scaling_factor=scaling_factor,
+            window_size=window_size)
+
+    full_mask = mask
+    if full_mask is None and (
+            attn_mask_type is not AttnMaskType.NO_MASK
+            or sequence_descriptor is not None or window_size is not None):
+        full_mask = make_attention_mask(
+            sequence_descriptor, attn_mask_type, q.shape[1], k.shape[1],
+            q.shape[0], window_size)
+    rng = seed if seed is not None else jax.random.PRNGKey(0)
+    return _unfused_attn(
+        q, k, v, bias, full_mask,
+        scaling_factor=scaling_factor,
+        dropout_probability=dropout_probability,
+        dropout_rng=rng,
+        attn_bias_type=attn_bias_type,
+        is_training=is_training)

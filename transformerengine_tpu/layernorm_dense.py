@@ -1,0 +1,147 @@
+"""Fused LayerNorm + Dense functional layer (custom VJP).
+
+TPU counterpart of the reference's LayerNormLinear path (reference:
+pytorch/module/layernorm_linear.py; jax/layernorm_dense.py). The fwd
+rule runs norm -> quantize -> GEMM in one fused region (XLA fuses the
+norm epilogue into the quantize); the bwd rule runs dgrad/wgrad GEMMs
+then the norm backward, saving (mu, rsigma) instead of the normalized
+activation.
+"""
+from __future__ import annotations
+
+from functools import partial, reduce
+import operator
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.gemm import tn_dot
+from .ops.normalization import (
+    layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
+from .parallel.sharding import with_sharding_constraint_by_logical_axes
+from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.tensor import get_colwise, get_rowwise
+from .utils.pytree import Static
+
+
+def _prod(xs):
+    return reduce(operator.mul, xs, 1)
+
+
+def _amax_of(t):
+    rw = get_rowwise(t)
+    a = getattr(rw, "amax", None)
+    return a if a is not None else jnp.float32(0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set):
+    out, _ = _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set)
+    return out
+
+
+def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
+    (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
+    x = with_sharding_constraint_by_logical_axes(x, input_axes)
+    kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
+
+    if norm_type == "layernorm":
+        ln_out, mu, rsigma = layernorm_fwd(
+            x, gamma, beta, zero_centered_gamma=zero_centered_gamma,
+            epsilon=epsilon)
+    else:
+        ln_out, rsigma = rmsnorm_fwd(
+            x, gamma, zero_centered_gamma=zero_centered_gamma, epsilon=epsilon)
+        mu = None
+
+    m = _prod(x.shape[:-1])
+    k = x.shape[-1]
+    n = _prod(kernel.shape[1:])
+    ln2d = ln_out.reshape(m, k)
+    k2d = kernel.reshape(k, n)
+
+    if quantizer_set.x is None:
+        out2d = tn_dot(ln2d, k2d.T)
+        res_q = (ln2d, k2d, None, None)
+    else:
+        qx = quantizer_set.x.quantize(ln2d)
+        qk = quantizer_set.kernel.quantize(k2d)
+        out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
+        res_q = (get_colwise(qx), get_rowwise(qk), _amax_of(qx), _amax_of(qk))
+
+    if bias is not None:
+        out2d = out2d + bias.reshape(1, n).astype(jnp.float32)
+    out = out2d.reshape(*x.shape[:-1], *kernel.shape[1:]).astype(x.dtype)
+    meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype,
+                   bias is not None, bias.dtype if bias is not None else None))
+    return out, (res_q, x, mu, rsigma, gamma, meta, quantizer_set)
+
+
+def _ln_dense_bwd(cfg, residuals, g):
+    (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
+    res_q, x, mu, rsigma, gamma, meta, quantizer_set = residuals
+    x_shape, kernel_shape, x_dtype, k_dtype, has_bias, b_dtype = meta.value
+    m = _prod(x_shape[:-1])
+    k = x_shape[-1]
+    n = _prod(kernel_shape[1:])
+    g2d = g.reshape(m, n)
+
+    if quantizer_set.x is None:
+        ln2d, k2d = res_q[0], res_q[1]
+        dln2d = tn_dot(g2d, k2d)
+        dw2d = tn_dot(ln2d.T, g2d.T)
+        d_qset = quantizer_set
+    else:
+        qx_col, qk_row, amax_x, amax_k = res_q
+        qg = quantizer_set.dgrad.quantize(g2d)
+        dln2d = tn_dot(get_rowwise(qg), qk_row)
+        dw2d = tn_dot(qx_col, get_colwise(qg))
+        d_qset = QuantizerSet(
+            x=quantizer_set.x.update(amax_x),
+            kernel=quantizer_set.kernel.update(amax_k),
+            dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
+        )
+
+    dln = dln2d.reshape(x_shape).astype(x_dtype)
+    if norm_type == "layernorm":
+        dx, dgamma, dbeta = layernorm_bwd(
+            dln, x, mu, rsigma, gamma, zero_centered_gamma=zero_centered_gamma)
+    else:
+        dx, dgamma = rmsnorm_bwd(
+            dln, x, rsigma, gamma, zero_centered_gamma=zero_centered_gamma)
+        dbeta = None
+    dx = with_sharding_constraint_by_logical_axes(dx, input_axes)
+    dw = dw2d.reshape(kernel_shape).astype(k_dtype)
+    dbias = g2d.sum(axis=0).reshape(kernel_shape[1:]).astype(b_dtype) if has_bias else None
+    return dx, dw, dgamma, dbeta, dbias, d_qset
+
+
+_layernorm_dense.defvjp(_ln_dense_fwd, _ln_dense_bwd)
+
+
+def layernorm_dense(
+    x: jax.Array,
+    kernel: jax.Array,
+    gamma: jax.Array,
+    beta: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    *,
+    norm_type: str = "layernorm",
+    zero_centered_gamma: bool = False,
+    epsilon: float = 1e-6,
+    input_axes=None,
+    kernel_axes=None,
+    quantizer_set: QuantizerSet = noop_quantizer_set,
+) -> jax.Array:
+    """``out = norm(x) . kernel + bias`` with the norm output never
+    materialized in high precision when quantizing (reference:
+    pytorch/module/layernorm_linear.py fwd)."""
+    assert norm_type in ("layernorm", "rmsnorm"), norm_type
+    assert kernel.ndim >= 2 and kernel.shape[0] == x.shape[-1], (
+        f"kernel leading dim {kernel.shape} must match x hidden dim "
+        f"{x.shape[-1]}")
+    cfg = (norm_type, zero_centered_gamma, float(epsilon),
+           tuple(input_axes) if input_axes else None,
+           tuple(kernel_axes) if kernel_axes else None)
+    return _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set)

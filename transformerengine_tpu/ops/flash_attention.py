@@ -1,0 +1,534 @@
+"""Pallas TPU flash attention (forward + backward).
+
+The TPU-native replacement for the reference's cuDNN fused attention
+(reference: common/fused_attn/fused_attn_f16_arbitrary_seqlen.cu and
+pytorch FlashAttention backend). Online-softmax tiling over KV blocks
+with f32 accumulators in VMEM; causal/padding/sliding-window masking is
+evaluated per block from positions and segment ids so no (Sq, Skv) mask
+is ever materialized, and fully-masked blocks are skipped.
+
+Layout: kernels operate on (B, H, S, D). GQA is supported by mapping
+query head h to kv head h // group in the BlockSpec index maps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *,
+                scale: float, causal: bool, use_segments: bool,
+                window: Tuple[int, int], offset: int,
+                block_q: int, block_k: int, num_k_blocks: int):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    # Block-level skip test (causal / sliding window reachability).
+    run = True
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+    if window[0] >= 0:
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 >= q_start + offset - window[0])
+    if window[1] >= 0 and not causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset + window[1])
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        qpos = q_start + offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        kpos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.ones((block_q, block_k), jnp.bool_)
+        if causal:
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        if window[0] >= 0:
+            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
+        if window[1] >= 0:
+            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
+        if use_segments:
+            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
+            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
+            mask = jnp.logical_and(
+                mask, jnp.logical_and(qs == ks, qs != 0))
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        # alpha rescales previous partial sums; rows still at NEG_INF keep 0.
+        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.where(m_new <= NEG_INF / 2, 0.0, alpha)
+        p = jnp.exp(s - m_new[:, :1])
+        p = jnp.where(mask, p, 0.0)
+
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        m_ref[...] = m_new
+        v = v_ref[0, 0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _epilogue():
+        l = l_ref[..., :1]
+        l_safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        m = m_ref[..., :1]
+        lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
+
+
+def _flash_fwd(q, k, v, qseg, kseg, *, scale, causal, window, offset,
+               block_q, block_k):
+    b, hq, sq, d = q.shape
+    skv = k.shape[2]
+    hkv = k.shape[1]
+    group = hq // hkv
+    block_q = min(block_q, _ceil_to(sq, 8))
+    block_k = min(block_k, _ceil_to(skv, 8))
+    nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
+    use_segments = qseg is not None
+    # Segment ids are pre-broadcast outside the kernel so each read has the
+    # right TPU orientation (q: sublane rows, kv: lanes) with no in-kernel
+    # relayout (same trick as jax.experimental.pallas.ops.tpu.flash_attention).
+    if use_segments:
+        qseg = jax.lax.broadcast_in_dim(qseg, (b, sq, 128), (0, 1))
+        kseg = jax.lax.broadcast_in_dim(kseg, (b, 8, skv), (0, 2))
+    else:
+        qseg = jnp.zeros((b, 8, 128), jnp.int32)
+        kseg = jnp.zeros((b, 8, 128), jnp.int32)
+
+    grid = (b, hq, nq, nk)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, use_segments=use_segments,
+        window=window, offset=offset, block_q=block_q, block_k=block_k,
+        num_k_blocks=nk)
+
+    if use_segments:
+        seg_q_spec = pl.BlockSpec((1, block_q, 128),
+                                  lambda bi, h, iq, ik: (bi, iq, 0),
+                                  memory_space=pltpu.VMEM)
+        seg_k_spec = pl.BlockSpec((1, 8, block_k),
+                                  lambda bi, h, iq, ik: (bi, 0, ik),
+                                  memory_space=pltpu.VMEM)
+    else:
+        seg_q_spec = seg_k_spec = pl.BlockSpec(
+            (1, 8, 128), lambda bi, h, iq, ik: (bi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            seg_q_spec,
+            seg_k_spec,
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qseg, kseg, q, k, v)
+    return o, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, acc_ref, *,
+                   scale, causal, use_segments, window, offset,
+                   block_q, block_k, num_k_blocks):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = True
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+    if window[0] >= 0:
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 >= q_start + offset - window[0])
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        qpos = q_start + offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        kpos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.ones((block_q, block_k), jnp.bool_)
+        if causal:
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        if window[0] >= 0:
+            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
+        if window[1] >= 0:
+            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
+        if use_segments:
+            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
+            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
+            mask = jnp.logical_and(
+                mask, jnp.logical_and(qs == ks, qs != 0))
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        acc_ref[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _epilogue():
+        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    scale, causal, use_segments, window, offset,
+                    block_q, block_k, num_q_blocks):
+    ik, iq = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = True
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+    if window[0] >= 0:
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 >= q_start + offset - window[0])
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        qpos = q_start + offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        kpos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.ones((block_q, block_k), jnp.bool_)
+        if causal:
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        if window[0] >= 0:
+            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
+        if window[1] >= 0:
+            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
+        if use_segments:
+            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
+            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
+            mask = jnp.logical_and(
+                mask, jnp.logical_and(qs == ks, qs != 0))
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
+               offset, block_q, block_k):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    block_q = min(block_q, _ceil_to(sq, 8))
+    block_k = min(block_k, _ceil_to(skv, 8))
+    nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
+    use_segments = qseg is not None
+    if use_segments:
+        qseg = jax.lax.broadcast_in_dim(qseg, (b, sq, 128), (0, 1))
+        kseg = jax.lax.broadcast_in_dim(kseg, (b, 8, skv), (0, 2))
+    else:
+        qseg = jnp.zeros((b, 8, 128), jnp.int32)
+        kseg = jnp.zeros((b, 8, 128), jnp.int32)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    lse_b = jnp.broadcast_to(lse[..., None], (*lse.shape, 128))
+    delta_b = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+
+    def seg_spec(which, order):
+        if not use_segments:
+            return pl.BlockSpec((1, 8, 128), lambda bi, h, i2, i3: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if which == "q":
+            shape = (1, block_q, 128)
+            if order == "qk":   # grid dims (b, h, iq, ik)
+                idx = lambda bi, h, iq, ik: (bi, iq, 0)
+            else:               # grid dims (b, h, ik, iq)
+                idx = lambda bi, h, ik, iq: (bi, iq, 0)
+        else:
+            shape = (1, 8, block_k)
+            if order == "qk":
+                idx = lambda bi, h, iq, ik: (bi, 0, ik)
+            else:
+                idx = lambda bi, h, ik, iq: (bi, 0, ik)
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    common = dict(scale=scale, causal=causal, use_segments=use_segments,
+                  window=window, offset=offset,
+                  block_q=block_q, block_k=block_k)
+
+    # --- dQ: grid (b, hq, iq, ik) ---
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, num_k_blocks=nk, **common),
+        grid=(b, hq, nq, nk),
+        in_specs=[
+            seg_spec("q", "qk"),
+            seg_spec("k", "qk"),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, h, iq, ik: (bi, h, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_interpret(),
+    )(qseg, kseg, q, k, v, do, lse_b, delta_b)
+
+    # --- dK/dV: grid (b, hq, ik, iq); per-q-head then group reduce ---
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **common),
+        grid=(b, hq, nk, nq),
+        in_specs=[
+            seg_spec("q", "kq"),
+            seg_spec("k", "kq"),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, ik, iq: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, ik, iq: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, ik, iq: (bi, h // group, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, ik, iq: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda bi, h, ik, iq: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda bi, h, ik, iq: (bi, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, ik, iq: (bi, h, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, ik, iq: (bi, h, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qseg, kseg, q, k, v, do, lse_b, delta_b)
+
+    if group > 1:
+        dk = dk_h.reshape(b, hkv, group, skv, d).sum(axis=2).astype(k.dtype)
+        dv = dv_h.reshape(b, hkv, group, skv, d).sum(axis=2).astype(v.dtype)
+    else:
+        dk, dv = dk_h, dv_h
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper (BSHD user layout)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(q, k, v, qseg, kseg, scale, causal, window, offset, blocks):
+    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, scale, causal, window, offset,
+                           blocks)
+    return o
+
+
+def _flash_core_fwd(q, k, v, qseg, kseg, scale, causal, window, offset, blocks):
+    o, lse = _flash_fwd(q, k, v, qseg, kseg, scale=scale, causal=causal,
+                        window=window, offset=offset,
+                        block_q=blocks[0], block_k=blocks[1])
+    return o, (q, k, v, o, lse, qseg, kseg)
+
+
+def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
+    q, k, v, o, lse, qseg, kseg = res
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, scale=scale,
+                            causal=causal, window=window, offset=offset,
+                            block_q=blocks[0], block_k=blocks[1])
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,   # (B, Sq, Hq, D)
+    k: jax.Array,   # (B, Skv, Hkv, D)
+    v: jax.Array,
+    sequence_descriptor=None,
+    *,
+    attn_mask_type=None,
+    scaling_factor: Optional[float] = None,
+    window_size: Optional[Tuple[int, int]] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention over BSHD inputs. Masking comes from
+    ``attn_mask_type`` (+ optional seqlens / segment ids in
+    ``sequence_descriptor``) and ``window_size``; see
+    transformerengine_tpu.attention for the taxonomy."""
+    from ..attention import AttnMaskType  # local import to avoid cycle
+
+    if attn_mask_type is None:
+        attn_mask_type = AttnMaskType.NO_MASK
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    causal = attn_mask_type.is_causal
+    offset = skv - sq if attn_mask_type.is_bottom_right else 0
+    window = tuple(window_size) if window_size is not None else (-1, -1)
+
+    qseg = kseg = None
+    if sequence_descriptor is not None:
+        if sequence_descriptor.q_segment_ids is not None:
+            qseg = sequence_descriptor.q_segment_ids.astype(jnp.int32)
+            kseg = sequence_descriptor.kv_segment_ids.astype(jnp.int32)
+        elif sequence_descriptor.q_seqlens is not None:
+            qlens = sequence_descriptor.q_seqlens
+            klens = (sequence_descriptor.kv_seqlens
+                     if sequence_descriptor.kv_seqlens is not None else qlens)
+            qseg = (jnp.arange(sq)[None, :] < qlens[:, None]).astype(jnp.int32)
+            kseg = (jnp.arange(skv)[None, :] < klens[:, None]).astype(jnp.int32)
+    if attn_mask_type.is_padding and qseg is None:
+        raise ValueError("padding mask requires a sequence_descriptor")
+
+    # Pad sequence lengths to block multiples; padded tokens get segment 0.
+    sq_p = _ceil_to(sq, min(block_q, _ceil_to(sq, 8)))
+    skv_p = _ceil_to(skv, min(block_k, _ceil_to(skv, 8)))
+    if sq_p != sq or skv_p != skv:
+        if qseg is None:
+            qseg = jnp.ones((b, sq), jnp.int32)
+            kseg = jnp.ones((b, skv), jnp.int32)
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0), (0, 0)))
+        qseg = jnp.pad(qseg, ((0, 0), (0, sq_p - sq)))
+        kseg = jnp.pad(kseg, ((0, 0), (0, skv_p - skv)))
+
+    scale = scaling_factor if scaling_factor is not None else 1.0 / d**0.5
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = _flash_core(qt, kt, vt, qseg, kseg, float(scale), causal, window,
+                    offset, (block_q, block_k))
+    o = o.transpose(0, 2, 1, 3)
+    if sq_p != sq:
+        o = o[:, :sq]
+    return o
