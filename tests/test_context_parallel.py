@@ -1,0 +1,103 @@
+"""Context-parallel attention (all-gather + ring) vs single-device
+reference (reference analog: tests/jax/test_distributed_fused_attn.py —
+CP output compared against full-sequence attention)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, PartitionSpec as P
+
+from transformerengine_tpu.attention import (
+    AttnBackend, AttnMaskType, fused_attn)
+from transformerengine_tpu.parallel.ring_attention import (
+    all_gather_attn, ring_attn)
+
+CP = 4
+
+
+def _mesh():
+    return Mesh(mesh_utils.create_device_mesh((CP,), jax.devices()[:CP]),
+                ("cp",))
+
+
+def _data(b=2, s=256, hq=4, hkv=2, d=64):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, s, hq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, hkv, d), jnp.float32)
+    return q, k, v
+
+
+def _reference(q, k, v):
+    return fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                      backend=AttnBackend.UNFUSED)
+
+
+@pytest.mark.parametrize("strategy", ["all_gather", "ring"])
+def test_cp_matches_single_device(strategy):
+    q, k, v = _data()
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    if strategy == "all_gather":
+        def local_fn(q, k, v):
+            return all_gather_attn(q, k, v, "cp", causal=True)
+    else:
+        def local_fn(q, k, v):
+            return ring_attn(q, k, v, "cp", True, q.shape[-1] ** -0.5,
+                             (-1, -1))
+
+    cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec, check_vma=False)
+    out = cp_fn(q, k, v)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-5, strategy
+
+
+@pytest.mark.parametrize("strategy", ["all_gather", "ring"])
+def test_cp_grads_match_single_device(strategy):
+    q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=64)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    if strategy == "all_gather":
+        def local_fn(q, k, v):
+            return all_gather_attn(q, k, v, "cp", causal=True)
+    else:
+        def local_fn(q, k, v):
+            return ring_attn(q, k, v, "cp", True, q.shape[-1] ** -0.5,
+                             (-1, -1))
+
+    cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec, check_vma=False)
+
+    def loss_cp(q, k, v):
+        return jnp.sum(cp_fn(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v) ** 2)
+
+    g_cp = jax.grad(loss_cp, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_cp, g_ref):
+        assert jnp.max(jnp.abs(a - b)) < 1e-3, strategy
+
+
+def test_fused_attn_ring_dispatch():
+    """fused_attn(context_parallel_strategy=RING) inside shard_map."""
+    from transformerengine_tpu.attention import CPStrategy
+    q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=64)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v):
+        return fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                          context_parallel_strategy=CPStrategy.RING,
+                          context_parallel_axis="cp")
+
+    out = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec, check_vma=False)(q, k, v)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-5

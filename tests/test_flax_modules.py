@@ -1,0 +1,114 @@
+"""Flax modules: TransformerLayer / MHA / LayerNormMLP smoke + numerics,
+and the overwrite-with-gradient quantizer-state flow
+(reference analog: tests/jax/test_layer.py, test_praxis_layers.py)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import transformerengine_tpu as te
+from transformerengine_tpu.flax import (
+    QUANTIZE_META, LayerNormMLP, MultiHeadAttention, TransformerLayer,
+    update_quantize_meta)
+
+
+def _layer(**kw):
+    args = dict(hidden_size=64, mlp_hidden_size=128, num_attention_heads=4,
+                num_gqa_groups=2, norm_type="rmsnorm",
+                mlp_activations="swiglu", use_bias=False,
+                enable_rotary_pos_emb=True, max_seq_len=128)
+    args.update(kw)
+    return TransformerLayer(**args)
+
+
+class TestTransformerLayer:
+    def test_fwd_bwd_bf16(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64), jnp.float32)
+        layer = _layer()
+        variables = layer.init(jax.random.PRNGKey(1), x)
+        out = layer.apply(variables, x)
+        assert out.shape == x.shape
+        g = jax.grad(lambda v: jnp.sum(layer.apply(v, x).astype(jnp.float32)**2))(
+            variables)
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.all(jnp.isfinite(l.astype(jnp.float32))) for l in leaves)
+
+    def test_fp8_close_to_bf16(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64), jnp.float32)
+        layer = _layer()
+        variables = layer.init(jax.random.PRNGKey(1), x)
+        out_bf16 = layer.apply(variables, x)
+        with te.autocast(enabled=True, recipe=te.Float8CurrentScaling()):
+            layer8 = _layer()
+            vars8 = layer8.init(jax.random.PRNGKey(1), x)
+            # params are identical; quantize_meta may add state
+            out_fp8 = layer8.apply(
+                {"params": vars8["params"], **{k: v for k, v in vars8.items()
+                                               if k != "params"}}, x)
+        scale = jnp.maximum(jnp.max(jnp.abs(out_bf16)), 1e-3)
+        assert jnp.max(jnp.abs(out_fp8 - out_bf16)) / scale < 0.15
+
+    def test_delayed_scaling_owg_state_update(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64), jnp.float32)
+        with te.autocast(enabled=True,
+                         recipe=te.DelayedScaling(amax_history_len=8)):
+            layer = _layer()
+            variables = layer.init(jax.random.PRNGKey(1), x)
+            assert QUANTIZE_META in variables
+            meta0 = variables[QUANTIZE_META]
+
+            def loss_fn(params, qmeta):
+                out = layer.apply(
+                    {"params": params, QUANTIZE_META: qmeta}, x)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            _, (gp, gq) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                variables["params"], meta0)
+        # OWG: the "gradient" of quantize_meta is the updated state.
+        flat0 = jax.tree_util.tree_leaves_with_path(meta0)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(gq))
+        changed = 0
+        for path, v0 in flat0:
+            v1 = flat1[path]
+            assert v1.shape == v0.shape
+            if not jnp.allclose(v0, v1):
+                changed += 1
+        assert changed > 0, "delayed-scaling state did not update"
+        new_vars = update_quantize_meta(
+            {"params": variables["params"], QUANTIZE_META: meta0},
+            {QUANTIZE_META: gq})
+        assert QUANTIZE_META in new_vars
+
+    def test_decoder_layer_cross_attention(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64), jnp.float32)
+        enc = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 64), jnp.float32)
+        layer = _layer(layer_type="decoder")
+        variables = layer.init(jax.random.PRNGKey(2), x, enc)
+        out = layer.apply(variables, x, enc)
+        assert out.shape == x.shape
+        assert "inter_attention" in variables["params"]
+
+
+class TestMultiHeadAttention:
+    def test_gqa_shapes(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64), jnp.float32)
+        mha = MultiHeadAttention(hidden_size=64, num_attention_heads=4,
+                                 num_gqa_groups=2, use_bias=False)
+        variables = mha.init(jax.random.PRNGKey(1), x)
+        out = mha.apply(variables, x)
+        assert out.shape == x.shape
+        qkv_kernel = variables["params"]["qkv"]["kernel"]
+        # hq*d + 2*hkv*d = 4*16 + 2*2*16 = 128
+        assert qkv_kernel.shape == (64, 128)
+
+
+class TestModel:
+    def test_llama_tiny_fwd_loss(self):
+        from transformerengine_tpu.models.llama import (
+            LLAMA_TINY, LlamaModel, cross_entropy_loss)
+        model = LlamaModel(config=LLAMA_TINY)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, 256)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        logits = model.apply(variables, tokens)
+        assert logits.shape == (2, 64, 256)
+        loss = cross_entropy_loss(logits[:, :-1], tokens[:, 1:])
+        assert jnp.isfinite(loss)

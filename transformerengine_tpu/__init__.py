@@ -25,5 +25,12 @@ from .quantize.scaling_modes import ScalingMode
 from .quantize.tensor import ScaledTensor1x, ScaledTensor2x
 from .parallel.sharding import MeshResource, global_shard_guard, global_mesh_resource
 from .dense import dense, dense_and_state
+from .layernorm import layernorm, rmsnorm
+from .layernorm_dense import layernorm_dense
+from .layernorm_mlp import layernorm_mlp
+from .attention import (
+    AttnBiasType, AttnMaskType, QKVLayout, SequenceDescriptor, fused_attn,
+)
+from .softmax import SoftmaxType, softmax
 
 __version__ = "0.1.0"

@@ -1,0 +1,7 @@
+"""Flax (linen) module API (reference: transformer_engine/jax/flax)."""
+from .module import (
+    DenseGeneral, LayerNorm, LayerNormDenseGeneral, LayerNormMLP,
+    TransformerEngineBase, update_quantize_meta, QUANTIZE_META)
+from .transformer import (
+    DotProductAttention, MultiHeadAttention, RotaryPositionEmbedding,
+    TransformerLayer)

@@ -1,0 +1,252 @@
+"""Flax (linen) modules over the functional quantized layers.
+
+TPU counterpart of the reference Flax module zoo (reference:
+jax/flax/module.py — DenseGeneral :421, LayerNormDenseGeneral :590,
+LayerNormMLP :879, LayerNorm :251). Quantizer state for stateful
+recipes (DelayedScaling) lives in the ``quantize_meta`` collection and
+follows the overwrite-with-gradient convention: take grads w.r.t. that
+collection and the "gradient" IS the updated state (see
+``update_quantize_meta``) — the same pattern the reference's JAX side
+uses for fp8 metas.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..dense import dense
+from ..layernorm import layernorm as layernorm_fn
+from ..layernorm_dense import layernorm_dense
+from ..layernorm_mlp import layernorm_mlp
+from ..ops.activation import normalize_activation_type
+from ..parallel import sharding as sh
+from ..quantize.helper import QuantizerFactory, get_quantize_config
+from ..quantize.quantizer import (
+    DelayedScaleQuantizer, QuantizerSet, noop_quantizer_set)
+
+QUANTIZE_META = "quantize_meta"
+Initializer = Callable[..., jax.Array]
+
+
+def _maybe_partition(init, axes):
+    if axes:
+        return nn.with_logical_partitioning(init, axes)
+    return init
+
+
+class TransformerEngineBase(nn.Module):
+    """Shared quantizer-state plumbing for all TE Flax modules."""
+
+    def quantizer_set(self, name: str) -> QuantizerSet:
+        cfg = get_quantize_config()
+        if not cfg.enabled:
+            return noop_quantizer_set
+        qset = QuantizerFactory.create_set(cfg.recipe)
+        # Stateful (delayed-scaling) quantizers: back their arrays with
+        # flax variables so state persists across steps.
+        out = {}
+        for role in ("x", "kernel", "dgrad"):
+            q = getattr(qset, role)
+            if isinstance(q, DelayedScaleQuantizer):
+                scale = self.variable(
+                    QUANTIZE_META, f"{name}_{role}_scale",
+                    lambda: jnp.ones((1,), jnp.float32))
+                hist = self.variable(
+                    QUANTIZE_META, f"{name}_{role}_amax_history",
+                    lambda: jnp.zeros_like(q.amax_history))
+                import dataclasses
+                q = dataclasses.replace(
+                    q, scale=scale.value, amax_history=hist.value)
+            out[role] = q
+        return QuantizerSet(**out)
+
+
+def update_quantize_meta(variables: dict, grads: dict) -> dict:
+    """Overwrite-with-gradient state update: replace the quantize_meta
+    collection with its 'gradients' (the updated quantizer state emitted
+    by the custom-VJP bwd rules)."""
+    new = dict(variables)
+    if QUANTIZE_META in grads:
+        new[QUANTIZE_META] = grads[QUANTIZE_META]
+    return new
+
+
+class LayerNorm(nn.Module):
+    """(reference: jax/flax/module.py:251)"""
+
+    epsilon: float = 1e-6
+    norm_type: str = "layernorm"
+    zero_centered_gamma: bool = False
+    scale_init: Optional[Initializer] = None
+    bias_init: Initializer = nn.initializers.zeros
+    scale_axes: Tuple[str, ...] = (sh.W_NO_SHARD_AXES,)
+    bias_axes: Tuple[str, ...] = (sh.W_NO_SHARD_AXES,)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale_init = self.scale_init or (
+            nn.initializers.zeros if self.zero_centered_gamma
+            else nn.initializers.ones)
+        h = x.shape[-1]
+        gamma = self.param(
+            "scale", _maybe_partition(scale_init, self.scale_axes), (h,),
+            self.dtype)
+        beta = None
+        if self.norm_type == "layernorm":
+            beta = self.param(
+                "ln_bias", _maybe_partition(self.bias_init, self.bias_axes),
+                (h,), self.dtype)
+        return layernorm_fn(x, gamma, beta, self.norm_type,
+                            self.zero_centered_gamma, self.epsilon)
+
+
+class DenseGeneral(TransformerEngineBase):
+    """Quantized dense layer (reference: jax/flax/module.py:421)."""
+
+    features: Union[int, Sequence[int]]
+    use_bias: bool = True
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    kernel_axes: Tuple[str, ...] = ()
+    bias_init: Initializer = nn.initializers.zeros
+    bias_axes: Tuple[str, ...] = ()
+    input_axes: Tuple[str, ...] = ()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        features = (self.features,) if isinstance(self.features, int) \
+            else tuple(self.features)
+        kernel = self.param(
+            "kernel", _maybe_partition(self.kernel_init, self.kernel_axes),
+            (x.shape[-1], *features), self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _maybe_partition(self.bias_init, self.bias_axes),
+                features, self.dtype)
+        return dense(x, kernel, bias,
+                     input_axes=self.input_axes or None,
+                     kernel_axes=self.kernel_axes or None,
+                     quantizer_set=self.quantizer_set("dense"))
+
+
+class LayerNormDenseGeneral(TransformerEngineBase):
+    """Fused norm + dense (reference: jax/flax/module.py:590)."""
+
+    features: Union[int, Sequence[int]]
+    epsilon: float = 1e-6
+    norm_type: str = "layernorm"
+    zero_centered_gamma: bool = False
+    use_bias: bool = True
+    return_layernorm_output: bool = False
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    kernel_axes: Tuple[str, ...] = ()
+    bias_init: Initializer = nn.initializers.zeros
+    bias_axes: Tuple[str, ...] = ()
+    input_axes: Tuple[str, ...] = ()
+    scale_axes: Tuple[str, ...] = (sh.W_NO_SHARD_AXES,)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        features = (self.features,) if isinstance(self.features, int) \
+            else tuple(self.features)
+        h = x.shape[-1]
+        scale_init = (nn.initializers.zeros if self.zero_centered_gamma
+                      else nn.initializers.ones)
+        gamma = self.param(
+            "scale", _maybe_partition(scale_init, self.scale_axes), (h,),
+            jnp.float32)
+        beta = None
+        if self.norm_type == "layernorm":
+            beta = self.param(
+                "ln_bias", _maybe_partition(nn.initializers.zeros,
+                                            self.scale_axes), (h,),
+                jnp.float32)
+        kernel = self.param(
+            "kernel", _maybe_partition(self.kernel_init, self.kernel_axes),
+            (h, *features), self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _maybe_partition(self.bias_init, self.bias_axes),
+                features, self.dtype)
+        assert len(features) == 1, "flatten output features before the module"
+        out = layernorm_dense(
+            x, kernel, gamma, beta, bias,
+            norm_type=self.norm_type,
+            zero_centered_gamma=self.zero_centered_gamma,
+            epsilon=self.epsilon,
+            input_axes=self.input_axes or None,
+            kernel_axes=self.kernel_axes or None,
+            quantizer_set=self.quantizer_set("ln_dense"))
+        if self.return_layernorm_output:
+            ln_out = layernorm_fn(x, gamma, beta, self.norm_type,
+                                  self.zero_centered_gamma, self.epsilon)
+            return out, ln_out
+        return out
+
+
+class LayerNormMLP(TransformerEngineBase):
+    """Fused norm + MLP block (reference: jax/flax/module.py:879)."""
+
+    intermediate_dim: int = 2048
+    epsilon: float = 1e-6
+    norm_type: str = "layernorm"
+    zero_centered_gamma: bool = False
+    use_bias: bool = True
+    activations: Union[str, Sequence[str]] = ("relu",)
+    intermediate_dropout_rate: float = 0.0
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    scale_axes: Tuple[str, ...] = (sh.W_NO_SHARD_AXES,)
+    kernel_axes_1: Tuple[str, ...] = (sh.W_FSDP_AXES, sh.W_JOINED_AXES,
+                                      sh.W_TP_AXES)
+    kernel_axes_2: Tuple[str, ...] = (sh.W_TP_AXES, sh.W_FSDP_AXES)
+    input_axes: Tuple[str, ...] = ()
+    intermediate_axes: Tuple[str, ...] = ()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        acts = normalize_activation_type(self.activations)
+        n_act = len(acts)
+        h = x.shape[-1]
+        scale_init = (nn.initializers.zeros if self.zero_centered_gamma
+                      else nn.initializers.ones)
+        gamma = self.param(
+            "scale", _maybe_partition(scale_init, self.scale_axes), (h,),
+            jnp.float32)
+        beta = None
+        if self.norm_type == "layernorm":
+            beta = self.param(
+                "ln_bias", _maybe_partition(nn.initializers.zeros,
+                                            self.scale_axes), (h,),
+                jnp.float32)
+        kernel1 = self.param(
+            "wi_kernel", _maybe_partition(self.kernel_init, self.kernel_axes_1),
+            (h, n_act, self.intermediate_dim), self.dtype)
+        kernel2 = self.param(
+            "wo_kernel", _maybe_partition(self.kernel_init, self.kernel_axes_2),
+            (self.intermediate_dim, h), self.dtype)
+        bias1 = bias2 = None
+        if self.use_bias:
+            bias1 = self.param("wi_bias", nn.initializers.zeros,
+                               (n_act, self.intermediate_dim), self.dtype)
+            bias2 = self.param("wo_bias", nn.initializers.zeros, (h,),
+                               self.dtype)
+        return layernorm_mlp(
+            x, gamma, beta, kernel1, kernel2, bias1, bias2,
+            norm_type=self.norm_type,
+            zero_centered_gamma=self.zero_centered_gamma,
+            epsilon=self.epsilon,
+            activation_type=acts,
+            input_axes=self.input_axes or None,
+            dot1_kernel_axes=self.kernel_axes_1 or None,
+            dot2_kernel_axes=self.kernel_axes_2 or None,
+            intermediate_axes=self.intermediate_axes or None,
+            quantizer_sets=(self.quantizer_set("mlp1"),
+                            self.quantizer_set("mlp2")))

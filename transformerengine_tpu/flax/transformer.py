@@ -1,0 +1,314 @@
+"""Flax transformer building blocks.
+
+TPU counterpart of the reference Flax transformer stack (reference:
+jax/flax/transformer.py — DotProductAttention :446, MultiHeadAttention
+:1069, TransformerLayer :1847; pytorch/transformer.py:70). Sharding is
+expressed through logical axes resolved by
+``parallel.sharding.generate_sharding_rules``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..attention import (
+    AttnBiasType, AttnMaskType, CPStrategy, SequenceDescriptor, fused_attn)
+from ..ops.rope import apply_rope, rope_frequencies
+from ..parallel import sharding as sh
+from .module import (
+    DenseGeneral, LayerNormDenseGeneral, LayerNormMLP, LayerNorm,
+    TransformerEngineBase, _maybe_partition)
+
+
+class RotaryPositionEmbedding(nn.Module):
+    """(reference: pytorch/attention/rope.py RotaryPositionEmbedding)"""
+
+    dim: int
+    max_seq_len: int = 8192
+    base: float = 10000.0
+    interleaved: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, positions: Optional[jax.Array] = None):
+        freqs = rope_frequencies(self.dim, self.max_seq_len, base=self.base)
+        return apply_rope(x, freqs, positions=positions,
+                         interleaved=self.interleaved)
+
+
+class DotProductAttention(nn.Module):
+    """Scaled dot-product attention core
+    (reference: jax/flax/transformer.py:446)."""
+
+    head_dim: int
+    num_attention_heads: int
+    num_gqa_groups: Optional[int] = None
+    attn_mask_type: AttnMaskType = AttnMaskType.CAUSAL
+    attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS
+    attention_dropout: float = 0.0
+    window_size: Optional[Tuple[int, int]] = None
+    scale_factor: Optional[float] = None
+    context_parallel_axis: str = ""
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,                    # (B, Sq, Hq, D)
+        key: jax.Array,                      # (B, Skv, Hkv, D)
+        value: jax.Array,
+        sequence_descriptor: Optional[SequenceDescriptor] = None,
+        bias: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        dropout = 0.0 if deterministic else self.attention_dropout
+        seed = None
+        if dropout > 0.0:
+            seed = self.make_rng("dropout")
+        cp = (CPStrategy.RING if self.context_parallel_axis
+              else CPStrategy.DEFAULT)
+        out = fused_attn(
+            (query, key, value),
+            bias=bias,
+            sequence_descriptor=sequence_descriptor,
+            seed=seed,
+            attn_bias_type=self.attn_bias_type,
+            attn_mask_type=self.attn_mask_type,
+            scaling_factor=self.scale_factor,
+            dropout_probability=dropout,
+            is_training=not deterministic,
+            window_size=self.window_size,
+            context_parallel_strategy=cp,
+            context_parallel_axis=self.context_parallel_axis)
+        b, s, h, d = out.shape
+        return out.reshape(b, s, h * d)
+
+
+class MultiHeadAttention(TransformerEngineBase):
+    """Full attention sublayer: norm -> QKV projection -> RoPE -> core
+    attention -> output projection
+    (reference: jax/flax/transformer.py:1069)."""
+
+    hidden_size: int
+    num_attention_heads: int
+    head_dim: Optional[int] = None
+    num_gqa_groups: Optional[int] = None
+    layernorm_epsilon: float = 1e-6
+    norm_type: str = "layernorm"
+    zero_centered_gamma: bool = False
+    use_bias: bool = False
+    attn_mask_type: AttnMaskType = AttnMaskType.CAUSAL
+    attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS
+    attention_dropout: float = 0.0
+    window_size: Optional[Tuple[int, int]] = None
+    enable_rotary_pos_emb: bool = False
+    rotary_pos_emb_base: float = 10000.0
+    max_seq_len: int = 8192
+    input_layernorm: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    context_parallel_axis: str = ""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                        # (B, S, H)
+        kv_source: Optional[jax.Array] = None,
+        sequence_descriptor: Optional[SequenceDescriptor] = None,
+        bias: Optional[jax.Array] = None,
+        positions: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        d = self.head_dim or self.hidden_size // self.num_attention_heads
+        hq = self.num_attention_heads
+        hkv = self.num_gqa_groups or hq
+        is_self_attn = kv_source is None
+        qkv_axes = (sh.W_FSDP_AXES, sh.W_TP_AXES)
+        in_axes = (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES)
+
+        if is_self_attn:
+            proj = LayerNormDenseGeneral(
+                features=(hq + 2 * hkv) * d,
+                epsilon=self.layernorm_epsilon,
+                norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                kernel_axes=qkv_axes,
+                input_axes=in_axes,
+                dtype=self.dtype,
+                name="qkv") if self.input_layernorm else DenseGeneral(
+                    features=(hq + 2 * hkv) * d, use_bias=self.use_bias,
+                    kernel_init=self.kernel_init, kernel_axes=qkv_axes,
+                    input_axes=in_axes, dtype=self.dtype, name="qkv")
+            qkv = proj(x)
+            b, s = qkv.shape[0], qkv.shape[1]
+            q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+            q = q.reshape(b, s, hq, d)
+            k = k.reshape(b, s, hkv, d)
+            v = v.reshape(b, s, hkv, d)
+        else:
+            q_proj = LayerNormDenseGeneral(
+                features=hq * d, epsilon=self.layernorm_epsilon,
+                norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                use_bias=self.use_bias, kernel_init=self.kernel_init,
+                kernel_axes=qkv_axes, input_axes=in_axes, dtype=self.dtype,
+                name="query")
+            kv_proj = DenseGeneral(
+                features=2 * hkv * d, use_bias=self.use_bias,
+                kernel_init=self.kernel_init, kernel_axes=qkv_axes,
+                dtype=self.dtype, name="kv")
+            q = q_proj(x)
+            kv = kv_proj(kv_source)
+            b, sq = q.shape[0], q.shape[1]
+            skv = kv.shape[1]
+            q = q.reshape(b, sq, hq, d)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(b, skv, hkv, d)
+            v = v.reshape(b, skv, hkv, d)
+
+        if self.enable_rotary_pos_emb:
+            freqs = rope_frequencies(d, self.max_seq_len,
+                                     base=self.rotary_pos_emb_base)
+            q = apply_rope(q, freqs, positions=positions)
+            k = apply_rope(k, freqs, positions=positions)
+
+        q = nn.with_logical_constraint(
+            q, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
+        k = nn.with_logical_constraint(
+            k, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
+        v = nn.with_logical_constraint(
+            v, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
+
+        ctx = DotProductAttention(
+            head_dim=d, num_attention_heads=hq, num_gqa_groups=hkv,
+            attn_mask_type=self.attn_mask_type,
+            attn_bias_type=self.attn_bias_type,
+            attention_dropout=self.attention_dropout,
+            window_size=self.window_size,
+            context_parallel_axis=self.context_parallel_axis,
+            name="core_attention")(
+                q, k, v, sequence_descriptor, bias,
+                deterministic=deterministic)
+
+        out = DenseGeneral(
+            features=self.hidden_size,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            kernel_axes=(sh.W_TP_AXES, sh.W_FSDP_AXES),
+            input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_TP_AXES),
+            dtype=self.dtype,
+            name="out")(ctx)
+        return out
+
+
+class TransformerLayer(TransformerEngineBase):
+    """Encoder/decoder transformer layer (reference:
+    pytorch/transformer.py:70; jax/flax/transformer.py:1847)."""
+
+    hidden_size: int = 512
+    mlp_hidden_size: int = 2048
+    num_attention_heads: int = 8
+    head_dim: Optional[int] = None
+    num_gqa_groups: Optional[int] = None
+    layernorm_epsilon: float = 1e-6
+    norm_type: str = "rmsnorm"
+    zero_centered_gamma: bool = False
+    hidden_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    mlp_activations: Union[str, Sequence[str]] = ("gelu",)
+    use_bias: bool = False
+    self_attn_mask_type: AttnMaskType = AttnMaskType.CAUSAL
+    window_size: Optional[Tuple[int, int]] = None
+    layer_type: str = "encoder"      # "encoder" | "decoder" (adds cross-attn)
+    enable_rotary_pos_emb: bool = False
+    rotary_pos_emb_base: float = 10000.0
+    max_seq_len: int = 8192
+    output_layernorm: bool = False
+    drop_path: float = 0.0
+    context_parallel_axis: str = ""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        encoded: Optional[jax.Array] = None,
+        sequence_descriptor: Optional[SequenceDescriptor] = None,
+        positions: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        attn_out = MultiHeadAttention(
+            hidden_size=self.hidden_size,
+            num_attention_heads=self.num_attention_heads,
+            head_dim=self.head_dim,
+            num_gqa_groups=self.num_gqa_groups,
+            layernorm_epsilon=self.layernorm_epsilon,
+            norm_type=self.norm_type,
+            zero_centered_gamma=self.zero_centered_gamma,
+            use_bias=self.use_bias,
+            attn_mask_type=self.self_attn_mask_type,
+            attention_dropout=self.attention_dropout,
+            window_size=self.window_size,
+            enable_rotary_pos_emb=self.enable_rotary_pos_emb,
+            rotary_pos_emb_base=self.rotary_pos_emb_base,
+            max_seq_len=self.max_seq_len,
+            context_parallel_axis=self.context_parallel_axis,
+            dtype=self.dtype,
+            name="self_attention")(
+                x, None, sequence_descriptor, positions=positions,
+                deterministic=deterministic)
+        if self.hidden_dropout > 0.0 and not deterministic:
+            attn_out = nn.Dropout(rate=self.hidden_dropout)(
+                attn_out, deterministic=deterministic)
+        x = x + attn_out
+
+        if self.layer_type == "decoder" and encoded is not None:
+            cross = MultiHeadAttention(
+                hidden_size=self.hidden_size,
+                num_attention_heads=self.num_attention_heads,
+                head_dim=self.head_dim,
+                num_gqa_groups=self.num_gqa_groups,
+                layernorm_epsilon=self.layernorm_epsilon,
+                norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                use_bias=self.use_bias,
+                attn_mask_type=AttnMaskType.PADDING,
+                attention_dropout=self.attention_dropout,
+                dtype=self.dtype,
+                name="inter_attention")(
+                    x, encoded, sequence_descriptor,
+                    deterministic=deterministic)
+            if self.hidden_dropout > 0.0 and not deterministic:
+                cross = nn.Dropout(rate=self.hidden_dropout)(
+                    cross, deterministic=deterministic)
+            x = x + cross
+
+        mlp_out = LayerNormMLP(
+            intermediate_dim=self.mlp_hidden_size,
+            epsilon=self.layernorm_epsilon,
+            norm_type=self.norm_type,
+            zero_centered_gamma=self.zero_centered_gamma,
+            use_bias=self.use_bias,
+            activations=self.mlp_activations,
+            input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES),
+            intermediate_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.JOINED_AXES,
+                               sh.HIDDEN_TP_AXES),
+            dtype=self.dtype,
+            name="mlp")(x, deterministic=deterministic)
+        if self.hidden_dropout > 0.0 and not deterministic:
+            mlp_out = nn.Dropout(rate=self.hidden_dropout)(
+                mlp_out, deterministic=deterministic)
+        x = x + mlp_out
+
+        if self.output_layernorm:
+            x = LayerNorm(
+                epsilon=self.layernorm_epsilon, norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                name="output_layernorm")(x)
+        return x

@@ -37,7 +37,7 @@ def _ceil_to(x: int, m: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
                 scale: float, causal: bool, use_segments: bool,
                 window: Tuple[int, int], offset: int,
@@ -52,15 +52,16 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     q_start = iq * block_q
     k_start = ik * block_k
+    off = offset + qoff_ref[0]
     # Block-level skip test (causal / sliding window reachability).
-    run = True
+    run = jnp.full((), True)
     if causal:
-        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
     if window[0] >= 0:
         run = jnp.logical_and(
-            run, k_start + block_k - 1 >= q_start + offset - window[0])
+            run, k_start + block_k - 1 >= q_start + off - window[0])
     if window[1] >= 0 and not causal:
-        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset + window[1])
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off + window[1])
 
     @pl.when(run)
     def _body():
@@ -70,7 +71,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
-        qpos = q_start + offset + jax.lax.broadcasted_iota(
+        qpos = q_start + off + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -115,7 +116,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
 
 
-def _flash_fwd(q, k, v, qseg, kseg, *, scale, causal, window, offset,
+def _flash_fwd(q, k, v, qseg, kseg, qoff, *, scale, causal, window, offset,
                block_q, block_k):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
@@ -157,6 +158,7 @@ def _flash_fwd(q, k, v, qseg, kseg, *, scale, causal, window, offset,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_q_spec,
             seg_k_spec,
             pl.BlockSpec((1, 1, block_q, d),
@@ -187,7 +189,7 @@ def _flash_fwd(q, k, v, qseg, kseg, *, scale, causal, window, offset,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qseg, kseg, q, k, v)
+    )(qoff, qseg, kseg, q, k, v)
     return o, lse[..., 0]
 
 
@@ -195,7 +197,7 @@ def _flash_fwd(q, k, v, qseg, kseg, *, scale, causal, window, offset,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
                    block_q, block_k, num_k_blocks):
@@ -207,12 +209,13 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     q_start = iq * block_q
     k_start = ik * block_k
-    run = True
+    off = offset + qoff_ref[0]
+    run = jnp.full((), True)
     if causal:
-        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
     if window[0] >= 0:
         run = jnp.logical_and(
-            run, k_start + block_k - 1 >= q_start + offset - window[0])
+            run, k_start + block_k - 1 >= q_start + off - window[0])
 
     @pl.when(run)
     def _body():
@@ -226,7 +229,7 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        qpos = q_start + offset + jax.lax.broadcasted_iota(
+        qpos = q_start + off + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -254,7 +257,7 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     scale, causal, use_segments, window, offset,
                     block_q, block_k, num_q_blocks):
@@ -267,12 +270,13 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     q_start = iq * block_q
     k_start = ik * block_k
-    run = True
+    off = offset + qoff_ref[0]
+    run = jnp.full((), True)
     if causal:
-        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + offset)
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
     if window[0] >= 0:
         run = jnp.logical_and(
-            run, k_start + block_k - 1 >= q_start + offset - window[0])
+            run, k_start + block_k - 1 >= q_start + off - window[0])
 
     @pl.when(run)
     def _body():
@@ -286,7 +290,7 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        qpos = q_start + offset + jax.lax.broadcasted_iota(
+        qpos = q_start + off + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -317,7 +321,7 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
+def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                offset, block_q, block_k):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
@@ -364,6 +368,7 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
         functools.partial(_bwd_dq_kernel, num_k_blocks=nk, **common),
         grid=(b, hq, nq, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "qk"),
             seg_spec("k", "qk"),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, iq, ik: (bi, h, iq, 0),
@@ -389,13 +394,14 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
         out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=_interpret(),
-    )(qseg, kseg, q, k, v, do, lse_b, delta_b)
+    )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
     # --- dK/dV: grid (b, hq, ik, iq); per-q-head then group reduce ---
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **common),
         grid=(b, hq, nk, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "kq"),
             seg_spec("k", "kq"),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, ik, iq: (bi, h, iq, 0),
@@ -430,7 +436,7 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qseg, kseg, q, k, v, do, lse_b, delta_b)
+    )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
     if group > 1:
         dk = dk_h.reshape(b, hkv, group, skv, d).sum(axis=2).astype(k.dtype)
@@ -444,26 +450,28 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, *, scale, causal, window,
 # custom_vjp wrapper (BSHD user layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash_core(q, k, v, qseg, kseg, scale, causal, window, offset, blocks):
-    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, scale, causal, window, offset,
-                           blocks)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_core(q, k, v, qseg, kseg, qoff, scale, causal, window, offset,
+                blocks):
+    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, scale, causal, window,
+                           offset, blocks)
     return o
 
 
-def _flash_core_fwd(q, k, v, qseg, kseg, scale, causal, window, offset, blocks):
-    o, lse = _flash_fwd(q, k, v, qseg, kseg, scale=scale, causal=causal,
+def _flash_core_fwd(q, k, v, qseg, kseg, qoff, scale, causal, window, offset,
+                    blocks):
+    o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, scale=scale, causal=causal,
                         window=window, offset=offset,
                         block_q=blocks[0], block_k=blocks[1])
-    return o, (q, k, v, o, lse, qseg, kseg)
+    return o, (q, k, v, o, lse, qseg, kseg, qoff)
 
 
 def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
-    q, k, v, o, lse, qseg, kseg = res
-    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, scale=scale,
+    q, k, v, o, lse, qseg, kseg, qoff = res
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, scale=scale,
                             causal=causal, window=window, offset=offset,
                             block_q=blocks[0], block_k=blocks[1])
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -478,6 +486,7 @@ def flash_attention(
     attn_mask_type=None,
     scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
+    q_position_offset=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
@@ -523,10 +532,14 @@ def flash_attention(
         kseg = jnp.pad(kseg, ((0, 0), (0, skv_p - skv)))
 
     scale = scaling_factor if scaling_factor is not None else 1.0 / d**0.5
+    if q_position_offset is None:
+        qoff = jnp.zeros((1,), jnp.int32)
+    else:
+        qoff = jnp.asarray(q_position_offset, jnp.int32).reshape(1)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash_core(qt, kt, vt, qseg, kseg, float(scale), causal, window,
+    o = _flash_core(qt, kt, vt, qseg, kseg, qoff, float(scale), causal, window,
                     offset, (block_q, block_k))
     o = o.transpose(0, 2, 1, 3)
     if sq_p != sq:
