@@ -1,0 +1,111 @@
+"""Inference: decode-attention kernel, KV cache managers, generation
+(reference analog: tests/pytorch/test_kv_cache.py + te_gemma tutorial
+equivalence of cached vs uncached generation)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformerengine_tpu.attention import (
+    AttnBackend, AttnMaskType, SequenceDescriptor, fused_attn)
+from transformerengine_tpu.inference import (
+    InferenceParams, cache_append, calibrate_kv_scale, generate,
+    paged_append_token, paged_gather_kv, paged_init)
+from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaModel
+from transformerengine_tpu.ops.decode_attention import decode_attention
+from transformerengine_tpu.quantize.dtypes import float8_e4m3
+
+
+class TestDecodeAttention:
+    def test_matches_full_attention(self):
+        b, smax, hq, hkv, d = 2, 128, 4, 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+        kc = jax.random.normal(ks[1], (b, smax, hkv, d), jnp.float32)
+        vc = jax.random.normal(ks[2], (b, smax, hkv, d), jnp.float32)
+        lengths = jnp.array([100, 37], jnp.int32)
+        out = decode_attention(q, kc, vc, lengths)
+        ref = fused_attn(
+            (q, kc, vc),
+            sequence_descriptor=SequenceDescriptor.from_seqlens(
+                jnp.ones((b,), jnp.int32), lengths),
+            attn_mask_type=AttnMaskType.PADDING,
+            backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
+    def test_fp8_cache_close(self):
+        b, smax, hq, hkv, d = 1, 64, 2, 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, smax, hkv, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, smax, hkv, d), jnp.float32)
+        lengths = jnp.full((b,), smax, jnp.int32)
+        scale = calibrate_kv_scale(k, v)
+        ck = jnp.zeros((b, smax, hkv, d), float8_e4m3)
+        cv = jnp.zeros_like(ck)
+        ck, cv, _ = cache_append(ck, cv, jnp.zeros((b,), jnp.int32), k, v,
+                                 scale)
+        out8 = decode_attention(q, ck, cv, lengths, kv_scale=1.0 / scale)
+        ref = decode_attention(q, k, v, lengths)
+        assert jnp.max(jnp.abs(out8 - ref)) < 0.05
+
+    def test_sliding_window(self):
+        b, smax, h, d = 1, 128, 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (b, 1, h, d), jnp.float32)
+        kc = jax.random.normal(ks[1], (b, smax, h, d), jnp.float32)
+        vc = jax.random.normal(ks[2], (b, smax, h, d), jnp.float32)
+        lengths = jnp.array([100], jnp.int32)
+        out = decode_attention(q, kc, vc, lengths, window_left=16)
+        # reference: only the last 17 positions are visible
+        mask = jnp.zeros((b, 1, 1, smax), jnp.bool_).at[:, :, :, 83:100].set(True)
+        ref = fused_attn((q, kc, vc), mask=mask, backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
+
+class TestPagedCache:
+    def test_append_and_gather_roundtrip(self):
+        b, hkv, d, page = 2, 2, 16, 8
+        state = paged_init(num_pages=16, page_size=page, batch=b,
+                           max_pages_per_seq=4, hkv=hkv, d=d,
+                           dtype=jnp.float32)
+        toks = jax.random.normal(jax.random.PRNGKey(0), (12, b, 1, hkv, d))
+        for t in range(12):
+            state = paged_append_token(state, toks[t], toks[t])
+        k_full, _ = paged_gather_kv(state)
+        for t in range(12):
+            assert jnp.allclose(k_full[:, t], toks[t][:, 0]), t
+        assert int(state.free_head) == 4  # 2 seqs x ceil(12/8) pages
+
+
+class TestGenerate:
+    def test_cached_matches_uncached_greedy(self):
+        model = LlamaModel(config=LLAMA_TINY)
+        b, sp = 2, 16
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (b, sp), 1, 256)
+        lengths = jnp.array([16, 11], jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        n_new = 6
+
+        got = generate(model, variables, tokens, lengths, n_new)
+
+        # Uncached greedy reference: full forward each step.
+        seqs = [tokens[i, :lengths[i]] for i in range(b)]
+        for i in range(b):
+            for _ in range(n_new):
+                logits = model.apply(variables, seqs[i][None])
+                nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+                seqs[i] = jnp.concatenate([seqs[i], nxt[None]])
+        for i in range(b):
+            ref_new = seqs[i][int(lengths[i]):]
+            assert jnp.array_equal(got[i], ref_new), (i, got[i], ref_new)
+
+    def test_fp8_cache_generation_runs(self):
+        model = LlamaModel(config=LLAMA_TINY)
+        b, sp = 1, 8
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (b, sp), 1, 256)
+        lengths = jnp.full((b,), sp, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        out = generate(model, variables, tokens, lengths, 4,
+                       kv_cache_dtype=float8_e4m3)
+        assert out.shape == (b, 4)
+        assert jnp.all((out >= 0) & (out < 256))

@@ -1,0 +1,129 @@
+"""Fused optimizers + parallel cross entropy
+(reference analog: tests/pytorch/test_fused_optimizer.py,
+test_parallel_cross_entropy.py)."""
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, PartitionSpec as P
+
+from transformerengine_tpu.ops.cross_entropy import (
+    cross_entropy, parallel_cross_entropy)
+from transformerengine_tpu.optimizers import (
+    fused_adam, fused_sgd, muon, newton_schulz)
+
+
+class TestFusedAdam:
+    def _params(self):
+        return {"w": jax.random.normal(jax.random.PRNGKey(0), (8, 8)),
+                "b": jnp.zeros((8,))}
+
+    def test_matches_optax_adamw(self):
+        params = self._params()
+        grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.1, params)
+        ours = fused_adam(1e-2, weight_decay=0.01)
+        ref = optax.adamw(1e-2, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        s1, s2 = ours.init(params), ref.init(params)
+        p1, p2 = params, params
+        for _ in range(3):
+            u1, s1 = ours.update(jax.tree.map(jnp.copy, grads), s1, p1)
+            u2, s2 = ref.update(jax.tree.map(jnp.copy, grads), s2, p2)
+            p1 = optax.apply_updates(p1, u1)
+            p2 = optax.apply_updates(p2, u2)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            assert jnp.max(jnp.abs(a - b)) < 1e-5
+
+    def test_master_weights_bf16_params(self):
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), self._params())
+        opt = fused_adam(1e-3, use_master_weights=True)
+        state = opt.init(params)
+        grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4, params)
+        # Tiny updates accumulate in the f32 master even when each single
+        # update underflows bf16 resolution.
+        p = params
+        for _ in range(10):
+            u, state = opt.update(grads, state, p)
+            p = optax.apply_updates(p, u)
+        assert jnp.all(jnp.isfinite(state.master["w"]))
+        assert not jnp.allclose(state.master["w"],
+                                params["w"].astype(jnp.float32))
+
+    def test_fused_sgd_momentum(self):
+        params = self._params()
+        opt = fused_sgd(0.1, momentum=0.9)
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        u, _ = opt.update(grads, state, params)
+        assert jnp.allclose(u["w"], -0.1)
+
+
+class TestNewtonSchulz:
+    def test_orthogonalizes(self):
+        g = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32)
+        o = newton_schulz(g, steps=10).astype(jnp.float32)
+        gram = o.T @ o
+        # singular values pushed toward 1 (bf16 iteration -> loose tol)
+        sv = jnp.linalg.svd(o, compute_uv=False)
+        assert jnp.all(sv > 0.6) and jnp.all(sv < 1.4)
+
+    def test_muon_runs(self):
+        params = {"w": jax.random.normal(jax.random.PRNGKey(0), (32, 16))}
+        opt = muon(0.02)
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        u, state = opt.update(grads, state, params)
+        assert u["w"].shape == (32, 16)
+        assert jnp.all(jnp.isfinite(u["w"]))
+
+
+class TestCrossEntropy:
+    def test_matches_optax(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (6, 32))
+        targets = jax.random.randint(jax.random.PRNGKey(1), (6,), 0, 32)
+        ours = cross_entropy(logits, targets)
+        ref = optax.softmax_cross_entropy_with_integer_labels(
+            logits, targets).mean()
+        assert jnp.abs(ours - ref) < 1e-5
+
+    def test_ignore_index(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+        targets = jnp.array([1, -100, 3, -100])
+        ours = cross_entropy(logits, targets)
+        ref = optax.softmax_cross_entropy_with_integer_labels(
+            logits[jnp.array([0, 2])], targets[jnp.array([0, 2])]).mean()
+        assert jnp.abs(ours - ref) < 1e-5
+
+    def test_vocab_parallel_matches_full(self):
+        tp = 4
+        mesh = Mesh(mesh_utils.create_device_mesh((tp,), jax.devices()[:tp]),
+                    ("tp",))
+        logits = jax.random.normal(jax.random.PRNGKey(0), (8, 64))
+        targets = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, 64)
+
+        def local_fn(logits, targets):
+            return parallel_cross_entropy(logits, targets, tp_axis="tp")
+
+        sharded = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P(None, "tp"), P()),
+            out_specs=P(), check_vma=False)
+        ours = sharded(logits, targets)
+        ref = optax.softmax_cross_entropy_with_integer_labels(
+            logits, targets).mean()
+        assert jnp.abs(ours - ref) < 1e-5
+
+    def test_vocab_parallel_grads(self):
+        tp = 2
+        mesh = Mesh(mesh_utils.create_device_mesh((tp,), jax.devices()[:tp]),
+                    ("tp",))
+        logits = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+        targets = jax.random.randint(jax.random.PRNGKey(1), (4,), 0, 16)
+
+        sharded = jax.shard_map(
+            lambda l, t: parallel_cross_entropy(l, t, tp_axis="tp"),
+            mesh=mesh, in_specs=(P(None, "tp"), P()), out_specs=P(),
+            check_vma=False)
+        g = jax.grad(lambda l: sharded(l, targets))(logits)
+        gr = jax.grad(lambda l: optax.softmax_cross_entropy_with_integer_labels(
+            l, targets).mean())(logits)
+        assert jnp.max(jnp.abs(g - gr)) < 1e-5

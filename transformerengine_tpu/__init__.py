@@ -32,5 +32,9 @@ from .attention import (
     AttnBiasType, AttnMaskType, QKVLayout, SequenceDescriptor, fused_attn,
 )
 from .softmax import SoftmaxType, softmax
+from .grouped_dense import grouped_dense
+from .moe import moe
+from .permutation import (
+    moe_permute, moe_unpermute, token_combine, token_dispatch)
 
 __version__ = "0.1.0"

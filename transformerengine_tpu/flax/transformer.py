@@ -121,6 +121,7 @@ class MultiHeadAttention(TransformerEngineBase):
         positions: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        inference_params=None,               # inference.InferenceParams
     ) -> jax.Array:
         d = self.head_dim or self.hidden_size // self.num_attention_heads
         hq = self.num_attention_heads
@@ -171,11 +172,27 @@ class MultiHeadAttention(TransformerEngineBase):
             k = k.reshape(b, skv, hkv, d)
             v = v.reshape(b, skv, hkv, d)
 
+        if inference_params is not None and positions is None:
+            # Positions continue from the cache fill level.
+            prev = self.get_variable("cache", "cache_length") \
+                if self.has_variable("cache", "cache_length") else None
+            if prev is not None:
+                positions = prev[:, None] + jnp.arange(q.shape[1])[None, :]
+
         if self.enable_rotary_pos_emb:
             freqs = rope_frequencies(d, self.max_seq_len,
                                      base=self.rotary_pos_emb_base)
             q = apply_rope(q, freqs, positions=positions)
             k = apply_rope(k, freqs, positions=positions)
+
+        if inference_params is not None:
+            out_ctx = self._cached_attention(
+                q, k, v, inference_params, sequence_descriptor)
+            return DenseGeneral(
+                features=self.hidden_size, use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                kernel_axes=(sh.W_TP_AXES, sh.W_FSDP_AXES),
+                dtype=self.dtype, name="out")(out_ctx)
 
         q = nn.with_logical_constraint(
             q, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
@@ -204,6 +221,64 @@ class MultiHeadAttention(TransformerEngineBase):
             dtype=self.dtype,
             name="out")(ctx)
         return out
+
+    def _cached_attention(self, q, k, v, inference_params,
+                          sequence_descriptor):
+        """Prefill/decode through the KV cache ("cache" collection;
+        reference: pytorch/attention/inference.py KVCacheManager.step)."""
+        from ..inference.kv_cache import (
+            cache_append, calibrate_kv_scale)
+        from ..ops.decode_attention import decode_attention
+        from ..ops.flash_attention import flash_attention
+
+        b, s, hkv, d = k.shape
+        ip = inference_params
+        assert b == ip.max_batch_size, (
+            f"batch {b} != InferenceParams.max_batch_size "
+            f"{ip.max_batch_size}")
+        cache_dtype = ip.kv_cache_dtype
+        ck = self.variable(
+            "cache", "cached_key", jnp.zeros,
+            (b, ip.max_sequence_length, hkv, d), cache_dtype)
+        cv = self.variable(
+            "cache", "cached_value", jnp.zeros,
+            (b, ip.max_sequence_length, hkv, d), cache_dtype)
+        clen = self.variable(
+            "cache", "cache_length", jnp.zeros, (b,), jnp.int32)
+        kv_scale = self.variable(
+            "cache", "kv_scale", jnp.ones, (1,), jnp.float32)
+
+        is_prefill = s > 1
+        if is_prefill and ip.is_fp8:
+            kv_scale.value = calibrate_kv_scale(k, v)
+        qscale = kv_scale.value if ip.is_fp8 else None
+        new_k, new_v, new_len = cache_append(
+            ck.value, cv.value, clen.value, k, v, qscale)
+        ck.value, cv.value, clen.value = new_k, new_v, new_len
+
+        window = self.window_size
+        if is_prefill:
+            # Prompt attends to itself causally (cache was empty before).
+            seqlens = (sequence_descriptor.q_seqlens
+                       if sequence_descriptor is not None
+                       and sequence_descriptor.q_seqlens is not None else None)
+            desc = (SequenceDescriptor.from_seqlens(seqlens)
+                    if seqlens is not None else None)
+            out = flash_attention(
+                q, k, v, desc,
+                attn_mask_type=(AttnMaskType.PADDING_CAUSAL if desc is not None
+                                else AttnMaskType.CAUSAL),
+                scaling_factor=self.scale_factor if hasattr(self, "scale_factor")
+                else None,
+                window_size=window)
+        else:
+            dq_scale = (1.0 / kv_scale.value) if ip.is_fp8 else None
+            out = decode_attention(
+                q, ck.value, cv.value, clen.value,
+                kv_scale=dq_scale,
+                window_left=window[0] if window is not None else -1)
+        bq, sq, hq, dd = out.shape
+        return out.reshape(bq, sq, hq * dd)
 
 
 class TransformerLayer(TransformerEngineBase):
@@ -242,6 +317,7 @@ class TransformerLayer(TransformerEngineBase):
         positions: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        inference_params=None,
     ) -> jax.Array:
         attn_out = MultiHeadAttention(
             hidden_size=self.hidden_size,
@@ -262,7 +338,8 @@ class TransformerLayer(TransformerEngineBase):
             dtype=self.dtype,
             name="self_attention")(
                 x, None, sequence_descriptor, positions=positions,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                inference_params=inference_params)
         if self.hidden_dropout > 0.0 and not deterministic:
             attn_out = nn.Dropout(rate=self.hidden_dropout)(
                 attn_out, deterministic=deterministic)

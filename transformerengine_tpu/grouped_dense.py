@@ -1,0 +1,104 @@
+"""Quantized grouped dense (expert) layer with custom VJP.
+
+TPU counterpart of the reference GroupedLinear (reference:
+pytorch/module/grouped_linear.py; jax/dense.py:318 grouped_dense). Rows
+of ``x`` are expert-contiguous (output of token_dispatch); weights are
+stacked (E, K, M); the three GEMMs (fwd/dgrad/wgrad) are XLA ragged
+dots. Quantization uses per-tensor scaling (the reference's
+GroupedQuantizer per-expert scales are a follow-up; per-tensor is
+numerically valid for current/delayed scaling).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.grouped_gemm import grouped_gemm, grouped_gemm_dw
+from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.tensor import get_rowwise
+from .utils.pytree import Static
+
+
+def _amax_of(t):
+    rw = get_rowwise(t)
+    a = getattr(rw, "amax", None)
+    return a if a is not None else jnp.float32(0.0)
+
+
+def _q1x(quantizer, x):
+    """Quantize rowwise-only (ragged dots take natural layouts)."""
+    if quantizer is None:
+        return x, jnp.float32(0.0)
+    import dataclasses
+    from .quantize.quantizer import QuantizeLayout
+    q = dataclasses.replace(quantizer, q_layout=QuantizeLayout.ROWWISE)
+    assert q.scaling_mode.is_tensor_scaling, (
+        "grouped_dense supports tensor-scaling recipes; block-scaled "
+        "grouped quantization lands with GroupedQuantizer")
+    t = q.quantize(x)
+    return t, _amax_of(t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grouped_dense(num_experts, x, kernel, group_sizes, quantizer_set):
+    out, _ = _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set)
+    return out
+
+
+def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set):
+    if quantizer_set.x is None:
+        out = grouped_gemm(x, kernel, group_sizes)
+        res = (x, kernel, group_sizes, None, None)
+    else:
+        qx, ax = _q1x(quantizer_set.x, x)
+        qk, ak = _q1x(quantizer_set.kernel, kernel)
+        out = grouped_gemm(qx, qk, group_sizes)
+        res = (qx, qk, group_sizes, ax, ak)
+    meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
+    return out.astype(x.dtype), (res, meta, quantizer_set)
+
+
+def _gd_bwd(num_experts, residuals, g):
+    res, meta, quantizer_set = residuals
+    x_shape, k_shape, x_dtype, k_dtype = meta.value
+    xq, kq, group_sizes, ax, ak = res
+
+    if quantizer_set.x is None:
+        gq, ag = g, jnp.float32(0.0)
+        d_qset = quantizer_set
+    else:
+        gq, ag = _q1x(quantizer_set.dgrad, g)
+        d_qset = QuantizerSet(
+            x=quantizer_set.x.update(ax),
+            kernel=quantizer_set.kernel.update(ak),
+            dgrad=quantizer_set.dgrad.update(ag))
+
+    # dX[n] = G[n] @ W[e]^T  — ragged dot against transposed kernels.
+    kt = (kq.data if hasattr(kq, "data") else kq)
+    if hasattr(kq, "data"):
+        import dataclasses
+        kt = dataclasses.replace(kq, data=jnp.swapaxes(kq.data, 1, 2))
+    else:
+        kt = jnp.swapaxes(kq, 1, 2)
+    dx = grouped_gemm(gq, kt, group_sizes).astype(x_dtype)
+    dw = grouped_gemm_dw(xq, gq, group_sizes, num_experts).astype(k_dtype)
+    return dx.reshape(x_shape), dw.reshape(k_shape), None, d_qset
+
+
+_grouped_dense.defvjp(_gd_fwd, _gd_bwd)
+
+
+def grouped_dense(
+    x: jax.Array,              # (N, K) expert-contiguous
+    kernel: jax.Array,         # (E, K, M)
+    group_sizes: jax.Array,    # (E,)
+    *,
+    quantizer_set: QuantizerSet = noop_quantizer_set,
+) -> jax.Array:
+    assert kernel.ndim == 3 and x.shape[-1] == kernel.shape[1], (
+        f"shapes {x.shape} x {kernel.shape}")
+    return _grouped_dense(kernel.shape[0], x, kernel, group_sizes,
+                          quantizer_set)

@@ -1,0 +1,103 @@
+"""Generation engine: jitted prefill + decode loop over the KV cache.
+
+The TPU analog of the reference's generation path (reference:
+docs/examples/te_gemma — KV cache + CUDA-graph decode; on TPU the whole
+decode step is one jitted program, so "CUDA graph capture" is just
+jit + lax.scan). Continuous batching hooks: per-sequence lengths live
+in the cache, so finished sequences can be replaced by resetting their
+length and writing a new prompt (slot reuse).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import InferenceParams
+
+
+def _sample(logits, key, temperature: float):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, logits.astype(jnp.float32) / temperature, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+def prefill(model, variables, tokens, inference_params: InferenceParams,
+            prompt_lengths, temperature: float = 0.0, rng_seed: int = 0):
+    """Run the prompt through the model, filling the cache.
+    Returns (first sampled token (B,), cache collection)."""
+    from ..attention import SequenceDescriptor
+    desc = SequenceDescriptor.from_seqlens(prompt_lengths)
+    logits, mutated = model.apply(
+        variables, tokens, desc, deterministic=True,
+        inference_params=inference_params, mutable=["cache"])
+    # Cache lengths advanced by the full (padded) prompt width; rewind the
+    # padding so decode appends right after each prompt's last real token.
+    pad = tokens.shape[1] - prompt_lengths
+    cache = jax.tree.map(lambda x: x, mutated["cache"])
+    cache = _adjust_lengths(cache, -pad)
+    last = jnp.take_along_axis(
+        logits, (prompt_lengths - 1)[:, None, None], axis=1)[:, 0]
+    tok = _sample(last, jax.random.PRNGKey(rng_seed), temperature)
+    return tok, cache
+
+
+def _adjust_lengths(cache, delta):
+    def fix(path, leaf):
+        if path[-1].key == "cache_length":
+            return leaf + delta
+        return leaf
+    return jax.tree_util.tree_map_with_path(fix, cache)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def decode_steps(model, variables, cache, first_token,
+                 inference_params: InferenceParams, num_steps: int,
+                 temperature: float = 0.0, rng=None):
+    """Greedy/temperature decode of ``num_steps`` tokens as one jitted
+    lax.scan (the reference needs CUDA graphs for this; jit suffices)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    base = {k: v for k, v in variables.items() if k != "cache"}
+
+    def step(carry, _):
+        tok, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits, mutated = model.apply(
+            {**base, "cache": cache}, tok[:, None], deterministic=True,
+            inference_params=inference_params, mutable=["cache"])
+        nxt = _sample(logits[:, -1], sub, temperature)
+        return (nxt, mutated["cache"], rng), nxt
+
+    (_, cache, _), toks = jax.lax.scan(
+        step, (first_token, cache, rng), None, length=num_steps)
+    return toks.T, cache              # (B, num_steps)
+
+
+def generate(
+    model,
+    variables,
+    prompt_tokens: jax.Array,         # (B, S_prompt) int32, right-padded
+    prompt_lengths: jax.Array,        # (B,)
+    max_new_tokens: int,
+    *,
+    inference_params: Optional[InferenceParams] = None,
+    temperature: float = 0.0,
+    kv_cache_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """End-to-end generation. Returns (B, max_new_tokens)."""
+    b, sp = prompt_tokens.shape
+    if inference_params is None:
+        inference_params = InferenceParams(
+            max_batch_size=b,
+            max_sequence_length=sp + max_new_tokens,
+            kv_cache_dtype=jnp.dtype(kv_cache_dtype))
+    first, cache = prefill(model, variables, prompt_tokens, inference_params,
+                           prompt_lengths, temperature)
+    toks, _ = decode_steps(model, variables, cache, first, inference_params,
+                           max_new_tokens - 1, temperature)
+    return jnp.concatenate([first[:, None], toks], axis=1)

@@ -65,6 +65,7 @@ class LlamaModel(nn.Module):
         positions: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        inference_params=None,
     ) -> jax.Array:                          # (B, S, vocab)
         cfg = self.config
         embed = self.param(
@@ -104,7 +105,8 @@ class LlamaModel(nn.Module):
                 dtype=cfg.dtype,
                 name=f"layer_{i}")(
                     x, None, sequence_descriptor, positions,
-                    deterministic=deterministic)
+                    deterministic=deterministic,
+                    inference_params=inference_params)
 
         x = LayerNorm(epsilon=cfg.norm_eps, norm_type="rmsnorm",
                       name="final_norm")(x)

@@ -1,0 +1,157 @@
+"""Pallas TPU decode attention (single-query flash over a KV cache).
+
+The TPU-native replacement for the reference's KV-cache attention path
+(reference: common/fused_attn/kv_cache.cu + cuDNN Paged_KV layouts,
+pytorch/attention/inference.py). One query token per sequence attends
+over its cached history; the kernel streams the cache from HBM in
+blocks with an online softmax, dequantizing FP8 payloads in VMEM
+(per-layer scalar scale) — decode is HBM-bandwidth-bound, so FP8 cache
+halves the bytes and nearly doubles tokens/s.
+
+Layout: q (B, Hkv, G, D) where G = Hq // Hkv (GQA group as the sublane
+dim so the MXU sees a (G, S_blk) matmul per kv head), cache
+(B, S_max, Hkv, D), lengths (B,).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_S = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
+                   acc_ref, m_ref, l_ref, *,
+                   scale: float, block_s: int, num_s_blocks: int,
+                   window_left: int):
+    bi, hk, si = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    length = lengths_ref[bi]
+    s_start = si * block_s
+    run = s_start < length
+    if window_left >= 0:
+        run = jnp.logical_and(run, s_start + block_s >= length - window_left)
+
+    @pl.when(run)
+    def _body():
+        kv_scale = scales_ref[0]
+        q = q_ref[0, 0].astype(jnp.float32)                    # (G, D)
+        k = k_ref[0, 0].astype(jnp.float32) * kv_scale         # (block_s, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # (G, block_s)
+        kpos = s_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        mask = kpos < length
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, kpos >= length - 1 - window_left)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.where(m_new <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        m_ref[...] = m_new
+        v = v_ref[0, 0].astype(jnp.float32) * kv_scale         # (block_s, D)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(si == num_s_blocks - 1)
+    def _epilogue():
+        l = l_ref[..., :1]
+        l_safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,          # (B, 1, Hq, D) or (B, Hq, D)
+    k_cache: jax.Array,    # (B, S_max, Hkv, D)  (fp8 or bf16 payload)
+    v_cache: jax.Array,
+    lengths: jax.Array,    # (B,) int32 — valid cache entries per sequence
+    *,
+    kv_scale: Optional[jax.Array] = None,   # scalar dequant scale (fp8 cache)
+    scaling_factor: Optional[float] = None,
+    window_left: int = -1,
+    block_s: int = DEFAULT_BLOCK_S,
+    out_dtype=None,
+) -> jax.Array:
+    """Returns (B, 1, Hq, D) attention output of the newest token."""
+    squeeze = False
+    if q.ndim == 3:
+        q = q[:, None]
+        squeeze = True
+    b, one, hq, d = q.shape
+    s_max, hkv = k_cache.shape[1], k_cache.shape[2]
+    g = hq // hkv
+    scale = scaling_factor if scaling_factor is not None else 1.0 / d ** 0.5
+    out_dtype = out_dtype or (
+        q.dtype if q.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16)
+    if kv_scale is None:
+        kv_scale = jnp.ones((1,), jnp.float32)
+    kv_scale = jnp.asarray(kv_scale, jnp.float32).reshape(1)
+
+    # Pad the cache view to a whole number of blocks so the kernel never
+    # reads past the array (padded positions are masked by `lengths`).
+    block_s = min(block_s, -(-s_max // 8) * 8)
+    s_pad = -(-s_max // block_s) * block_s
+    if s_pad != s_max:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, s_pad - s_max), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, s_pad - s_max), (0, 0), (0, 0)))
+        s_max = s_pad
+    ns = pl.cdiv(s_max, block_s)
+    # (B, Hkv, G, D): GQA group in sublanes.
+    qg = q[:, 0].reshape(b, hkv, g, d)
+    # Cache to (B, Hkv, S, D) blocks via index maps on the (B, S, Hkv, D)
+    # layout — transpose outside (XLA fuses it into the producer).
+    kt = k_cache.transpose(0, 2, 1, 3)
+    vt = v_cache.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _decode_kernel, scale=float(scale), block_s=block_s, num_s_blocks=ns,
+        window_left=window_left)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, ns),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # lengths (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # kv scale (1,)
+            pl.BlockSpec((1, 1, g, d), lambda bi, hk, si: (bi, hk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s, d),
+                         lambda bi, hk, si: (bi, hk, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s, d),
+                         lambda bi, hk, si: (bi, hk, si, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hk, si: (bi, hk, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(lengths.astype(jnp.int32), kv_scale, qg, kt, vt)
+    out = out.reshape(b, 1, hq, d)
+    return out if not squeeze else out
