@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _median_time(fn, *args, reps=3):
+def _median_time(fn, *args, reps=5):
     ts = []
     for i in range(reps):
         t0 = time.perf_counter()
@@ -39,7 +39,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         B, S, H, F, NH, KV = 2, 2048, 4096, 14336, 32, 8
-        N_SHORT, N_LONG = 1, 5
+        N_SHORT, N_LONG = 2, 10
     else:
         B, S, H, F, NH, KV = 2, 256, 512, 1024, 8, 4
         N_SHORT, N_LONG = 1, 3

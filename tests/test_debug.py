@@ -1,0 +1,103 @@
+"""Numerics-debug toolkit (reference analog: tests/pytorch/debug/ with
+YAML configs selecting per-layer features)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import transformerengine_tpu as te
+from transformerengine_tpu.debug import (
+    compute_blockwise_dynamic_range, compute_tensor_stats, get_state,
+    initialize, step, wrap_quantizer_set)
+from transformerengine_tpu.quantize.helper import QuantizerFactory
+
+
+@pytest.fixture(autouse=True)
+def _reset_debug():
+    yield
+    get_state().reset()
+
+
+class TestStats:
+    def test_tensor_stats(self):
+        x = jnp.array([0.0, 1.0, -4.0, 2.0 ** -10])
+        s = compute_tensor_stats(x)
+        assert float(s["amax"]) == 4.0
+        assert float(s["zero_pct"]) == 25.0
+        assert float(s["underflow_pct"]) == 25.0  # 2^-10 < e4m3 tiny 2^-6
+
+    def test_blockwise_dynamic_range(self):
+        x = jnp.concatenate([jnp.full((32,), 2.0), jnp.full((32,), 8.0)])
+        dr = compute_blockwise_dynamic_range(x, block=32)
+        assert float(dr) == 0.0  # uniform within blocks
+        x2 = jnp.concatenate([jnp.full((16,), 1.0), jnp.full((16,), 4.0)])
+        assert float(compute_blockwise_dynamic_range(x2, block=32)) == 2.0
+
+
+class TestFeatures:
+    def _config(self, feature, **kw):
+        return {"sec": {
+            "enabled": True,
+            "layers": {"layer_name_regex_pattern": ".*mlp.*"},
+            "transformer_engine": {feature: {"enabled": True, **kw}},
+        }}
+
+    def test_disable_quantization_layer(self):
+        initialize(self._config("DisableFP8Layer"))
+        qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+        wrapped = wrap_quantizer_set(qset, "model/mlp1")
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 32))
+        out = wrapped.x.quantize(x)
+        assert isinstance(out, jax.Array)       # passthrough, not quantized
+        # unmatched layer still quantizes
+        other = wrap_quantizer_set(qset, "model/attn")
+        assert not isinstance(other.x.quantize(x), jax.Array)
+
+    def test_disable_gemm_role_mapping(self):
+        initialize(self._config("DisableFP8GEMM", gemms=["dgrad"]))
+        qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+        w = wrap_quantizer_set(qset, "mlp_block")
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+        assert isinstance(w.dgrad.quantize(x), jax.Array)
+        assert not isinstance(w.x.quantize(x), jax.Array)
+
+    def test_fake_quant(self):
+        initialize(self._config("FakeQuant", tensors=["x"]))
+        qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+        w = wrap_quantizer_set(qset, "the_mlp")
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 32))
+        out = w.x.quantize(x)
+        assert isinstance(out, jax.Array)
+        assert out.shape == x.shape
+        # quantize->dequantize introduces fp8 error but stays close
+        assert 0 < float(jnp.max(jnp.abs(out - x))) < 0.1 * float(
+            jnp.max(jnp.abs(x)))
+
+    def test_log_tensor_stats_records(self):
+        initialize(self._config("LogTensorStats", tensors=["x"], freq=1))
+        qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+        w = wrap_quantizer_set(qset, "stats_mlp")
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 32))
+        w.x.quantize(x)
+        entries = get_state().stats.entries("stats_mlp")
+        assert len(entries) == 1
+        assert "amax" in entries[0][2]
+
+    def test_unknown_feature_raises(self):
+        with pytest.raises(ValueError, match="unknown debug feature"):
+            initialize(self._config("NotAFeature"))
+
+    def test_module_integration(self):
+        """Flax module wraps quantizers when debug is on."""
+        from transformerengine_tpu.flax import LayerNormMLP
+        initialize({"s": {"enabled": True,
+                          "layers": {"layer_name_regex_pattern": ".*"},
+                          "transformer_engine": {
+                              "LogTensorStats": {"enabled": True,
+                                                 "tensors": ["x"]}}}})
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32), jnp.float32)
+        with te.autocast(enabled=True, recipe=te.Float8CurrentScaling()):
+            mlp = LayerNormMLP(intermediate_dim=64, activations="swiglu",
+                               use_bias=False, norm_type="rmsnorm")
+            variables = mlp.init(jax.random.PRNGKey(1), x)
+            mlp.apply(variables, x)
+        assert len(get_state().stats.entries()) > 0

@@ -96,7 +96,8 @@ class TestMultiHeadAttention:
         variables = mha.init(jax.random.PRNGKey(1), x)
         out = mha.apply(variables, x)
         assert out.shape == x.shape
-        qkv_kernel = variables["params"]["qkv"]["kernel"]
+        import flax.linen as fnn
+        qkv_kernel = fnn.meta.unbox(variables)["params"]["qkv"]["kernel"]
         # hq*d + 2*hkv*d = 4*16 + 2*2*16 = 128
         assert qkv_kernel.shape == (64, 128)
 

@@ -1,0 +1,125 @@
+"""Pallas quantize/matmul kernels vs the pure-JAX ground truth
+(reference analog: tests/cpp/operator/test_cast_transpose*.cu,
+test_cast_mxfp8.cu — kernel vs CPU reference comparisons)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import transformerengine_tpu as te
+from transformerengine_tpu.ops.gemm import tn_dot
+from transformerengine_tpu.ops.quantize_kernels import (
+    cast_transpose, mxfp8_quantize_2x)
+from transformerengine_tpu.ops.scaled_matmul import scaled_tn_matmul
+from transformerengine_tpu.quantize import qmath
+from transformerengine_tpu.quantize.dtypes import float8_e4m3
+from transformerengine_tpu.quantize.helper import QuantizerFactory
+from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+
+
+class TestCastTranspose:
+    def test_matches_qmath(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (256, 256), jnp.float32)
+        scale = jnp.float32(3.7).reshape(1)
+        row, col, amax = cast_transpose(x, scale, float8_e4m3)
+        ref_row, _, ref_amax = qmath.tensor_scale_quantize(
+            x, float8_e4m3, scale)
+        assert jnp.array_equal(
+            row.astype(jnp.float32), ref_row.astype(jnp.float32))
+        assert jnp.array_equal(
+            col.astype(jnp.float32), ref_row.T.astype(jnp.float32))
+        assert jnp.allclose(amax[0], ref_amax)
+
+
+class TestMXFP8Fused:
+    def test_matches_qmath_both_orientations(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (128, 256), jnp.float32) * 7
+        row, col, srow, scol = mxfp8_quantize_2x(x)
+        ref_r, ref_sr = qmath.mxfp8_quantize(x)
+        ref_c, ref_sc = qmath.mxfp8_quantize(x.T)
+        assert jnp.array_equal(row.astype(jnp.float32),
+                               ref_r.astype(jnp.float32))
+        assert jnp.array_equal(srow, ref_sr)
+        assert jnp.array_equal(col.astype(jnp.float32),
+                               ref_c.astype(jnp.float32))
+        assert jnp.array_equal(scol, ref_sc)
+
+
+class TestScaledMatmul:
+    def _check_mode(self, recipe, atol=0.0):
+        """tn_dot with the Pallas kernel forced on vs off must agree."""
+        m = k = n = 256
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (n, k), jnp.float32) * 0.1
+        qset = QuantizerFactory.create_set(recipe)
+        qx = qset.x.quantize(x)
+        qw = qset.kernel.quantize(w)
+        from transformerengine_tpu.quantize.tensor import get_rowwise
+        qx, qw = get_rowwise(qx), get_rowwise(qw)
+        os.environ["TE_TPU_SCALED_MATMUL"] = "1"
+        try:
+            out_pallas = tn_dot(qx, qw)
+        finally:
+            os.environ["TE_TPU_SCALED_MATMUL"] = "0"
+        out_xla = tn_dot(qx, qw)
+        os.environ.pop("TE_TPU_SCALED_MATMUL", None)
+        err = jnp.max(jnp.abs(out_pallas - out_xla))
+        ref = jnp.maximum(jnp.max(jnp.abs(out_xla)), 1e-3)
+        assert err / ref <= atol + 1e-6, float(err / ref)
+
+    def test_mxfp8(self):
+        # bf16 dequant path identical in both implementations -> tiny tol
+        self._check_mode(te.MXFP8BlockScaling(), atol=1e-5)
+
+    def test_float8_block(self):
+        self._check_mode(te.Float8BlockScaling(), atol=1e-5)
+
+    def test_nvfp4(self):
+        self._check_mode(te.NVFP4BlockScaling(), atol=1e-5)
+
+    def test_direct_kernel_vs_einsum(self):
+        m = n = 128
+        k = 256
+        bs = 32
+        data_a = jax.random.normal(jax.random.PRNGKey(0), (m, k)).astype(
+            float8_e4m3)
+        data_b = jax.random.normal(jax.random.PRNGKey(1), (n, k)).astype(
+            float8_e4m3)
+        sa = jnp.exp2(jax.random.randint(
+            jax.random.PRNGKey(2), (m, k // bs), -3, 3).astype(jnp.float32))
+        sb = jnp.exp2(jax.random.randint(
+            jax.random.PRNGKey(3), (n, k // bs), -3, 3).astype(jnp.float32))
+        out = scaled_tn_matmul(data_a, sa, data_b, sb, block_size=bs,
+                               tile=(128, 128, 256))
+        af = data_a.astype(jnp.float32).reshape(m, k // bs, bs) * sa[:, :, None]
+        bf = data_b.astype(jnp.float32).reshape(n, k // bs, bs) * sb[:, :, None]
+        ref = jnp.einsum("mk,nk->mn", af.reshape(m, k).astype(jnp.bfloat16)
+                         .astype(jnp.float32),
+                         bf.reshape(n, k).astype(jnp.bfloat16)
+                         .astype(jnp.float32))
+        assert jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)) < 2e-2
+
+
+class TestFusedQuantizerPath:
+    """Fused Pallas 2x quantize must be bit-identical to the generic
+    two-pass path (forced on/off via TE_TPU_FUSED_QUANTIZE)."""
+
+    @pytest.mark.parametrize("recipe", [
+        te.DelayedScaling(amax_history_len=4), te.Float8CurrentScaling(),
+        te.MXFP8BlockScaling()])
+    def test_bit_identical(self, recipe):
+        x = jax.random.normal(jax.random.PRNGKey(0), (128, 256),
+                              jnp.float32) * 4
+        q = QuantizerFactory.create(recipe, "x")
+        os.environ["TE_TPU_FUSED_QUANTIZE"] = "1"
+        try:
+            t_fused = q.quantize(x)
+        finally:
+            os.environ["TE_TPU_FUSED_QUANTIZE"] = "0"
+        t_ref = q.quantize(x)
+        os.environ.pop("TE_TPU_FUSED_QUANTIZE", None)
+        for a, b in zip(jax.tree.leaves(t_fused), jax.tree.leaves(t_ref)):
+            assert a.shape == b.shape
+            assert jnp.array_equal(a.astype(jnp.float32),
+                                   b.astype(jnp.float32)), recipe

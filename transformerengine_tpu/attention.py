@@ -322,6 +322,13 @@ def fused_attn(
     q, k, v = canonicalize_qkv(qkv, qkv_layout)
     if scaling_factor is None:
         scaling_factor = 1.0 / (q.shape[-1] ** 0.5)
+    if attn_mask_type.is_padding and sequence_descriptor is None and \
+            mask is None:
+        # Nothing marks any token invalid — drop the padding component
+        # (cross-attention modules default to PADDING; reference treats a
+        # missing mask as all-valid).
+        attn_mask_type = (AttnMaskType.CAUSAL if attn_mask_type.is_causal
+                          else AttnMaskType.NO_MASK)
 
     if context_parallel_strategy is CPStrategy.RING and context_parallel_axis:
         from .parallel.ring_attention import ring_attn_under_shard_map

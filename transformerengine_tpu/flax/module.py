@@ -42,9 +42,12 @@ class TransformerEngineBase(nn.Module):
 
     def quantizer_set(self, name: str) -> QuantizerSet:
         cfg = get_quantize_config()
-        if not cfg.enabled:
+        from ..debug.api import get_state, wrap_quantizer_set
+        debug_on = get_state().enabled
+        if not cfg.enabled and not debug_on:
             return noop_quantizer_set
-        qset = QuantizerFactory.create_set(cfg.recipe)
+        qset = (QuantizerFactory.create_set(cfg.recipe) if cfg.enabled
+                else noop_quantizer_set)
         # Stateful (delayed-scaling) quantizers: back their arrays with
         # flax variables so state persists across steps.
         out = {}
@@ -61,7 +64,14 @@ class TransformerEngineBase(nn.Module):
                 q = dataclasses.replace(
                     q, scale=scale.value, amax_history=hist.value)
             out[role] = q
-        return QuantizerSet(**out)
+        result = QuantizerSet(**out)
+        if debug_on:
+            try:
+                layer_name = "/".join(str(p) for p in self.path) or name
+            except Exception:
+                layer_name = name
+            result = wrap_quantizer_set(result, f"{layer_name}/{name}")
+        return result
 
 
 def update_quantize_meta(variables: dict, grads: dict) -> dict:

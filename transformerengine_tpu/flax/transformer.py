@@ -315,7 +315,6 @@ class TransformerLayer(TransformerEngineBase):
         encoded: Optional[jax.Array] = None,
         sequence_descriptor: Optional[SequenceDescriptor] = None,
         positions: Optional[jax.Array] = None,
-        *,
         deterministic: bool = True,
         inference_params=None,
     ) -> jax.Array:

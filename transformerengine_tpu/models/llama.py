@@ -79,9 +79,12 @@ class LlamaModel(nn.Module):
 
         layer_cls = TransformerLayer
         if cfg.remat:
+            # args (excluding self): x, encoded, sequence_descriptor,
+            # positions, deterministic(4), inference_params(5) — the last
+            # two are static Python values.
             layer_cls = nn.remat(
                 TransformerLayer,
-                static_argnums=(4,),
+                static_argnums=(4, 5),
                 policy=jax.checkpoint_policies.nothing_saveable)
         for i in range(cfg.num_layers):
             x = layer_cls(
@@ -105,8 +108,7 @@ class LlamaModel(nn.Module):
                 dtype=cfg.dtype,
                 name=f"layer_{i}")(
                     x, None, sequence_descriptor, positions,
-                    deterministic=deterministic,
-                    inference_params=inference_params)
+                    deterministic, inference_params)
 
         x = LayerNorm(epsilon=cfg.norm_eps, norm_type="rmsnorm",
                       name="final_norm")(x)

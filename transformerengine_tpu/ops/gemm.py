@@ -20,12 +20,66 @@ jax/cpp_extensions/gemm.py:487):
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from ..quantize.scaling_modes import ScalingMode
 from ..quantize.tensor import ScaledTensor1x, is_scaled
+
+
+def _use_pallas_matmul() -> bool:
+    env = os.environ.get("TE_TPU_SCALED_MATMUL", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _block_scale_grid(t: ScaledTensor1x, rows: int, cols: int):
+    """Decoded f32 scale multipliers shaped (rows, cols // bs_col),
+    expanding 2D-block row dimension. Returns (grid, bs_col) or None."""
+    br, bc = t.scaling_mode.block_shape
+    s = t.scaling_mode.decode_scale_inv(t.scale_inv)
+    gr, gc = -(-rows // br), -(-cols // bc)
+    s = s[:gr, :gc]
+    if br > 1:
+        s = jnp.repeat(s, br, axis=0)[:rows]
+    return s, bc
+
+
+def _pallas_block_dot(lhs: ScaledTensor1x, rhs: ScaledTensor1x):
+    """Block-scaled MXU matmul with in-VMEM dequant; None if unsupported."""
+    from .scaled_matmul import scaled_tn_matmul
+    lm, lk = lhs._2d_shape()
+    rn, rk = rhs._2d_shape()
+    if lk != rk:
+        return None
+    ls, lbs = _block_scale_grid(lhs, lm, lk)
+    rs, rbs = _block_scale_grid(rhs, rn, rk)
+    if lbs != rbs:
+        return None
+    bs = lbs
+    # Tile-alignment requirements of the kernel.
+    if lm % 8 or rn % 8 or lk % max(bs, 128):
+        return None
+    tile_m = 256 if lm % 256 == 0 else (lm if lm <= 256 else None)
+    tile_n = 256 if rn % 256 == 0 else (rn if rn <= 256 else None)
+    tile_k = 512 if lk % 512 == 0 else lk
+    if tile_m is None or tile_n is None:
+        return None
+    post = jnp.float32(1.0)
+    for t in (lhs, rhs):
+        if t.tensor_scale_inv is not None:
+            post = post * t.tensor_scale_inv.astype(jnp.float32).reshape(())
+    out = scaled_tn_matmul(
+        lhs.data.reshape(lm, lk), ls, rhs.data.reshape(rn, rk), rs,
+        block_size=bs, post_scale=post.reshape(1),
+        tile=(tile_m, tile_n, tile_k))
+    return out
 
 
 def _dq_block_to_bf16(t: ScaledTensor1x) -> jax.Array:
@@ -44,6 +98,13 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
     arrays or ScaledTensor1x. Leading dims of each operand are flattened
     by the caller; this takes strict 2D operands and returns f32.
     """
+    if (_use_pallas_matmul() and is_scaled(lhs) and is_scaled(rhs)
+            and lhs.scaling_mode.is_block_scaling
+            and rhs.scaling_mode.is_block_scaling):
+        out = _pallas_block_dot(lhs, rhs)
+        if out is not None:
+            return out
+
     post_scale = jnp.float32(1.0)
 
     def prep(t):

@@ -1,0 +1,103 @@
+"""Pallas block-scaled matmul: FP8/FP4 payloads dequantized in VMEM.
+
+The TPU replacement for cuBLASLt block-scaled GEMM (reference:
+common/gemm/cublaslt_gemm.cu with MXFP8/NVFP4 scale modes + swizzled
+scale layouts). The bench TPU's MXU has no FP8 MAC, so the kernel
+upcasts payload tiles to bf16 *in VMEM* with their per-block scales
+applied (exact for power-of-two and e4m3 scales) and feeds the MXU —
+the full-size dequantized operand never exists in HBM, unlike the
+XLA fallback path in ops/gemm.py which materializes it.
+
+Contraction is TN (both operands contract along their stored last
+axis), the framework-wide invariant — so block scales always run along
+the contraction axis and decompose over K tiles.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(post_ref, lhs_ref, lhs_s_ref, rhs_ref, rhs_s_ref, out_ref,
+            acc_ref, *, bs: int, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a = lhs_ref[...].astype(jnp.float32)
+    b = rhs_ref[...].astype(jnp.float32)
+    tm, tk = a.shape
+    tn = b.shape[0]
+    sa = lhs_s_ref[...]                      # (TM, TK//bs) f32
+    sb = rhs_s_ref[...]                      # (TN, TK//bs) f32
+    a = (a.reshape(tm, tk // bs, bs) * sa[:, :, None]).reshape(tm, tk)
+    b = (b.reshape(tn, tk // bs, bs) * sb[:, :, None]).reshape(tn, tk)
+    acc_ref[...] += jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        out_ref[...] = acc_ref[...] * post_ref[0]
+
+
+def scaled_tn_matmul(
+    lhs: jax.Array,          # (M, K) quantized payload
+    lhs_scales: jax.Array,   # (M, K // bs) f32 dequant multipliers
+    rhs: jax.Array,          # (N, K) quantized payload
+    rhs_scales: jax.Array,   # (N, K // bs) f32
+    *,
+    block_size: int,
+    post_scale: Optional[jax.Array] = None,   # scalar epilogue (NVFP4 2nd level)
+    tile: Tuple[int, int, int] = (256, 256, 512),
+) -> jax.Array:
+    """out[m, n] = sum_k (lhs[m,k] * ls[m,k//bs]) * (rhs[n,k] * rs[n,k//bs])"""
+    m, k = lhs.shape
+    n = rhs.shape[0]
+    bs = block_size
+    tm = min(tile[0], m)
+    tn = min(tile[1], n)
+    tk = min(tile[2], k)
+    assert m % tm == 0 and n % tn == 0 and k % tk == 0 and tk % bs == 0, (
+        (m, n, k), (tm, tn, tk), bs)
+    grid = (m // tm, n // tn, k // tk)
+    post = (post_scale if post_scale is not None
+            else jnp.ones((1,), jnp.float32)).reshape(1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, bs=bs, nk=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // bs), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk // bs), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + n * k + 4 * m * n,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(post, lhs, lhs_scales, rhs, rhs_scales)

@@ -56,13 +56,20 @@ class Quantizer:
     scaling_mode: ScalingMode = dataclasses.field(metadata=dict(static=True))
     q_layout: QuantizeLayout = dataclasses.field(metadata=dict(static=True))
 
-    # ---- subclass hook ---------------------------------------------------
+    # ---- subclass hooks --------------------------------------------------
     def _quantize_2d(self, x2d, key, is_colwise=False):
         """Quantize a 2D array along its last axis.
 
         Returns (data2d, scale_inv, tensor_scale_inv|None, amax|None).
         """
         raise NotImplementedError
+
+    def _fused_2x(self, x2d, key):
+        """Optional single-pass rowwise+colwise kernel. Returns
+        (row_data, row_scale_inv, col_data, col_scale_inv, ts_inv, amax)
+        or None to use the generic two-pass path. Must be bit-identical
+        to `_quantize_2d` (tests enforce this)."""
+        return None
 
     # ---- public API -------------------------------------------------------
     def quantize(
@@ -90,6 +97,18 @@ class Quantizer:
             return build(x2d, x.shape, "N", fa, kr)
         if self.q_layout is QuantizeLayout.COLWISE:
             return build(x2d_t, t_shape, "T", x.ndim - fa, kc)
+        fused = self._fused_2x(x2d, key)
+        if fused is not None:
+            rdat, rs, cdat, cs, ts_inv, amax = fused
+            rw = make_scaled_tensor(
+                rdat.reshape(x.shape), rs, scaling_mode=self.scaling_mode,
+                dq_dtype=dq_dtype, amax=amax, tensor_scale_inv=ts_inv,
+                layout="N", flatten_axis=fa)
+            cw = make_scaled_tensor(
+                cdat.reshape(t_shape), cs, scaling_mode=self.scaling_mode,
+                dq_dtype=dq_dtype, amax=amax, tensor_scale_inv=ts_inv,
+                layout="T", flatten_axis=x.ndim - fa)
+            return ScaledTensor2x(rowwise=rw, colwise=cw)
         rw = build(x2d, x.shape, "N", fa, kr)
         if self.scaling_mode.is_tensor_scaling:
             # Same scale both ways -> colwise payload is an exact transpose.
@@ -117,6 +136,20 @@ class CurrentScaleQuantizer(Quantizer):
         data, s_inv, amax = qmath.current_scale_quantize(x2d, self.q_dtype, key)
         return data, s_inv, None, amax
 
+    def _fused_2x(self, x2d, key):
+        from ..ops.quantize_kernels import (
+            _fused_enabled, cast_transpose, pick_tile)
+        m, n = x2d.shape
+        tm, tn = pick_tile(m), pick_tile(n, align=128)
+        if key is not None or not _fused_enabled() or tm is None or tn is None:
+            return None
+        amax = qmath.compute_amax(x2d)
+        scale = qmath.compute_scale_from_amax(amax, self.q_dtype)
+        row, col, _ = cast_transpose(x2d, scale.reshape(1), self.q_dtype,
+                                     tile=(tm, tn))
+        s_inv = (1.0 / scale).reshape(1)
+        return row, s_inv, col, s_inv, None, amax
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +173,18 @@ class DelayedScaleQuantizer(Quantizer):
         data, s_inv, amax = qmath.tensor_scale_quantize(
             x2d, self.q_dtype, self.scale.reshape(()), key)
         return data, s_inv, None, amax
+
+    def _fused_2x(self, x2d, key):
+        from ..ops.quantize_kernels import (
+            _fused_enabled, cast_transpose, pick_tile)
+        m, n = x2d.shape
+        tm, tn = pick_tile(m), pick_tile(n, align=128)
+        if key is not None or not _fused_enabled() or tm is None or tn is None:
+            return None
+        row, col, amax = cast_transpose(
+            x2d, self.scale.reshape(1), self.q_dtype, tile=(tm, tn))
+        s_inv = (1.0 / self.scale).reshape(1)
+        return row, s_inv, col, s_inv, None, amax[0]
 
     def update(self, amax: jax.Array) -> "DelayedScaleQuantizer":
         """Record this step's (possibly all-reduced) amax, roll the history,
@@ -172,6 +217,21 @@ class BlockScaleQuantizer(Quantizer):
         data, s_inv = qmath.block_quantize(
             x2d, self.q_dtype, br, bc, self.pow2_scales, key)
         return data, s_inv, None, None
+
+    def _fused_2x(self, x2d, key):
+        if self.scaling_mode is not ScalingMode.MXFP8_1D_SCALING:
+            return None
+        from ..ops.quantize_kernels import (
+            _fused_enabled, mxfp8_quantize_2x, pick_tile)
+        m, n = x2d.shape
+        if key is not None or not _fused_enabled() or m % 32 or n % 32:
+            return None
+        tm, tn = pick_tile(m, align=32), pick_tile(n, align=128)
+        if tm is None or tn is None or tm % 32 or tn % 32:
+            return None
+        row, col, srow, scol = mxfp8_quantize_2x(
+            x2d, self.q_dtype, tile=(tm, tn))
+        return row, srow, col, scol, None, None
 
 
 @jax.tree_util.register_dataclass
