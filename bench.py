@@ -2,100 +2,87 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology (the axon TPU tunnel caches repeated identical calls and
-block_until_ready does not wait for execution): every timed call chains
-n dependent steps inside one jitted lax.scan, inputs are derived from a
-fresh RNG key per call, the scalar loss is fetched to the host, and the
-per-step time is the *marginal* cost between a long and a short scan —
-validated at ~94% of v5e bf16 roofline on a plain matmul.
-
-Current config (BASELINE.json ladder): fused TransformerLayer
-forward+backward, FP8 DelayedScaling vs plain BF16 (the analog of the
-reference's te_llama FP8-vs-BF16 speedups, BASELINE.md).
+Config (BASELINE.json ladder #3 / north star): autoregressive DECODE
+tokens/sec/chip on an 8B-geometry Llama stack with FP8-resident weights
+and FP8 KV cache, vs the same stack in BF16 (the reference's te_gemma
+KV-cache + CUDA-graph + FP8-weights decode, BASELINE.md 3.8x/9.3x rows).
+Decode steps are inherently chained through the cache, which also
+defeats the axon tunnel's result caching; the scalar token fetch forces
+materialization, and per-step time is the marginal cost between a short
+and a long jitted scan (see memory note axon-tpu-bench-quirks).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
-def _median_time(fn, *args, reps=5):
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(fn(jax.random.PRNGKey(100 + i), *args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[reps // 2]
+def _run(model, variables, tokens, lengths, ip, steps):
+    from transformerengine_tpu.inference import decode_steps, prefill
+    first, cache = prefill(model, variables, tokens, ip, lengths, 0.0)
+    toks, _ = decode_steps(model, variables, cache, first, ip, steps, 0.0)
+    return int(toks[0, -1])  # host fetch -> forces execution
 
 
 def main():
     import transformerengine_tpu as te
-    from transformerengine_tpu.flax.transformer import TransformerLayer
+    from transformerengine_tpu.inference import InferenceParams
+    from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaConfig, LlamaModel
+    from transformerengine_tpu.quantize.dtypes import float8_e4m3
+    from transformerengine_tpu.quantize.prequant import prequantize_kernels
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        B, S, H, F, NH, KV = 2, 2048, 4096, 14336, 32, 8
-        N_SHORT, N_LONG = 2, 10
+        cfg = LlamaConfig(vocab_size=8192, hidden_size=4096,
+                          intermediate_size=14336, num_layers=16,
+                          num_attention_heads=32, num_kv_heads=8,
+                          max_seq_len=1024, rope_base=500000.0)
+        B, PROMPT, N_SHORT, N_LONG = 8, 512, 4, 24
     else:
-        B, S, H, F, NH, KV = 2, 256, 512, 1024, 8, 4
-        N_SHORT, N_LONG = 1, 3
+        cfg = dataclasses.replace(LLAMA_TINY)
+        B, PROMPT, N_SHORT, N_LONG = 2, 32, 2, 6
 
-    layer = TransformerLayer(
-        hidden_size=H, mlp_hidden_size=F, num_attention_heads=NH,
-        num_gqa_groups=KV, norm_type="rmsnorm", mlp_activations="swiglu",
-        use_bias=False, enable_rotary_pos_emb=True, max_seq_len=S)
+    model = LlamaModel(config=cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (B, PROMPT), 1,
+                                cfg.vocab_size)
+    lengths = jnp.full((B,), PROMPT, jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), tokens)
 
-    def make_ctx(fp8):
-        if fp8:
-            return te.autocast(enabled=True,
-                               recipe=te.DelayedScaling(amax_history_len=16))
-        import contextlib
-        return contextlib.nullcontext()
+    def bench_variant(variables, kv_dtype):
+        ip = InferenceParams(max_batch_size=B,
+                             max_sequence_length=PROMPT + N_LONG + 8,
+                             kv_cache_dtype=jnp.dtype(kv_dtype))
+        # compile both scan lengths
+        _run(model, variables, tokens, lengths, ip, N_SHORT)
+        _run(model, variables, tokens, lengths, ip, N_LONG)
+        times = {}
+        for n in (N_SHORT, N_LONG):
+            ts = []
+            for i in range(3):
+                # Distinct prompt per rep so the tunnel cannot serve the
+                # whole chain from its result cache.
+                tk = tokens.at[:, 0].set((tokens[:, 0] + 17 * i + n)
+                                         % cfg.vocab_size)
+                t0 = time.perf_counter()
+                _run(model, variables, tk, lengths, ip, n)
+                ts.append(time.perf_counter() - t0)
+            times[n] = sorted(ts)[1]
+        return (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
 
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, S, H), jnp.bfloat16)
+    fp8_vars = prequantize_kernels(variables, te.Float8CurrentScaling())
+    t_fp8 = bench_variant(fp8_vars, float8_e4m3)
+    t_bf16 = bench_variant(variables, jnp.bfloat16)
 
-    def build(fp8):
-        with make_ctx(fp8):
-            variables = layer.init(jax.random.PRNGKey(1), x0)
-
-        @partial(jax.jit, static_argnums=(2,))
-        def run(key, variables, n):
-            x_init = jax.random.normal(key, (B, S, H), jnp.bfloat16)
-
-            def step(x, _):
-                def loss_fn(v):
-                    with make_ctx(fp8):
-                        out = layer.apply(v, x)
-                    return jnp.sum(out.astype(jnp.float32) ** 2)
-                loss, grads = jax.value_and_grad(loss_fn)(variables)
-                # Chain: next input depends on this step's gradients so the
-                # tunnel can't cache or reorder steps.
-                dx = jax.tree.leaves(grads)[0]
-                bump = jnp.sum(dx.astype(jnp.float32)) * 1e-12 + loss * 1e-12
-                return x + bump.astype(x.dtype), loss
-            _, losses = jax.lax.scan(step, x_init, None, length=n)
-            return losses[-1]
-        return run, variables
-
-    results = {}
-    for name, fp8 in (("fp8", True), ("bf16", False)):
-        run, variables = build(fp8)
-        float(run(jax.random.PRNGKey(0), variables, N_SHORT))   # compile
-        float(run(jax.random.PRNGKey(0), variables, N_LONG))    # compile
-        t_short = _median_time(run, variables, N_SHORT)
-        t_long = _median_time(run, variables, N_LONG)
-        results[name] = (t_long - t_short) / (N_LONG - N_SHORT)
-
-    tokens_per_s = B * S / results["fp8"]
+    tokens_per_s = B / t_fp8
     print(json.dumps({
-        "metric": "transformer_layer_fp8_train_tokens_per_sec_per_chip",
+        "metric": "fp8_decode_tokens_per_sec_per_chip_8b_geometry_16L",
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
-        "vs_baseline": round(results["bf16"] / results["fp8"], 3),
+        "vs_baseline": round(t_bf16 / t_fp8, 3),
     }))
 
 

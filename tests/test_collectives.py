@@ -107,3 +107,71 @@ class TestCPReorders:
             shard = reordered[0, rank * local:(rank + 1) * local, 0]
             pos = dual_chunk_positions(cp, local, jnp.int32(rank))
             assert jnp.array_equal(shard, pos), rank
+
+
+class TestSPDense:
+    """Column/row parallel + SP dense with quantized-payload collectives
+    (reference: linear.py:301-371 + distributed.py quantized AG/RS)."""
+
+    def _data(self, s=64, k=32, n=48):
+        x = jax.random.normal(jax.random.PRNGKey(0), (s, k))
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n)) * 0.1
+        return x, w
+
+    @pytest.mark.parametrize("fp8", [False, True])
+    def test_column_parallel_matches_dense(self, fp8):
+        from transformerengine_tpu.parallel.sp_dense import sp_dense_column
+        x, w = self._data()
+        mesh = _mesh()
+        qs = (QuantizerFactory.create_set(te.Float8CurrentScaling()) if fp8
+              else te.quantize.quantizer.noop_quantizer_set)
+
+        def local_fn(x, w):
+            return sp_dense_column(x, w, axis_name="sp", quantizer_set=qs)
+
+        out = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P("sp", None), P(None, "sp")),
+            out_specs=P(None, "sp"), check_vma=False)(x, w)
+        if fp8:
+            ref = te.dense(x, w, quantizer_set=qs)
+            tol = 0.05 * float(jnp.max(jnp.abs(ref)))
+        else:
+            ref = x @ w
+            tol = 1e-4
+        assert jnp.max(jnp.abs(out - ref)) < tol
+
+    @pytest.mark.parametrize("fp8", [False, True])
+    def test_column_parallel_grads(self, fp8):
+        from transformerengine_tpu.parallel.sp_dense import sp_dense_column
+        x, w = self._data()
+        mesh = _mesh()
+        qs = (QuantizerFactory.create_set(te.Float8CurrentScaling()) if fp8
+              else te.quantize.quantizer.noop_quantizer_set)
+
+        fn = jax.shard_map(
+            lambda x, w: sp_dense_column(x, w, axis_name="sp",
+                                         quantizer_set=qs),
+            mesh=mesh, in_specs=(P("sp", None), P(None, "sp")),
+            out_specs=P(None, "sp"), check_vma=False)
+        g = jax.grad(lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1))(x, w)
+        gr = jax.grad(lambda x, w: jnp.sum(te.dense(
+            x, w, quantizer_set=qs) ** 2), argnums=(0, 1))(x, w)
+        for a, b in zip(g, gr):
+            denom = jnp.maximum(jnp.max(jnp.abs(b)), 1e-3)
+            assert float(jnp.max(jnp.abs(a - b)) / denom) < (0.08 if fp8 else 1e-5)
+
+    def test_row_parallel_matches_dense(self):
+        from transformerengine_tpu.parallel.sp_dense import sp_dense_row
+        x, w = self._data(s=64, k=32, n=48)
+        mesh = _mesh()
+
+        def local_fn(x, w):
+            return sp_dense_row(x, w, axis_name="sp",
+                                quantizer_set=te.quantize.quantizer
+                                .noop_quantizer_set)
+
+        out = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P(None, "sp"), P("sp", None)),
+            out_specs=P("sp", None), check_vma=False)(x, w)
+        ref = x @ w
+        assert jnp.max(jnp.abs(out - ref)) < 1e-4

@@ -1,0 +1,149 @@
+"""Flex attention, graph-capture alias, HLO collective counting, RoPE,
+prequantized weights, export utilities."""
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import transformerengine_tpu as te
+from transformerengine_tpu.attention import AttnBackend, AttnMaskType, fused_attn
+from transformerengine_tpu.flex_attention import (
+    alibi_mod, causal_mask_mod, flex_attention, soft_cap_mod)
+from transformerengine_tpu.graph import make_graphed_callables
+from transformerengine_tpu.ops.rope import apply_rope, rope_frequencies
+from transformerengine_tpu.utils.hlo_checks import (
+    assert_collective_counts, count_collectives)
+
+
+class TestFlexAttention:
+    def test_causal_matches_fused(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 4, 64))
+        out = flex_attention(q, q, q, mask_mod=causal_mask_mod)
+        ref = fused_attn((q, q, q), attn_mask_type=AttnMaskType.CAUSAL,
+                         backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+    def test_soft_cap_grads(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 32))
+        f = lambda q: jnp.sum(flex_attention(
+            q, q, q, score_mod=soft_cap_mod(30.0),
+            mask_mod=causal_mask_mod) ** 2)
+        g = jax.grad(f)(q)
+        assert jnp.all(jnp.isfinite(g))
+
+    def test_alibi(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, 16))
+        slopes = jnp.array([0.5, 0.25])
+        out = flex_attention(q, q, q, score_mod=alibi_mod(slopes))
+        assert out.shape == q.shape
+
+
+class TestGraphAlias:
+    def test_precompiles_and_runs(self):
+        def f(x):
+            return x * 2 + 1
+        x = jnp.ones((4,))
+        g = make_graphed_callables(f, (x,))
+        assert jnp.allclose(g(x), x * 2 + 1)
+
+    def test_multiple(self):
+        fs = make_graphed_callables(
+            [lambda x: x + 1, lambda x: x * 3],
+            [(jnp.ones(2),), (jnp.ones(2),)])
+        assert jnp.allclose(fs[0](jnp.ones(2)), 2)
+        assert jnp.allclose(fs[1](jnp.ones(2)), 3)
+
+
+class TestHLOChecks:
+    def test_counts_psum_in_shard_map(self):
+        mesh = Mesh(mesh_utils.create_device_mesh((4,), jax.devices()[:4]),
+                    ("x",))
+
+        def fn(v):
+            return jax.shard_map(lambda a: jax.lax.psum(a, "x"),
+                                 mesh=mesh, in_specs=P("x"), out_specs=P(),
+                                 check_vma=False)(v)
+
+        counts = assert_collective_counts(fn, {"all-reduce": 1},
+                                          jnp.ones((8, 4)))
+        assert counts.get("all-gather", 0) == 0
+
+
+class TestRoPE:
+    def test_rotation_preserves_norm(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4, 64))
+        freqs = rope_frequencies(64, 32)
+        out = apply_rope(x, freqs)
+        assert jnp.allclose(
+            jnp.linalg.norm(out, axis=-1), jnp.linalg.norm(x, axis=-1),
+            atol=1e-4)
+
+    def test_positions_offset_matches_slice(self):
+        """RoPE with explicit positions == RoPE of the full sequence."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 32))
+        freqs = rope_frequencies(32, 64)
+        full = apply_rope(x, freqs)
+        positions = jnp.arange(16)[None, :]
+        explicit = apply_rope(x, freqs, positions=positions)
+        assert jnp.allclose(full, explicit, atol=1e-6)
+        # decode-style: rotate position 7 alone
+        one = apply_rope(x[:, 7:8], freqs, positions=jnp.array([[7]]))
+        assert jnp.allclose(one[0, 0], full[0, 7], atol=1e-6)
+
+    def test_interleaved_differs(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 1, 16))
+        freqs = rope_frequencies(16, 8)
+        a = apply_rope(x, freqs)
+        b = apply_rope(x, freqs, interleaved=True)
+        assert not jnp.allclose(a, b)
+
+
+class TestPrequant:
+    def test_generation_matches_bf16(self):
+        from transformerengine_tpu.inference import generate
+        from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaModel
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        from transformerengine_tpu.quantize.prequant import prequantize_kernels
+        model = LlamaModel(config=LLAMA_TINY)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 1, 256)
+        lengths = jnp.full((2,), 16, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        ref = generate(model, variables, tokens, lengths, 4)
+        pvars = prequantize_kernels(variables, te.Float8CurrentScaling())
+        out = generate(model, pvars, tokens, lengths, 4,
+                       kv_cache_dtype=float8_e4m3)
+        assert (ref == out).mean() > 0.7  # fp8 may flip rare near-ties
+
+    def test_training_through_prequant_raises(self):
+        from transformerengine_tpu.quantize.prequant import (
+            prequantize_kernel_array)
+        k = jax.random.normal(jax.random.PRNGKey(0), (32, 16))
+        pk = prequantize_kernel_array(k, te.Float8CurrentScaling())
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+        out = te.dense(x, pk)          # fwd works
+        assert out.shape == (4, 16)
+        with pytest.raises(NotImplementedError, match="PrequantizedKernel"):
+            jax.grad(lambda x: jnp.sum(te.dense(x, pk)))(x)
+
+
+class TestExport:
+    def test_stablehlo_roundtrip(self):
+        from transformerengine_tpu.utils.export import (
+            export_stablehlo, import_stablehlo)
+        f = lambda x: jnp.sin(x) * 2
+        x = jnp.linspace(0, 1, 8)
+        blob = export_stablehlo(f, x)
+        assert isinstance(blob, (bytes, bytearray))
+        g = import_stablehlo(bytes(blob))
+        assert jnp.allclose(g(x), f(x))
+
+    def test_dequantize_pytree(self):
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+        from transformerengine_tpu.utils.export import dequantize_pytree
+        q = QuantizerFactory.create(te.Float8CurrentScaling(), "x")
+        t = q.quantize(jax.random.normal(jax.random.PRNGKey(0), (16, 16)))
+        tree = {"w": t.rowwise, "b": jnp.ones(3)}
+        out = dequantize_pytree(tree)
+        assert out["w"].dtype == jnp.bfloat16
+        assert out["w"].shape == (16, 16)

@@ -160,3 +160,42 @@ class TestMoE:
             out_specs=P("ep"), check_vma=False)
         out = fn(x, rw, wu, wd)
         assert jnp.max(jnp.abs(out - ref)) < 1e-3
+
+
+class TestGroupedQuantizer:
+    def test_per_expert_scales_fwd_bwd(self):
+        from transformerengine_tpu.grouped_dense import grouped_dense_gq
+        from transformerengine_tpu.quantize.grouped import GroupedQuantizer
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        e, k, m = 3, 32, 16
+        gs = jnp.array([8, 0, 8], jnp.int32)
+        n = 16
+        # experts with wildly different magnitudes: per-expert scales keep
+        # the small expert's rows accurate where a global scale would not
+        x = jnp.concatenate([
+            jax.random.normal(jax.random.PRNGKey(0), (8, k)) * 100.0,
+            jax.random.normal(jax.random.PRNGKey(1), (8, k)) * 0.01])
+        w = jax.random.normal(jax.random.PRNGKey(2), (e, k, m)) * 0.1
+        gq = GroupedQuantizer(q_dtype=jnp.dtype(float8_e4m3), num_groups=e)
+
+        out = grouped_dense_gq(x, w, gs, gq)
+        ref = jnp.concatenate([x[:8] @ w[0], x[8:] @ w[2]])
+        rel = jnp.abs(out - ref) / jnp.maximum(jnp.abs(ref).max(0), 1e-6)
+        assert float(rel.max()) < 0.15  # two e4m3 quantizations compound
+
+        g = jax.grad(lambda x, w: jnp.sum(
+            grouped_dense_gq(x, w, gs, gq) ** 2), argnums=(0, 1))(x, w)
+        gr = jax.grad(lambda x, w: jnp.sum(jnp.concatenate(
+            [x[:8] @ w[0], x[8:] @ w[2]]) ** 2), argnums=(0, 1))(x, w)
+        for a, b in zip(g, gr):
+            denom = jnp.maximum(jnp.abs(b).max(), 1e-6)
+            assert float(jnp.abs(a - b).max() / denom) < 0.1
+
+    def test_quantize_rows_per_group_amax(self):
+        from transformerengine_tpu.quantize.grouped import GroupedQuantizer
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        gq = GroupedQuantizer(q_dtype=jnp.dtype(float8_e4m3), num_groups=2)
+        x = jnp.concatenate([jnp.full((4, 8), 100.0), jnp.full((4, 8), 0.5)])
+        t = gq.quantize_rows(x, jnp.array([4, 4], jnp.int32))
+        assert jnp.allclose(t.amax, jnp.array([100.0, 0.5]))
+        assert jnp.max(jnp.abs(t.dequantize() - x)) / 100.0 < 0.01

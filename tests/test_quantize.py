@@ -274,3 +274,28 @@ class TestFactory:
         assert not te.is_quantize_enabled()
         qs = te.QuantizerFactory.create_set()
         assert qs.x is None
+
+
+class TestNVFP42D:
+    """QParams.fp4_2d_quantization weight mode (reference:
+    recipe/__init__.py:77, 16x16 two-level blocks)."""
+
+    def test_2d_weight_mode_roundtrip(self):
+        import dataclasses
+        import transformerengine_tpu as te
+        from transformerengine_tpu.common.recipe import QParams
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+        recipe = dataclasses.replace(
+            te.NVFP4BlockScaling(),
+            fp4_quant_fwd_weight=QParams(fp4_2d_quantization=True))
+        q = QuantizerFactory.create(recipe, "kernel")
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 0.3
+        t = q.quantize(w)
+        assert t.rowwise.scale_inv.shape == (4, 4)
+        rel = float(jnp.max(jnp.abs(t.rowwise.dequantize() - w))
+                    / jnp.max(jnp.abs(w)))
+        assert rel < 0.25
+        # 1D input quantizer unchanged
+        qx = QuantizerFactory.create(recipe, "x")
+        tx = qx.quantize(w)
+        assert tx.rowwise.scale_inv.shape == (64, 4)

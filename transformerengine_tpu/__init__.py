@@ -32,9 +32,13 @@ from .attention import (
     AttnBiasType, AttnMaskType, QKVLayout, SequenceDescriptor, fused_attn,
 )
 from .softmax import SoftmaxType, softmax
-from .grouped_dense import grouped_dense
+from .grouped_dense import grouped_dense, grouped_dense_gq
 from .moe import moe
 from .permutation import (
     moe_permute, moe_unpermute, token_combine, token_dispatch)
+from .flex_attention import flex_attention
+from .graph import make_graphed_callables
+from .quantize.prequant import PrequantizedKernel, prequantize_kernels
+from . import checkpoint_policies
 
 __version__ = "0.1.0"

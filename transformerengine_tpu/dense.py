@@ -25,6 +25,7 @@ from .ops.gemm import tn_dot
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
 from .quantize.quantizer import QuantizerSet, noop_quantizer_set
 from .quantize.tensor import get_colwise, get_rowwise
+from .quantize.prequant import PrequantizedKernel
 from .utils.pytree import Static
 
 
@@ -55,19 +56,30 @@ def _dense(cfg, x, kernel, bias, quantizer_set):
 def _dense_fwd(cfg, x, kernel, bias, quantizer_set):
     n_cdims, input_axes, kernel_axes = cfg
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
-    kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
+    prequant = isinstance(kernel, PrequantizedKernel)
+    if not prequant:
+        kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
 
     batch_shape = x.shape[: x.ndim - n_cdims]
     k_shape = kernel.shape[:n_cdims]
     out_shape = kernel.shape[n_cdims:]
     m, k, n = _prod(batch_shape), _prod(k_shape), _prod(out_shape)
     x2d = x.reshape(m, k)
-    k2d = kernel.reshape(k, n)
 
-    if quantizer_set.x is None:
+    if prequant:
+        # FP8-resident weight (quantize/prequant.py): fwd-only fast path.
+        if quantizer_set.x is not None:
+            qx = quantizer_set.x.quantize(x2d)
+            out2d = tn_dot(get_rowwise(qx), kernel.colwise)
+        else:
+            out2d = tn_dot(x2d, kernel.colwise)
+        res = (Static("prequant"), None, None, None, None, None)
+    elif quantizer_set.x is None:
+        k2d = kernel.reshape(k, n)
         out2d = tn_dot(x2d, k2d.T)
         res = (x2d, k2d, None, None, None, None)
     else:
+        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(x2d)
         qk = quantizer_set.kernel.quantize(k2d)
         # fwd GEMM: rowwise(x) (M,K) x colwise(kernel) (N,K) -> (M,N)
@@ -86,6 +98,10 @@ def _dense_fwd(cfg, x, kernel, bias, quantizer_set):
 def _dense_bwd(cfg, residuals, g):
     n_cdims, input_axes, kernel_axes = cfg
     res, meta, quantizer_set = residuals
+    if isinstance(res[0], Static) and res[0].value == "prequant":
+        raise NotImplementedError(
+            "backward through a PrequantizedKernel (inference-only weights); "
+            "use plain kernels for training")
     x_shape, kernel_shape, x_dtype, k_dtype, has_bias, b_dtype = meta.value
     batch_shape = x_shape[: len(x_shape) - n_cdims]
     k_shape = kernel_shape[:n_cdims]

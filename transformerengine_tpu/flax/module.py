@@ -40,6 +40,14 @@ def _maybe_partition(init, axes):
 class TransformerEngineBase(nn.Module):
     """Shared quantizer-state plumbing for all TE Flax modules."""
 
+    def kernel_param(self, name, init, axes, shape, dtype):
+        """Fetch a projection kernel: the ``prequant`` collection (FP8-
+        resident inference weights, quantize/prequant.py) takes priority
+        over a live param."""
+        if self.has_variable("prequant", name):
+            return self.get_variable("prequant", name)
+        return self.param(name, _maybe_partition(init, axes), shape, dtype)
+
     def quantizer_set(self, name: str) -> QuantizerSet:
         cfg = get_quantize_config()
         from ..debug.api import get_state, wrap_quantizer_set
@@ -130,8 +138,8 @@ class DenseGeneral(TransformerEngineBase):
     def __call__(self, x: jax.Array) -> jax.Array:
         features = (self.features,) if isinstance(self.features, int) \
             else tuple(self.features)
-        kernel = self.param(
-            "kernel", _maybe_partition(self.kernel_init, self.kernel_axes),
+        kernel = self.kernel_param(
+            "kernel", self.kernel_init, self.kernel_axes,
             (x.shape[-1], *features), self.dtype)
         bias = None
         if self.use_bias:
@@ -177,8 +185,8 @@ class LayerNormDenseGeneral(TransformerEngineBase):
                 "ln_bias", _maybe_partition(nn.initializers.zeros,
                                             self.scale_axes), (h,),
                 jnp.float32)
-        kernel = self.param(
-            "kernel", _maybe_partition(self.kernel_init, self.kernel_axes),
+        kernel = self.kernel_param(
+            "kernel", self.kernel_init, self.kernel_axes,
             (h, *features), self.dtype)
         bias = None
         if self.use_bias:
@@ -236,11 +244,11 @@ class LayerNormMLP(TransformerEngineBase):
                 "ln_bias", _maybe_partition(nn.initializers.zeros,
                                             self.scale_axes), (h,),
                 jnp.float32)
-        kernel1 = self.param(
-            "wi_kernel", _maybe_partition(self.kernel_init, self.kernel_axes_1),
+        kernel1 = self.kernel_param(
+            "wi_kernel", self.kernel_init, self.kernel_axes_1,
             (h, n_act, self.intermediate_dim), self.dtype)
-        kernel2 = self.param(
-            "wo_kernel", _maybe_partition(self.kernel_init, self.kernel_axes_2),
+        kernel2 = self.kernel_param(
+            "wo_kernel", self.kernel_init, self.kernel_axes_2,
             (self.intermediate_dim, h), self.dtype)
         bias1 = bias2 = None
         if self.use_bias:

@@ -102,3 +102,55 @@ def grouped_dense(
         f"shapes {x.shape} x {kernel.shape}")
     return _grouped_dense(kernel.shape[0], x, kernel, group_sizes,
                           quantizer_set)
+
+
+# ---------------------------------------------------------------------------
+# Per-expert (grouped) quantization variant
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grouped_dense_gq(gq, x, kernel, group_sizes):
+    out, _ = _gd_gq_fwd(gq, x, kernel, group_sizes)
+    return out
+
+
+def _gd_gq_fwd(gq, x, kernel, group_sizes):
+    from .quantize.grouped import grouped_gemm_scaled
+    qx = gq.quantize_rows(x, group_sizes)
+    qk = gq.quantize_kernels(kernel)
+    out = grouped_gemm_scaled(qx, qk, group_sizes).astype(x.dtype)
+    meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
+    return out, (qx, qk, group_sizes, meta)
+
+
+def _gd_gq_bwd(gq, residuals, g):
+    from .ops.grouped_gemm import grouped_gemm_dw
+    qx, qk, group_sizes, meta = residuals
+    x_shape, k_shape, x_dtype, k_dtype = meta.value
+    e = k_shape[0]
+    qg = gq.quantize_rows(g, group_sizes)
+    # dX[n] = G[n] @ W[e]^T, scales per row
+    dx = jax.lax.ragged_dot(
+        qg.data.astype(jnp.bfloat16),
+        jnp.swapaxes(qk.data, 1, 2).astype(jnp.bfloat16),
+        group_sizes.astype(jnp.int32), preferred_element_type=jnp.float32)
+    n = x_shape[0]
+    row_s = qg.row_scale_inv() * jnp.repeat(
+        qk.scale_inv, group_sizes, total_repeat_length=n)
+    dx = (dx * row_s[:, None]).astype(x_dtype)
+    # dW[e] = X_e^T G_e, scale product per expert
+    dw = grouped_gemm_dw(qx.data.astype(jnp.bfloat16),
+                         qg.data.astype(jnp.bfloat16), group_sizes, e)
+    dw = (dw * (qx.scale_inv * qg.scale_inv)[:, None, None]).astype(k_dtype)
+    return dx.reshape(x_shape), dw.reshape(k_shape), None
+
+
+_grouped_dense_gq.defvjp(_gd_gq_fwd, _gd_gq_bwd)
+
+
+def grouped_dense_gq(x, kernel, group_sizes, grouped_quantizer):
+    """Grouped dense with per-expert scales (reference: GroupedQuantizer
+    + GroupedLinear). ``grouped_quantizer.num_groups`` must equal E."""
+    assert grouped_quantizer.num_groups == kernel.shape[0], (
+        grouped_quantizer.num_groups, kernel.shape)
+    return _grouped_dense_gq(grouped_quantizer, x, kernel, group_sizes)

@@ -26,9 +26,9 @@ def _sample(logits, key, temperature: float):
         key, logits.astype(jnp.float32) / temperature, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+@partial(jax.jit, static_argnums=(0, 3, 5))
 def prefill(model, variables, tokens, inference_params: InferenceParams,
-            prompt_lengths, temperature: float = 0.0, rng_seed: int = 0):
+            prompt_lengths, temperature: float = 0.0, rng_seed=0):
     """Run the prompt through the model, filling the cache.
     Returns (first sampled token (B,), cache collection)."""
     from ..attention import SequenceDescriptor

@@ -21,6 +21,7 @@ from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
 from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.prequant import PrequantizedKernel
 from .quantize.tensor import get_colwise, get_rowwise
 from .utils.pytree import Static
 
@@ -44,7 +45,8 @@ def _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set):
 def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
-    kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
+    if not isinstance(kernel, PrequantizedKernel):
+        kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
 
     if norm_type == "layernorm":
         ln_out, mu, rsigma = layernorm_fwd(
@@ -59,12 +61,20 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
     k = x.shape[-1]
     n = _prod(kernel.shape[1:])
     ln2d = ln_out.reshape(m, k)
-    k2d = kernel.reshape(k, n)
 
-    if quantizer_set.x is None:
+    if isinstance(kernel, PrequantizedKernel):
+        if quantizer_set.x is not None:
+            qx = quantizer_set.x.quantize(ln2d)
+            out2d = tn_dot(get_rowwise(qx), kernel.colwise)
+        else:
+            out2d = tn_dot(ln2d, kernel.colwise)
+        res_q = (Static("prequant"), None, None, None)
+    elif quantizer_set.x is None:
+        k2d = kernel.reshape(k, n)
         out2d = tn_dot(ln2d, k2d.T)
         res_q = (ln2d, k2d, None, None)
     else:
+        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d)
         qk = quantizer_set.kernel.quantize(k2d)
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
@@ -81,6 +91,9 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
 def _ln_dense_bwd(cfg, residuals, g):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
     res_q, x, mu, rsigma, gamma, meta, quantizer_set = residuals
+    if isinstance(res_q[0], Static) and res_q[0].value == "prequant":
+        raise NotImplementedError(
+            "backward through a PrequantizedKernel (inference-only weights)")
     x_shape, kernel_shape, x_dtype, k_dtype, has_bias, b_dtype = meta.value
     m = _prod(x_shape[:-1])
     k = x_shape[-1]

@@ -24,6 +24,7 @@ from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
 from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.prequant import PrequantizedKernel
 from .quantize.tensor import get_colwise, get_rowwise
 from .utils.pytree import Static
 
@@ -61,8 +62,10 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
     input_axes, dot1_kernel_axes, dot2_kernel_axes, intermediate_axes = axes
     qset1, qset2 = qsets
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
-    kernel1 = with_sharding_constraint_by_logical_axes(kernel1, dot1_kernel_axes)
-    kernel2 = with_sharding_constraint_by_logical_axes(kernel2, dot2_kernel_axes)
+    if not isinstance(kernel1, PrequantizedKernel):
+        kernel1 = with_sharding_constraint_by_logical_axes(kernel1, dot1_kernel_axes)
+    if not isinstance(kernel2, PrequantizedKernel):
+        kernel2 = with_sharding_constraint_by_logical_axes(kernel2, dot2_kernel_axes)
 
     if norm_type == "layernorm":
         ln_out, mu, rsigma = layernorm_fwd(
@@ -77,14 +80,21 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
     n_act = kernel1.shape[-2] if kernel1.ndim == 3 else 1
     ffn = kernel1.shape[-1]
     ln2d = ln_out.reshape(m, hidden)
-    k1 = kernel1.reshape(hidden, n_act * ffn)
-    k2 = kernel2.reshape(ffn, hidden)
 
     # --- GEMM1 ---
-    if qset1.x is None:
+    if isinstance(kernel1, PrequantizedKernel):
+        if qset1.x is not None:
+            qx = qset1.x.quantize(ln2d)
+            z2d = tn_dot(get_rowwise(qx), kernel1.colwise)
+        else:
+            z2d = tn_dot(ln2d, kernel1.colwise)
+        res1 = (Static("prequant"), None, None, None)
+    elif qset1.x is None:
+        k1 = kernel1.reshape(hidden, n_act * ffn)
         z2d = tn_dot(ln2d, k1.T)
         res1 = (ln2d, k1, None, None)
     else:
+        k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d)
         qk1 = qset1.kernel.quantize(k1)
         z2d = tn_dot(get_rowwise(qx), get_colwise(qk1))
@@ -99,10 +109,19 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
     a2d = a.reshape(m, ffn)
 
     # --- GEMM2 ---
-    if qset2.x is None:
+    if isinstance(kernel2, PrequantizedKernel):
+        if qset2.x is not None:
+            qa = qset2.x.quantize(a2d)
+            out2d = tn_dot(get_rowwise(qa), kernel2.colwise)
+        else:
+            out2d = tn_dot(a2d, kernel2.colwise)
+        res2 = (Static("prequant"), None, None, None)
+    elif qset2.x is None:
+        k2 = kernel2.reshape(ffn, hidden)
         out2d = tn_dot(a2d, k2.T)
         res2 = (a2d, k2, None, None)
     else:
+        k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d)
         qk2 = qset2.kernel.quantize(k2)
         out2d = tn_dot(get_rowwise(qa), get_colwise(qk2))
@@ -124,6 +143,10 @@ def _ln_mlp_bwd(cfg, residuals, g):
     (norm_type, zcg, eps, acts, axes) = cfg
     input_axes, dot1_kernel_axes, dot2_kernel_axes, intermediate_axes = axes
     res1, res2, z, x, mu, rsigma, gamma, meta, qsets = residuals
+    if any(isinstance(r[0], Static) and r[0].value == "prequant"
+           for r in (res1, res2)):
+        raise NotImplementedError(
+            "backward through a PrequantizedKernel (inference-only weights)")
     qset1, qset2 = qsets
     (x_shape, k1_shape, k2_shape, x_dtype, k1_dtype, k2_dtype,
      has_b1, has_b2, b1_dtype, b2_dtype, n_act, ffn) = meta.value

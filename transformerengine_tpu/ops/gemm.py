@@ -105,6 +105,20 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
         if out is not None:
             return out
 
+    # Decode hot loop: tiny activation rows against a big FP8-resident
+    # weight — stream the weight once and upcast in VMEM.
+    if (_use_pallas_matmul() and is_scaled(rhs)
+            and rhs.scaling_mode.is_tensor_scaling and not is_scaled(lhs)):
+        m = lhs.shape[0]
+        rn, rk = rhs._2d_shape()
+        if m <= 64 and rn % 512 == 0 and rk % 512 == 0:
+            from .scaled_matmul import fp8_small_m_matmul
+            tk = 1024 if rk % 1024 == 0 else 512
+            return fp8_small_m_matmul(
+                lhs, rhs.data.reshape(rn, rk),
+                rhs.scale_inv.astype(jnp.float32).reshape(1),
+                tile_k=tk)
+
     post_scale = jnp.float32(1.0)
 
     def prep(t):

@@ -113,9 +113,11 @@ class QuantizerFactory:
             qp = {"x": recipe.fp4_quant_fwd_inp,
                   "kernel": recipe.fp4_quant_fwd_weight,
                   "dgrad": recipe.fp4_quant_bwd_grad}[role]
+            mode = (ScalingMode.NVFP4_2D_SCALING if qp.fp4_2d_quantization
+                    else ScalingMode.NVFP4_1D_SCALING)
             return NVFP4Quantizer(
                 q_dtype=recipe.fp4_format.bwd_dtype if is_bwd else recipe.fp4_format.fwd_dtype,
-                scaling_mode=ScalingMode.NVFP4_1D_SCALING,
+                scaling_mode=mode,
                 q_layout=q_layout,
                 with_rht=qp.random_hadamard_transform,
                 stochastic_rounding=qp.stochastic_rounding,

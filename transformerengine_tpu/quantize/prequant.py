@@ -1,0 +1,93 @@
+"""Pre-quantized (FP8-resident) weights for inference.
+
+TPU counterpart of the reference's quantized_model_init (reference:
+pytorch/quantization.py:868 — keep weights FP8-only so decode never
+re-quantizes or stores the bf16 copy). ``prequantize_kernels`` rewrites
+a Flax params tree, replacing projection kernels with
+:class:`PrequantizedKernel` pytrees holding the colwise (fwd-GEMM)
+quantized payload; the functional dense layers detect them and skip the
+per-step quantize. HBM weight traffic halves (fp8 bytes), and the
+dequant happens in-register inside the matmul.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common.recipe import Recipe
+from .helper import QuantizerFactory
+from .quantizer import QuantizeLayout
+from .tensor import ScaledTensor1x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PrequantizedKernel:
+    """A kernel stored only as its colwise quantized usage."""
+
+    colwise: ScaledTensor1x
+    logical_shape: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return self.logical_shape
+
+    @property
+    def ndim(self):
+        return len(self.logical_shape)
+
+    @property
+    def dtype(self):
+        return self.colwise.dq_dtype
+
+
+def prequantize_kernel_array(kernel: jax.Array, recipe: Recipe,
+                             n_cdims: int = 1) -> PrequantizedKernel:
+    """Quantize one kernel (contracting dims leading) to its colwise
+    usage."""
+    k = 1
+    for d in kernel.shape[:n_cdims]:
+        k *= d
+    n = kernel.size // k
+    q = QuantizerFactory.create(recipe, "kernel", QuantizeLayout.COLWISE)
+    t = q.quantize(kernel.reshape(k, n), dq_dtype=kernel.dtype)
+    return PrequantizedKernel(colwise=t, logical_shape=tuple(kernel.shape))
+
+
+_KERNEL_NAMES = ("kernel", "wi_kernel", "wo_kernel")
+
+
+def prequantize_kernels(variables: Any, recipe: Recipe) -> Any:
+    """Convert a Flax variables dict for FP8-resident inference: every
+    projection kernel moves from ``params`` into a ``prequant``
+    collection as a :class:`PrequantizedKernel`; the modules
+    (TransformerEngineBase.kernel_param) read that collection first.
+
+    Embedding and norm parameters stay high-precision (matching the
+    reference, which only converts Linear-family weights)."""
+    import flax.linen as nn
+    params = nn.meta.unbox(variables["params"])
+
+    def split(tree):
+        kept, quant = {}, {}
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                k, q = split(sub)
+                kept[name] = k
+                if q:
+                    quant[name] = q
+            elif name in _KERNEL_NAMES and getattr(sub, "ndim", 0) >= 2:
+                quant[name] = prequantize_kernel_array(sub, recipe)
+            else:
+                kept[name] = sub
+        return kept, quant
+
+    kept, quant = split(params)
+    out = {k: v for k, v in variables.items() if k != "params"}
+    out["params"] = kept
+    out["prequant"] = quant
+    return out

@@ -205,14 +205,16 @@ def block_quantize(x2d, q_dtype, br: int, bc: int, pow2_scales: bool = True, key
 # NVFP4 (two-level block scaling)
 # ---------------------------------------------------------------------------
 
-def nvfp4_quantize(x2d, key=None, global_amax: Optional[jax.Array] = None):
-    """NVFP4: FP4E2M1 data, E4M3 scale per (1, 16) block, fp32 per-tensor
-    second-level scale (reference: common/cast/nvfp4, recipe/nvfp4.cu).
+def nvfp4_quantize(x2d, key=None, global_amax: Optional[jax.Array] = None,
+                   block_shape=(1, 16)):
+    """NVFP4: FP4E2M1 data, E4M3 scale per block ((1,16) 1D or (16,16) 2D
+    weight mode), fp32 per-tensor second-level scale (reference:
+    common/cast/nvfp4, recipe/nvfp4.cu; QParams.fp4_2d_quantization).
 
     Returns (data_fp4, block_scale_inv[e4m3], tensor_scale_inv[f32(1,)], amax).
     """
     r, c = x2d.shape
-    br, bc = 1, 16
+    br, bc = block_shape
     amax = compute_amax(x2d) if global_amax is None else jnp.asarray(global_amax, jnp.float32)
     fp4_max = dtype_max(float4_e2m1)   # 6.0
     e4m3_max = dtype_max(float8_e4m3)  # 448.0

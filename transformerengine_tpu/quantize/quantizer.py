@@ -255,7 +255,8 @@ class NVFP4Quantizer(Quantizer):
             x2d = apply_rht(x2d, self.rht_sign_mask)
         if not self.stochastic_rounding:
             key = None
-        data, block_scale, ts_inv, amax = qmath.nvfp4_quantize(x2d, key)
+        data, block_scale, ts_inv, amax = qmath.nvfp4_quantize(
+            x2d, key, block_shape=self.scaling_mode.block_shape)
         return data, block_scale, ts_inv, amax
 
 

@@ -35,6 +35,9 @@ class ScalingMode(enum.Enum):
     # Two-level: one E4M3 scale per 16 elements plus one fp32 per-tensor
     # scale (reference: NVTE_NVFP4_1D_SCALING).
     NVFP4_1D_SCALING = 6
+    # Two-level with (16, 16) blocks — the reference's
+    # QParams.fp4_2d_quantization weight mode.
+    NVFP4_2D_SCALING = 7
 
     # ---- static metadata ------------------------------------------------
     @property
@@ -51,7 +54,8 @@ class ScalingMode(enum.Enum):
 
     @property
     def is_nvfp4(self) -> bool:
-        return self is ScalingMode.NVFP4_1D_SCALING
+        return self in (ScalingMode.NVFP4_1D_SCALING,
+                        ScalingMode.NVFP4_2D_SCALING)
 
     @property
     def block_shape(self) -> Tuple[int, int]:
@@ -64,6 +68,7 @@ class ScalingMode(enum.Enum):
             ScalingMode.BLOCK_SCALING_1D: (1, 128),
             ScalingMode.BLOCK_SCALING_2D: (128, 128),
             ScalingMode.NVFP4_1D_SCALING: (1, 16),
+            ScalingMode.NVFP4_2D_SCALING: (16, 16),
         }[self]
 
     @property
@@ -71,7 +76,7 @@ class ScalingMode(enum.Enum):
         if self is ScalingMode.MXFP8_1D_SCALING:
             # e8m0 bits stored as biased-exponent uint8 (no TPU e8m0 dtype).
             return jnp.uint8
-        if self is ScalingMode.NVFP4_1D_SCALING:
+        if self.is_nvfp4:
             return float8_e4m3
         return jnp.float32
 
