@@ -101,3 +101,25 @@ def test_fused_attn_ring_dispatch():
                     out_specs=spec, check_vma=False)(q, k, v)
     ref = _reference(q, k, v)
     assert jnp.max(jnp.abs(out - ref)) < 5e-5
+
+
+@pytest.mark.parametrize("strategy", ["ulysses"])
+def test_ulysses_matches_single_device(strategy):
+    from transformerengine_tpu.parallel.ring_attention import ulysses_attn
+    q, k, v = _data(b=1, s=256, hq=8, hkv=4, d=64)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+    fn = jax.shard_map(
+        lambda q, k, v: ulysses_attn(q, k, v, "cp", causal=True),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    out = fn(q, k, v)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-5
+
+    g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(_reference(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert jnp.max(jnp.abs(a - b)) < 1e-3

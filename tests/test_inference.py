@@ -109,3 +109,46 @@ class TestGenerate:
                        kv_cache_dtype=float8_e4m3)
         assert out.shape == (b, 4)
         assert jnp.all((out >= 0) & (out < 256))
+
+
+class TestPagedDecodeAttention:
+    def test_matches_contiguous_decode(self):
+        from transformerengine_tpu.ops.paged_attention import (
+            paged_decode_attention)
+        b, hkv, hq, d, page = 2, 2, 4, 64, 16
+        state = paged_init(num_pages=32, page_size=page, batch=b,
+                           max_pages_per_seq=4, hkv=hkv, d=d,
+                           dtype=jnp.float32)
+        ks = jax.random.split(jax.random.PRNGKey(0), 40)
+        toks = []
+        for t in range(40):
+            kv = jax.random.normal(ks[t], (b, 1, hkv, d))
+            state = paged_append_token(state, kv, kv)
+            toks.append(kv)
+        q = jax.random.normal(jax.random.PRNGKey(99), (b, 1, hq, d))
+        out = paged_decode_attention(q, state.pages_k, state.pages_v,
+                                     state.page_table, state.lengths)
+        kc = jnp.concatenate(toks, axis=1)
+        ref = decode_attention(q, kc, kc, state.lengths)
+        assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
+    def test_fp8_pages(self):
+        from transformerengine_tpu.inference import calibrate_kv_scale
+        from transformerengine_tpu.ops.paged_attention import (
+            paged_decode_attention)
+        b, h, d, page = 1, 2, 64, 8
+        kv = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d))
+        scale = calibrate_kv_scale(kv, kv)
+        state = paged_init(num_pages=8, page_size=page, batch=b,
+                           max_pages_per_seq=2, hkv=h, d=d,
+                           dtype=float8_e4m3)
+        for _ in range(10):
+            state = paged_append_token(state, kv, kv, scale)
+        q = jax.random.normal(jax.random.PRNGKey(1), (b, 1, h, d))
+        out = paged_decode_attention(
+            q, state.pages_k, state.pages_v, state.page_table, state.lengths,
+            kv_scale=1.0 / scale)
+        ref = decode_attention(q, jnp.repeat(kv, 10, 1), jnp.repeat(kv, 10, 1),
+                               jnp.array([10]))
+        # fp8 cache vs exact bf16 reference: e4m3 payload noise
+        assert jnp.max(jnp.abs(out - ref)) < 0.12

@@ -92,10 +92,12 @@ class AttnBackend(enum.Enum):
 
 
 class CPStrategy(enum.Enum):
-    """Context-parallel strategy (reference: jax/attention.py:201)."""
+    """Context-parallel strategy (reference: jax/attention.py:201 plus the
+    PyTorch side's cp_comm_type="a2a" Ulysses variant)."""
     DEFAULT = 0
     ALL_GATHER = 1
     RING = 2
+    ULYSSES_A2A = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -330,14 +332,26 @@ def fused_attn(
         attn_mask_type = (AttnMaskType.CAUSAL if attn_mask_type.is_causal
                           else AttnMaskType.NO_MASK)
 
-    if context_parallel_strategy is CPStrategy.RING and context_parallel_axis:
-        from .parallel.ring_attention import ring_attn_under_shard_map
-        return ring_attn_under_shard_map(
-            q, k, v, sequence_descriptor,
-            axis_name=context_parallel_axis,
-            attn_mask_type=attn_mask_type,
-            scaling_factor=scaling_factor,
-            window_size=window_size)
+    if context_parallel_axis and context_parallel_strategy in (
+            CPStrategy.RING, CPStrategy.ALL_GATHER, CPStrategy.ULYSSES_A2A):
+        from .parallel.ring_attention import (
+            all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
+        if context_parallel_strategy is CPStrategy.RING:
+            return ring_attn_under_shard_map(
+                q, k, v, sequence_descriptor,
+                axis_name=context_parallel_axis,
+                attn_mask_type=attn_mask_type,
+                scaling_factor=scaling_factor,
+                window_size=window_size)
+        if context_parallel_strategy is CPStrategy.ALL_GATHER:
+            return all_gather_attn(
+                q, k, v, context_parallel_axis,
+                causal=attn_mask_type.is_causal,
+                scaling_factor=scaling_factor, window_size=window_size)
+        return ulysses_attn(
+            q, k, v, context_parallel_axis,
+            causal=attn_mask_type.is_causal,
+            scaling_factor=scaling_factor, window_size=window_size)
 
     chosen = backend
     if chosen is AttnBackend.AUTO:

@@ -105,9 +105,11 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
         if out is not None:
             return out
 
-    # Decode hot loop: tiny activation rows against a big FP8-resident
-    # weight — stream the weight once and upcast in VMEM.
-    if (_use_pallas_matmul() and is_scaled(rhs)
+    # Decode small-M path: measured SLOWER than XLA's convert-fused dot on
+    # v5e (bench 2026-08-17: 154 vs 630 tok/s), so opt-in only until the
+    # kernel is profiled and fixed (TE_TPU_SMALL_M_MATMUL=1).
+    if (os.environ.get("TE_TPU_SMALL_M_MATMUL", "0") == "1"
+            and is_scaled(rhs)
             and rhs.scaling_mode.is_tensor_scaling and not is_scaled(lhs)):
         m = lhs.shape[0]
         rn, rk = rhs._2d_shape()

@@ -165,3 +165,49 @@ def ring_attn_under_shard_map(
         else 1.0 / q.shape[-1] ** 0.5
     window = tuple(window_size) if window_size is not None else (-1, -1)
     return ring_attn(q, k, v, axis_name, causal, float(scale), window)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses (A2A) strategy
+# ---------------------------------------------------------------------------
+
+def ulysses_attn(
+    q: jax.Array,     # (B, L, Hq, D) local sequence shard
+    k: jax.Array,     # (B, L, Hkv, D)
+    v: jax.Array,
+    axis_name: str,
+    *,
+    causal: bool = True,
+    scaling_factor=None,
+    window_size=None,
+) -> jax.Array:
+    """Ulysses-style context parallelism: all-to-all reshards
+    heads<->sequence so each device runs full-sequence attention on a
+    head slice (reference: AttnFuncWithCPAndQKVOA2A,
+    context_parallel.py:3877, flash_attn_a2a_communicate :438).
+    Differentiable through the all-to-alls (AD reverses them)."""
+    from ..attention import AttnMaskType
+    from ..ops.flash_attention import flash_attention
+
+    p = jax.lax.axis_size(axis_name)
+    b, l, hq, d = q.shape
+    hkv = k.shape[2]
+    assert hq % p == 0 and hkv % p == 0, (
+        f"Ulysses needs head counts divisible by cp={p}, got {hq}/{hkv}")
+
+    def seq_to_head(x):
+        # (B, L, H, D) -> (B, L*p, H/p, D)
+        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    def head_to_seq(x):
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    out = flash_attention(
+        qg, kg, vg, None,
+        attn_mask_type=(AttnMaskType.CAUSAL if causal
+                        else AttnMaskType.NO_MASK),
+        scaling_factor=scaling_factor, window_size=window_size)
+    return head_to_seq(out)
