@@ -175,3 +175,31 @@ class TestSPDense:
             out_specs=P("sp", None), check_vma=False)(x, w)
         ref = x @ w
         assert jnp.max(jnp.abs(out - ref)) < 1e-4
+
+
+class TestAmaxUnderPjit:
+    """The reference all-reduces amaxes across DP/TP at autocast exit
+    (quantization.py:646). Under GSPMD the amax of a sharded tensor is
+    already global — assert a dp-sharded FP8 dense step produces the
+    same updated delayed-scaling state as the unsharded run."""
+
+    def test_sharded_amax_matches_unsharded(self):
+        from jax.sharding import NamedSharding
+        mesh = _mesh()
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16)) * 0.1
+        qs = QuantizerFactory.create_set(
+            te.DelayedScaling(amax_history_len=4))
+
+        def step(x, w, qs):
+            def f(qset):
+                return jnp.sum(te.dense(x, w, quantizer_set=qset) ** 2)
+            _, vjp = jax.vjp(f, qs)
+            return vjp(jnp.float32(1.0))[0]
+
+        ref_qs = jax.jit(step)(x, w, qs)
+        xs = jax.device_put(x, NamedSharding(mesh, P("sp", None)))
+        with mesh:
+            shard_qs = jax.jit(step)(xs, w, qs)
+        for a, b in zip(jax.tree.leaves(ref_qs), jax.tree.leaves(shard_qs)):
+            assert jnp.allclose(a, b, rtol=1e-6), (a, b)

@@ -123,3 +123,18 @@ def test_ulysses_matches_single_device(strategy):
                   argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, gr):
         assert jnp.max(jnp.abs(a - b)) < 1e-3
+
+
+def test_hierarchical_a2a_ring_matches_single_device():
+    from transformerengine_tpu.parallel.ring_attention import hierarchical_attn
+    q, k, v = _data(b=1, s=256, hq=4, hkv=2, d=64)
+    mesh = Mesh(mesh_utils.create_device_mesh((2, 2), jax.devices()[:4]),
+                ("cpo", "cpi"))
+    spec = P(None, ("cpo", "cpi"), None, None)
+    fn = jax.shard_map(
+        lambda q, k, v: hierarchical_attn(q, k, v, "cpi", "cpo", causal=True),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    out = fn(q, k, v)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-5

@@ -211,3 +211,39 @@ def ulysses_attn(
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor, window_size=window_size)
     return head_to_seq(out)
+
+
+def hierarchical_attn(
+    q: jax.Array,     # (B, L, Hq, D) — seq sharded over BOTH cp axes
+    k: jax.Array,
+    v: jax.Array,
+    inner_axis: str,  # a2a within (fast ICI neighborhood)
+    outer_axis: str,  # ring across (slower links)
+    *,
+    causal: bool = True,
+    scaling_factor=None,
+    window_size=None,
+) -> jax.Array:
+    """Hierarchical context parallelism: Ulysses A2A inside, ring P2P
+    outside (reference: cp_comm_type="a2a+p2p",
+    context_parallel.py:4726-4741 — A2A within an NVLink node, ring
+    across nodes; here: A2A within the fast ICI neighborhood, ring over
+    the long axis)."""
+    p_in = jax.lax.axis_size(inner_axis)
+    hq, hkv = q.shape[2], k.shape[2]
+    assert hq % p_in == 0 and hkv % p_in == 0, (hq, hkv, p_in)
+    scale = scaling_factor if scaling_factor is not None \
+        else 1.0 / q.shape[-1] ** 0.5
+    window = tuple(window_size) if window_size is not None else (-1, -1)
+
+    def seq_to_head(x):
+        return jax.lax.all_to_all(x, inner_axis, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    def head_to_seq(x):
+        return jax.lax.all_to_all(x, inner_axis, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    out = ring_attn(qg, kg, vg, outer_axis, causal, float(scale), window)
+    return head_to_seq(out)
