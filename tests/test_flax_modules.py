@@ -113,3 +113,42 @@ class TestModel:
         assert logits.shape == (2, 64, 256)
         loss = cross_entropy_loss(logits[:, :-1], tokens[:, 1:])
         assert jnp.isfinite(loss)
+
+
+class TestScanLayers:
+    def test_scan_matches_loop(self):
+        """scan_layers=True must match the unrolled loop numerically when
+        given the same per-layer params."""
+        import dataclasses
+        from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaModel
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 16), 1, 256)
+        cfg = dataclasses.replace(LLAMA_TINY, num_layers=2)
+        m_loop = LlamaModel(config=cfg)
+        m_scan = LlamaModel(config=dataclasses.replace(cfg, scan_layers=True))
+        v_loop = m_loop.init(jax.random.PRNGKey(1), tokens)
+        # stack loop params into the scanned layout
+        import flax.linen as fnn
+        p = fnn.meta.unbox(v_loop["params"])
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               p["layer_0"], p["layer_1"])
+        v_scan = {"params": {"embedding": p["embedding"],
+                             "final_norm": p["final_norm"],
+                             "layers": stacked}}
+        out_loop = m_loop.apply(v_loop, tokens)
+        out_scan = m_scan.apply(v_scan, tokens)
+        # scan vs unrolled change XLA fusion/accumulation order -> bf16
+        # rounding differs; require close logits and identical argmax
+        denom = jnp.maximum(jnp.max(jnp.abs(out_loop)), 1.0)
+        assert float(jnp.max(jnp.abs(out_loop - out_scan)) / denom) < 0.02
+        assert jnp.array_equal(out_loop.argmax(-1), out_scan.argmax(-1))
+
+    def test_scan_generate(self):
+        import dataclasses
+        from transformerengine_tpu.inference import generate
+        from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaModel
+        cfg = dataclasses.replace(LLAMA_TINY, scan_layers=True)
+        m = LlamaModel(config=cfg)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 1, 256)
+        v = m.init(jax.random.PRNGKey(1), tokens)
+        out = generate(m, v, tokens, jnp.full((1,), 8, jnp.int32), 3)
+        assert out.shape == (1, 3)

@@ -137,3 +137,20 @@ class TestLayerNormDense:
                               norm_type="layernorm")
         ref = _ref_layernorm(x, gamma, jnp.zeros((64,))) @ k
         assert jnp.max(jnp.abs(out - ref)) < 1e-4
+
+
+class TestClampedSwiGLU:
+    def test_matches_reference_formula(self):
+        from transformerengine_tpu.ops.activation import clamped_swiglu
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 16)) * 10
+        out = clamped_swiglu(x, limit=7.0, alpha=1.702)
+        v = jnp.minimum(x[..., 0, :], 7.0)
+        ref = (v * jax.nn.sigmoid(1.702 * v)) * (
+            jnp.clip(x[..., 1, :], -7.0, 7.0) + 1.0)
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+    def test_grads_clamp(self):
+        from transformerengine_tpu.ops.activation import clamped_swiglu
+        x = jnp.full((1, 2, 4), 100.0)  # both sides beyond the limit
+        g = jax.grad(lambda x: jnp.sum(clamped_swiglu(x)))(x)
+        assert jnp.allclose(g, 0.0)     # fully clamped -> zero grad

@@ -227,7 +227,7 @@ class MultiHeadAttention(TransformerEngineBase):
         """Prefill/decode through the KV cache ("cache" collection;
         reference: pytorch/attention/inference.py KVCacheManager.step)."""
         from ..inference.kv_cache import (
-            cache_append, calibrate_kv_scale)
+            cache_append_bhsd, calibrate_kv_scale)
         from ..ops.decode_attention import decode_attention
         from ..ops.flash_attention import flash_attention
 
@@ -237,12 +237,16 @@ class MultiHeadAttention(TransformerEngineBase):
             f"batch {b} != InferenceParams.max_batch_size "
             f"{ip.max_batch_size}")
         cache_dtype = ip.kv_cache_dtype
+        # (B, Hkv, S, D) layout — what the decode kernel reads, so no
+        # per-step transpose copies; 128-aligned S lets the kernel pick a
+        # divisor block and skip the whole-cache pad copy.
+        s_alloc = -(-ip.max_sequence_length // 128) * 128
         ck = self.variable(
             "cache", "cached_key", jnp.zeros,
-            (b, ip.max_sequence_length, hkv, d), cache_dtype)
+            (b, hkv, s_alloc, d), cache_dtype)
         cv = self.variable(
             "cache", "cached_value", jnp.zeros,
-            (b, ip.max_sequence_length, hkv, d), cache_dtype)
+            (b, hkv, s_alloc, d), cache_dtype)
         clen = self.variable(
             "cache", "cache_length", jnp.zeros, (b,), jnp.int32)
         kv_scale = self.variable(
@@ -252,7 +256,7 @@ class MultiHeadAttention(TransformerEngineBase):
         if is_prefill and ip.is_fp8:
             kv_scale.value = calibrate_kv_scale(k, v)
         qscale = kv_scale.value if ip.is_fp8 else None
-        new_k, new_v, new_len = cache_append(
+        new_k, new_v, new_len = cache_append_bhsd(
             ck.value, cv.value, clen.value, k, v, qscale)
         ck.value, cv.value, clen.value = new_k, new_v, new_len
 
@@ -276,7 +280,8 @@ class MultiHeadAttention(TransformerEngineBase):
             out = decode_attention(
                 q, ck.value, cv.value, clen.value,
                 kv_scale=dq_scale,
-                window_left=window[0] if window is not None else -1)
+                window_left=window[0] if window is not None else -1,
+                kv_layout="BHSD")
         bq, sq, hq, dd = out.shape
         return out.reshape(bq, sq, hq * dd)
 

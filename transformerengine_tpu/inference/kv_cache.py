@@ -56,6 +56,29 @@ def calibrate_kv_scale(k: jax.Array, v: jax.Array,
     return scale.reshape(1)
 
 
+def cache_append_bhsd(
+    cache_k: jax.Array,      # (B, Hkv, S_max, D) payload dtype
+    cache_v: jax.Array,
+    lengths: jax.Array,      # (B,)
+    k_new: jax.Array,        # (B, S_new, Hkv, D) high precision
+    v_new: jax.Array,
+    kv_scale: Optional[jax.Array] = None,
+):
+    """Append into a pre-transposed (B, Hkv, S, D) cache — the layout the
+    decode kernel reads directly (no per-step transpose copies)."""
+    dtype = cache_k.dtype
+    scale = kv_scale if kv_scale is not None else jnp.ones((1,), jnp.float32)
+    kq = quantize_for_cache(k_new, scale, dtype).transpose(0, 2, 1, 3)
+    vq = quantize_for_cache(v_new, scale, dtype).transpose(0, 2, 1, 3)
+
+    def put(cache, new, start):
+        return jax.lax.dynamic_update_slice(cache, new, (0, start, 0))
+
+    cache_k = jax.vmap(put)(cache_k, kq, lengths)
+    cache_v = jax.vmap(put)(cache_v, vq, lengths)
+    return cache_k, cache_v, lengths + k_new.shape[1]
+
+
 def cache_append(
     cache_k: jax.Array,      # (B, S_max, Hkv, D) payload dtype
     cache_v: jax.Array,

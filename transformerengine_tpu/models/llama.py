@@ -52,6 +52,19 @@ LLAMA_8B = LlamaConfig(vocab_size=128256, hidden_size=4096,
                        num_attention_heads=32, num_kv_heads=8)
 
 
+class _ScanBlock(TransformerLayer):
+    """TransformerLayer with the (carry, out) calling convention nn.scan
+    expects; encoded is fixed to None (decoder-only)."""
+
+    @nn.compact
+    def __call__(self, x, sequence_descriptor=None, positions=None,
+                 deterministic=True, inference_params=None):
+        y = TransformerLayer.__call__(
+            self, x, None, sequence_descriptor, positions, deterministic,
+            inference_params)
+        return y, None
+
+
 class LlamaModel(nn.Module):
     """Decoder-only transformer LM."""
 
@@ -77,36 +90,57 @@ class LlamaModel(nn.Module):
         x = nn.with_logical_constraint(
             x, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES))
 
-        layer_cls = TransformerLayer
-        if cfg.remat:
-            # args (excluding self): x, encoded, sequence_descriptor,
-            # positions, deterministic(4), inference_params(5) — the last
-            # two are static Python values.
-            layer_cls = nn.remat(
-                TransformerLayer,
-                static_argnums=(4, 5),
-                policy=jax.checkpoint_policies.nothing_saveable)
-        for i in range(cfg.num_layers):
-            x = layer_cls(
-                hidden_size=cfg.hidden_size,
-                mlp_hidden_size=cfg.intermediate_size,
-                num_attention_heads=cfg.num_attention_heads,
-                head_dim=cfg.head_dim,
-                num_gqa_groups=cfg.num_kv_heads,
-                layernorm_epsilon=cfg.norm_eps,
-                norm_type="rmsnorm",
-                mlp_activations="swiglu",
-                use_bias=False,
-                self_attn_mask_type=(
-                    AttnMaskType.PADDING_CAUSAL
-                    if sequence_descriptor is not None else
-                    AttnMaskType.CAUSAL),
-                enable_rotary_pos_emb=True,
-                rotary_pos_emb_base=cfg.rope_base,
-                max_seq_len=cfg.max_seq_len,
-                context_parallel_axis=cfg.context_parallel_axis,
-                dtype=cfg.dtype,
-                name=f"layer_{i}")(
+        layer_kwargs = dict(
+            hidden_size=cfg.hidden_size,
+            mlp_hidden_size=cfg.intermediate_size,
+            num_attention_heads=cfg.num_attention_heads,
+            head_dim=cfg.head_dim,
+            num_gqa_groups=cfg.num_kv_heads,
+            layernorm_epsilon=cfg.norm_eps,
+            norm_type="rmsnorm",
+            mlp_activations="swiglu",
+            use_bias=False,
+            self_attn_mask_type=(
+                AttnMaskType.PADDING_CAUSAL
+                if sequence_descriptor is not None else
+                AttnMaskType.CAUSAL),
+            enable_rotary_pos_emb=True,
+            rotary_pos_emb_base=cfg.rope_base,
+            max_seq_len=cfg.max_seq_len,
+            context_parallel_axis=cfg.context_parallel_axis,
+            dtype=cfg.dtype)
+
+        if cfg.scan_layers:
+            # One traced layer scanned num_layers times: compile time is
+            # O(1) in depth; params/cache/quantize_meta gain a leading
+            # layer axis (the reference relies on Megatron for this).
+            block = _ScanBlock
+            if cfg.remat:
+                block = nn.remat(
+                    _ScanBlock, static_argnums=(4, 5),
+                    policy=jax.checkpoint_policies.nothing_saveable)
+            scanned = nn.scan(
+                block,
+                variable_axes={"params": 0, "quantize_meta": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 4,
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: None},
+            )(**layer_kwargs, name="layers")
+            x, _ = scanned(x, sequence_descriptor, positions,
+                           deterministic, inference_params)
+        else:
+            layer_cls = TransformerLayer
+            if cfg.remat:
+                # args (excluding self): x, encoded, sequence_descriptor,
+                # positions, deterministic(4), inference_params(5) — the
+                # last two are static Python values.
+                layer_cls = nn.remat(
+                    TransformerLayer,
+                    static_argnums=(4, 5),
+                    policy=jax.checkpoint_policies.nothing_saveable)
+            for i in range(cfg.num_layers):
+                x = layer_cls(**layer_kwargs, name=f"layer_{i}")(
                     x, None, sequence_descriptor, positions,
                     deterministic, inference_params)
 

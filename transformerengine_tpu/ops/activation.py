@@ -54,6 +54,22 @@ def srelu(x):
     return jnp.where(x > 0, x * x, 0.0)
 
 
+def clamped_silu(x, limit: float = 7.0, alpha: float = 1.702):
+    """GPT-OSS-style clamped SiLU: v*sigmoid(alpha*v), v = min(x, limit)
+    (reference: util/math.h clamped_silu / ClampedSwiGLUParam)."""
+    v = jnp.minimum(x.astype(jnp.float32), limit)
+    return v * jax.nn.sigmoid(alpha * v)
+
+
+def clamped_swiglu(x, limit: float = 7.0, alpha: float = 1.702,
+                   linear_offset: float = 1.0):
+    """Gated clamped swiglu on [..., 2, H] input (reference:
+    nvte_clamped_swiglu, vectorized_pointwise.h gate clamp+offset)."""
+    act = clamped_silu(x[..., 0, :], limit, alpha)
+    gate = jnp.clip(x[..., 1, :].astype(jnp.float32), -limit, limit)         + linear_offset
+    return (act * gate).astype(x.dtype)
+
+
 _ACT = {
     "gelu": gelu,
     "qgelu": qgelu,

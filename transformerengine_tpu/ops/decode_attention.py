@@ -6,11 +6,15 @@ pytorch/attention/inference.py). One query token per sequence attends
 over its cached history; the kernel streams the cache from HBM in
 blocks with an online softmax, dequantizing FP8 payloads in VMEM
 (per-layer scalar scale) — decode is HBM-bandwidth-bound, so FP8 cache
-halves the bytes and nearly doubles tokens/s.
+halves the bytes.
 
-Layout: q (B, Hkv, G, D) where G = Hq // Hkv (GQA group as the sublane
-dim so the MXU sees a (G, S_blk) matmul per kv head), cache
-(B, S_max, Hkv, D), lengths (B,).
+Grid note: all KV heads are processed per program ((B, S-blocks) grid)
+so each cache DMA moves Hkv*block_s*D bytes — per-(batch, head) grids
+measured DMA-latency-bound on v5e (128 x 64KB transfers = 0.27 ms/layer;
+this layout is ~16 x 0.5 MB).
+
+Layout: q (B, Hkv, G, D) where G = Hq // Hkv, cache (B, S_max, Hkv, D)
+transposed to (B, Hkv, S, D) outside, lengths (B,).
 """
 from __future__ import annotations
 
@@ -34,7 +38,7 @@ def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
                    acc_ref, m_ref, l_ref, *,
                    scale: float, block_s: int, num_s_blocks: int,
                    window_left: int):
-    bi, hk, si = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bi, si = pl.program_id(0), pl.program_id(1)
 
     @pl.when(si == 0)
     def _init():
@@ -51,35 +55,37 @@ def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(run)
     def _body():
         kv_scale = scales_ref[0]
-        q = q_ref[0, 0].astype(jnp.float32)                    # (G, D)
-        k = k_ref[0, 0].astype(jnp.float32) * kv_scale         # (block_s, D)
+        q = q_ref[0].astype(jnp.float32)                     # (Hkv, G, D)
+        k = k_ref[0].astype(jnp.float32) * kv_scale          # (Hkv, S, D)
+        # batched over kv heads: (Hkv, G, S)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (G, block_s)
-        kpos = s_start + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        kpos = s_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = kpos < length
         if window_left >= 0:
             mask = jnp.logical_and(mask, kpos >= length - 1 - window_left)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[...]                                  # (Hkv, G, 128)
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
         alpha = jnp.where(m_new <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
-        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :, :1]), 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+            jnp.sum(p, axis=2, keepdims=True), l_ref.shape)
         m_ref[...] = m_new
-        v = v_ref[0, 0].astype(jnp.float32) * kv_scale         # (block_s, D)
-        acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        v = v_ref[0].astype(jnp.float32) * kv_scale          # (Hkv, S, D)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (Hkv, G, D)
+        acc_ref[...] = acc_ref[...] * alpha[:, :, :1] + pv
 
     @pl.when(si == num_s_blocks - 1)
     def _epilogue():
         l = l_ref[..., :1]
         l_safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
 
 
 def decode_attention(
@@ -93,6 +99,7 @@ def decode_attention(
     window_left: int = -1,
     block_s: int = DEFAULT_BLOCK_S,
     out_dtype=None,
+    kv_layout: str = "BSHD",   # "BHSD" = cache already (B, Hkv, S, D)
 ) -> jax.Array:
     """Returns (B, 1, Hq, D) attention output of the newest token."""
     squeeze = False
@@ -100,7 +107,10 @@ def decode_attention(
         q = q[:, None]
         squeeze = True
     b, one, hq, d = q.shape
-    s_max, hkv = k_cache.shape[1], k_cache.shape[2]
+    if kv_layout == "BHSD":
+        s_max, hkv = k_cache.shape[2], k_cache.shape[1]
+    else:
+        s_max, hkv = k_cache.shape[1], k_cache.shape[2]
     g = hq // hkv
     scale = scaling_factor if scaling_factor is not None else 1.0 / d ** 0.5
     out_dtype = out_dtype or (
@@ -109,48 +119,67 @@ def decode_attention(
         kv_scale = jnp.ones((1,), jnp.float32)
     kv_scale = jnp.asarray(kv_scale, jnp.float32).reshape(1)
 
-    # Pad the cache view to a whole number of blocks so the kernel never
-    # reads past the array (padded positions are masked by `lengths`).
-    block_s = min(block_s, -(-s_max // 8) * 8)
+    # Prefer the LARGEST block (up to 1024) dividing s_max exactly —
+    # padding would copy the whole cache every step, and small blocks are
+    # DMA-latency-bound. Allocate caches at multiples of 128.
+    chosen = None
+    for cand in (1024, 896, 768, 640, 512, 384, 256, 128, 64, 32, 16, 8):
+        if cand <= s_max and s_max % cand == 0:
+            chosen = cand
+            break
+    if chosen is not None:
+        block_s = chosen
+    else:
+        block_s = min(block_s, -(-s_max // 8) * 8)
     s_pad = -(-s_max // block_s) * block_s
     if s_pad != s_max:
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, s_pad - s_max), (0, 0), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, s_pad - s_max), (0, 0), (0, 0)))
+        axis = 2 if kv_layout == "BHSD" else 1
+        pads = [(0, 0)] * 4
+        pads[axis] = (0, s_pad - s_max)
+        k_cache = jnp.pad(k_cache, pads)
+        v_cache = jnp.pad(v_cache, pads)
         s_max = s_pad
     ns = pl.cdiv(s_max, block_s)
     # (B, Hkv, G, D): GQA group in sublanes.
     qg = q[:, 0].reshape(b, hkv, g, d)
-    # Cache to (B, Hkv, S, D) blocks via index maps on the (B, S, Hkv, D)
-    # layout — transpose outside (XLA fuses it into the producer).
-    kt = k_cache.transpose(0, 2, 1, 3)
-    vt = v_cache.transpose(0, 2, 1, 3)
+    if kv_layout == "BHSD":
+        kt, vt = k_cache, v_cache
+    else:
+        kt = k_cache.transpose(0, 2, 1, 3)
+        vt = v_cache.transpose(0, 2, 1, 3)
 
     kernel = functools.partial(
         _decode_kernel, scale=float(scale), block_s=block_s, num_s_blocks=ns,
         window_left=window_left)
     out = pl.pallas_call(
         kernel,
-        grid=(b, hkv, ns),
+        grid=(b, ns),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # lengths (B,)
             pl.BlockSpec(memory_space=pltpu.SMEM),     # kv scale (1,)
-            pl.BlockSpec((1, 1, g, d), lambda bi, hk, si: (bi, hk, 0, 0),
+            pl.BlockSpec((1, hkv, g, d), lambda bi, si: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_s, d),
-                         lambda bi, hk, si: (bi, hk, si, 0),
+            pl.BlockSpec((1, hkv, block_s, d),
+                         lambda bi, si: (bi, 0, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_s, d),
-                         lambda bi, hk, si: (bi, hk, si, 0),
+            pl.BlockSpec((1, hkv, block_s, d),
+                         lambda bi, si: (bi, 0, si, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hk, si: (bi, hk, 0, 0),
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, si: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((g, d), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.VMEM((hkv, g, 128), jnp.float32),
+            pltpu.VMEM((hkv, g, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s_max * d,
+            bytes_accessed=2 * b * hkv * s_max * d * k_cache.dtype.itemsize,
+            transcendentals=b * hq * s_max),
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), kv_scale, qg, kt, vt)
     out = out.reshape(b, 1, hq, d)
