@@ -93,3 +93,34 @@ class TestBackendSelection:
     def test_default_is_flash(self):
         from transformerengine_tpu.attention import get_attention_backend
         assert get_attention_backend() is AttnBackend.FLASH
+
+
+class TestSoftmaxTypes:
+    def test_off_by_one_reduces_mass(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        q, k, v = _make_qkv(1, 16, 16, 2, 2, 32)
+        vanilla = fused_attn((q, k, v), backend=AttnBackend.UNFUSED)
+        oboe = fused_attn((q, k, v), backend=AttnBackend.UNFUSED,
+                          softmax_type=SoftmaxType.OFF_BY_ONE)
+        # sink absorbs mass -> outputs shrink but direction preserved
+        assert float(jnp.linalg.norm(oboe)) < float(jnp.linalg.norm(vanilla))
+
+    def test_learnable_sink_matches_off_by_one_at_zero(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        q, k, v = _make_qkv(1, 16, 16, 2, 2, 32)
+        oboe = fused_attn((q, k, v), backend=AttnBackend.UNFUSED,
+                          softmax_type=SoftmaxType.OFF_BY_ONE)
+        learn = fused_attn((q, k, v), backend=AttnBackend.UNFUSED,
+                           softmax_type=SoftmaxType.LEARNABLE,
+                           softmax_offset=jnp.zeros((2,)))
+        assert jnp.allclose(oboe, learn, atol=1e-6)
+
+    def test_learnable_sink_grads(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        q, k, v = _make_qkv(1, 16, 16, 2, 2, 32)
+        g = jax.grad(lambda off: jnp.sum(fused_attn(
+            (q, k, v), backend=AttnBackend.UNFUSED,
+            softmax_type=SoftmaxType.LEARNABLE,
+            softmax_offset=off) ** 2))(jnp.zeros((2,)))
+        assert g.shape == (2,)
+        assert jnp.any(g != 0)

@@ -152,3 +152,27 @@ class TestPagedDecodeAttention:
                                jnp.array([10]))
         # fp8 cache vs exact bf16 reference: e4m3 payload noise
         assert jnp.max(jnp.abs(out - ref)) < 0.12
+
+
+class TestSampling:
+    def test_topk_restricts_support(self):
+        from transformerengine_tpu.inference.engine import _sample
+        logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+        keys = jax.random.split(jax.random.PRNGKey(0), 200)
+        toks = jnp.stack([_sample(logits, k, 1.0, top_k=2)[0] for k in keys[:50]])
+        assert jnp.all(toks < 2)
+
+    def test_topp_restricts_support(self):
+        from transformerengine_tpu.inference.engine import _sample
+        logits = jnp.log(jnp.array([[0.6, 0.3, 0.07, 0.03]]))
+        keys = jax.random.split(jax.random.PRNGKey(1), 50)
+        toks = jnp.stack([_sample(logits, k, 1.0, top_p=0.85)[0] for k in keys])
+        assert jnp.all(toks < 2)   # nucleus {0.6, 0.3}
+
+    def test_generate_with_sampling_runs(self):
+        model = LlamaModel(config=LLAMA_TINY)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 1, 256)
+        out = generate(model, model.init(jax.random.PRNGKey(1), tokens),
+                       tokens, jnp.full((1,), 8, jnp.int32), 4,
+                       temperature=0.8, top_k=40, top_p=0.95)
+        assert out.shape == (1, 4)

@@ -85,6 +85,14 @@ class QKVLayout(enum.Enum):
                         QKVLayout.THD_THD_THD)
 
 
+class SoftmaxType(enum.Enum):
+    """Softmax variants in fused attention (reference: fused_attn.h
+    NVTE_Softmax_Type — vanilla / off-by-one / learnable)."""
+    VANILLA = "vanilla"
+    OFF_BY_ONE = "off_by_one"      # +1 in the denominator (attention sink)
+    LEARNABLE = "learnable"        # per-head learnable sink logit
+
+
 class AttnBackend(enum.Enum):
     AUTO = "auto"
     FLASH = "flash"      # Pallas TPU kernel
@@ -226,6 +234,8 @@ def _unfused_attn(
     dropout_rng,
     attn_bias_type: AttnBiasType,
     is_training: bool,
+    softmax_type: SoftmaxType = SoftmaxType.VANILLA,
+    softmax_offset=None,
 ):
     b, sq, hq, d = q.shape
     hkv = k.shape[2]
@@ -245,7 +255,20 @@ def _unfused_attn(
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
+    if softmax_type is not SoftmaxType.VANILLA:
+        # Sink column: logit 0 (off-by-one) or a learnable per-head value
+        # (reference: softmax off-by-one / learnable types). The sink
+        # absorbs probability mass and is dropped after normalization.
+        bshape = (logits.shape[0], logits.shape[1], logits.shape[2], 1)
+        if softmax_type is SoftmaxType.LEARNABLE:
+            off = softmax_offset.reshape(1, -1, 1, 1).astype(jnp.float32)
+            sink = jnp.broadcast_to(off, bshape)
+        else:
+            sink = jnp.zeros(bshape, jnp.float32)
+        aug = jnp.concatenate([logits, sink], axis=-1)
+        probs = jax.nn.softmax(aug, axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     if mask is not None:
         # Rows with no valid keys produce uniform softmax garbage; zero them.
         any_valid = jnp.any(mask, axis=-1, keepdims=True)
@@ -309,6 +332,8 @@ def fused_attn(
     is_training: bool = True,
     window_size: Optional[Tuple[int, int]] = None,
     mask: Optional[jax.Array] = None,
+    softmax_type: SoftmaxType = SoftmaxType.VANILLA,
+    softmax_offset: Optional[jax.Array] = None,   # (H,) learnable sink
     backend: AttnBackend = AttnBackend.AUTO,
     context_parallel_strategy: CPStrategy = CPStrategy.DEFAULT,
     context_parallel_axis: str = "",
@@ -360,6 +385,8 @@ def fused_attn(
             head_dim=q.shape[-1], dropout_probability=dropout_probability,
             is_training=is_training, has_explicit_mask=mask is not None,
             window_size=window_size)
+    if softmax_type is not SoftmaxType.VANILLA:
+        chosen = AttnBackend.UNFUSED   # sink softmax not in the Pallas kernel
 
     if chosen is AttnBackend.FLASH:
         from .ops.flash_attention import flash_attention
@@ -383,4 +410,6 @@ def fused_attn(
         dropout_probability=dropout_probability,
         dropout_rng=rng,
         attn_bias_type=attn_bias_type,
-        is_training=is_training)
+        is_training=is_training,
+        softmax_type=softmax_type,
+        softmax_offset=softmax_offset)

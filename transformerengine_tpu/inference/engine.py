@@ -19,16 +19,31 @@ import jax.numpy as jnp
 from .kv_cache import InferenceParams
 
 
-def _sample(logits, key, temperature: float):
+def _sample(logits, key, temperature: float, top_k: int = 0,
+            top_p: float = 1.0):
+    """Greedy / temperature / top-k / nucleus sampling."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(
-        key, logits.astype(jnp.float32) / temperature, axis=-1).astype(jnp.int32)
+    x = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(x, top_k)[0][..., -1:]
+        x = jnp.where(x < kth, -jnp.inf, x)
+    if top_p < 1.0:
+        sorted_x = jnp.sort(x, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest logit still inside the nucleus
+        inside = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(inside, sorted_x, jnp.inf),
+                         axis=-1, keepdims=True)
+        x = jnp.where(x < cutoff, -jnp.inf, x)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5))
+@partial(jax.jit, static_argnums=(0, 3, 5, 7, 8))
 def prefill(model, variables, tokens, inference_params: InferenceParams,
-            prompt_lengths, temperature: float = 0.0, rng_seed=0):
+            prompt_lengths, temperature: float = 0.0, rng_seed=0,
+            top_k: int = 0, top_p: float = 1.0):
     """Run the prompt through the model, filling the cache.
     Returns (first sampled token (B,), cache collection)."""
     from ..attention import SequenceDescriptor
@@ -43,7 +58,8 @@ def prefill(model, variables, tokens, inference_params: InferenceParams,
     cache = _adjust_lengths(cache, -pad)
     last = jnp.take_along_axis(
         logits, (prompt_lengths - 1)[:, None, None], axis=1)[:, 0]
-    tok = _sample(last, jax.random.PRNGKey(rng_seed), temperature)
+    tok = _sample(last, jax.random.PRNGKey(rng_seed), temperature,
+                  top_k, top_p)
     return tok, cache
 
 
@@ -55,10 +71,11 @@ def _adjust_lengths(cache, delta):
     return jax.tree_util.tree_map_with_path(fix, cache)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 8, 9))
 def decode_steps(model, variables, cache, first_token,
                  inference_params: InferenceParams, num_steps: int,
-                 temperature: float = 0.0, rng=None):
+                 temperature: float = 0.0, rng=None,
+                 top_k: int = 0, top_p: float = 1.0):
     """Greedy/temperature decode of ``num_steps`` tokens as one jitted
     lax.scan (the reference needs CUDA graphs for this; jit suffices)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -70,7 +87,7 @@ def decode_steps(model, variables, cache, first_token,
         logits, mutated = model.apply(
             {**base, "cache": cache}, tok[:, None], deterministic=True,
             inference_params=inference_params, mutable=["cache"])
-        nxt = _sample(logits[:, -1], sub, temperature)
+        nxt = _sample(logits[:, -1], sub, temperature, top_k, top_p)
         return (nxt, mutated["cache"], rng), nxt
 
     (_, cache, _), toks = jax.lax.scan(
@@ -87,6 +104,8 @@ def generate(
     *,
     inference_params: Optional[InferenceParams] = None,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     kv_cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """End-to-end generation. Returns (B, max_new_tokens)."""
@@ -97,7 +116,8 @@ def generate(
             max_sequence_length=sp + max_new_tokens,
             kv_cache_dtype=jnp.dtype(kv_cache_dtype))
     first, cache = prefill(model, variables, prompt_tokens, inference_params,
-                           prompt_lengths, temperature)
+                           prompt_lengths, temperature, 0, top_k, top_p)
     toks, _ = decode_steps(model, variables, cache, first, inference_params,
-                           max_new_tokens - 1, temperature)
+                           max_new_tokens - 1, temperature, None, top_k,
+                           top_p)
     return jnp.concatenate([first[:, None], toks], axis=1)
