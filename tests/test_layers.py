@@ -154,3 +154,57 @@ class TestClampedSwiGLU:
         x = jnp.full((1, 2, 4), 100.0)  # both sides beyond the limit
         g = jax.grad(lambda x: jnp.sum(clamped_swiglu(x)))(x)
         assert jnp.allclose(g, 0.0)     # fully clamped -> zero grad
+
+
+class TestMHC:
+    """Manifold hyper-connections (reference: common/triton/mhc.py)."""
+
+    def test_sinkhorn_doubly_stochastic(self):
+        from transformerengine_tpu.ops.mhc import mhc_sinkhorn
+        h = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 4, 4)) * 2
+        p = mhc_sinkhorn(h)
+        # the loop normalizes columns last -> column sums exact, rows
+        # converge to ~1 within Sinkhorn tolerance
+        assert jnp.allclose(p.sum(-2), 1.0, atol=1e-5)
+        assert jnp.allclose(p.sum(-1), 1.0, atol=5e-3)
+        assert jnp.all(p >= 0)
+
+    def test_scale_gate_ranges(self):
+        from transformerengine_tpu.ops.mhc import mhc_projection, mhc_scale
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 64))
+        phi = jax.random.normal(jax.random.PRNGKey(1), (24, 64)) * 0.1
+        h, ms = mhc_projection(x, phi)
+        assert h.shape == (16, 24) and ms.shape == (16,)
+        pre, post, res = mhc_scale(h, jnp.ones(3), jnp.zeros(24), ms)
+        assert jnp.all((pre > 0) & (pre < 1))       # sigmoid
+        assert jnp.all((post > 0) & (post < 2))     # 2*sigmoid
+        assert res.shape == (16, 16)
+
+    def test_block_end_to_end_grads(self):
+        from transformerengine_tpu.ops.mhc import mhc_block
+        s, b, c, n = 4, 2, 32, 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (s, b, c, n))
+        phi = jax.random.normal(jax.random.PRNGKey(1), (24, c * n)) * 0.05
+        w = jax.random.normal(jax.random.PRNGKey(2), (c, c)) * 0.1
+
+        def loss(x, phi, w):
+            out = mhc_block(x, lambda a: a @ w, phi, jnp.ones(3),
+                            jnp.zeros(24))
+            return jnp.sum(out ** 2)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, phi, w)
+        assert jnp.isfinite(val)
+        for g in grads:
+            assert jnp.all(jnp.isfinite(g))
+
+    def test_identity_mixing_preserves_stream(self):
+        """With H_res -> permutation-free identity-ish gates the block
+        reduces to a plain residual update."""
+        from transformerengine_tpu.ops.mhc import mhc_expand_combine
+        s, b, c, n = 2, 1, 8, 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (s, b, c, n))
+        f = jnp.zeros((s, b, c))
+        h_post = jnp.zeros((s, b, n))
+        h_res = jnp.broadcast_to(jnp.eye(n), (s, b, n, n))
+        out = mhc_expand_combine(f, None, h_post, x, h_res)
+        assert jnp.allclose(out, x, atol=1e-6)

@@ -299,3 +299,32 @@ class TestNVFP42D:
         qx = QuantizerFactory.create(recipe, "x")
         tx = qx.quantize(w)
         assert tx.rowwise.scale_inv.shape == (64, 4)
+
+
+class TestNVFP44over6:
+    """Four Over Six adaptive block scaling (reference:
+    cast/nvfp4/quantize_4over6_nvfp4.cuh)."""
+
+    def test_never_worse_than_plain(self):
+        from transformerengine_tpu.quantize import qmath
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 3
+        d6, s6, t6, _ = qmath.nvfp4_quantize(x)
+        d46, s46, t46, _ = qmath.nvfp4_quantize(x, four_over_six=True)
+
+        def err(d, s, t):
+            from transformerengine_tpu.quantize.tensor import make_scaled_tensor
+            from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+            tt = make_scaled_tensor(d, s, scaling_mode=ScalingMode.NVFP4_1D_SCALING,
+                                    dq_dtype=jnp.float32, tensor_scale_inv=t)
+            return float(jnp.mean(jnp.square(tt.dequantize() - x)))
+
+        assert err(d46, s46, t46) <= err(d6, s6, t6) * 1.0001
+
+    def test_recipe_plumbing(self):
+        import dataclasses
+        import transformerengine_tpu as te
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+        r = dataclasses.replace(te.NVFP4BlockScaling(), nvfp4_4over6="weights")
+        qw = QuantizerFactory.create(r, "kernel")
+        qx = QuantizerFactory.create(r, "x")
+        assert qw.four_over_six and not qx.four_over_six

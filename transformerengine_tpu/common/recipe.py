@@ -138,6 +138,9 @@ class NVFP4BlockScaling(Recipe):
     fp4_quant_fwd_weight: QParams = QParams(fp4_2d_quantization=False)
     fp4_quant_bwd_grad: QParams = QParams(
         random_hadamard_transform=True, stochastic_rounding=True)
+    # 4over6 adaptive block scaling per tensor class
+    # (reference: recipe/__init__.py:527 nvfp4_4over6)
+    nvfp4_4over6: str = "none"   # none | weights | activations | all
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,12 +115,17 @@ class QuantizerFactory:
                   "dgrad": recipe.fp4_quant_bwd_grad}[role]
             mode = (ScalingMode.NVFP4_2D_SCALING if qp.fp4_2d_quantization
                     else ScalingMode.NVFP4_1D_SCALING)
+            fos = getattr(recipe, "nvfp4_4over6", "none")
+            fos_on = (fos == "all"
+                      or (fos == "weights" and role == "kernel")
+                      or (fos == "activations" and role == "x"))
             return NVFP4Quantizer(
                 q_dtype=recipe.fp4_format.bwd_dtype if is_bwd else recipe.fp4_format.fwd_dtype,
                 scaling_mode=mode,
                 q_layout=q_layout,
                 with_rht=qp.random_hadamard_transform,
                 stochastic_rounding=qp.stochastic_rounding,
+                four_over_six=fos_on,
             )
         dtype = recipe.fp8_format.bwd_dtype if is_bwd else recipe.fp8_format.fwd_dtype
         if isinstance(recipe, DelayedScaling):

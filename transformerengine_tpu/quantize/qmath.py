@@ -206,7 +206,7 @@ def block_quantize(x2d, q_dtype, br: int, bc: int, pow2_scales: bool = True, key
 # ---------------------------------------------------------------------------
 
 def nvfp4_quantize(x2d, key=None, global_amax: Optional[jax.Array] = None,
-                   block_shape=(1, 16)):
+                   block_shape=(1, 16), four_over_six: bool = False):
     """NVFP4: FP4E2M1 data, E4M3 scale per block ((1,16) 1D or (16,16) 2D
     weight mode), fp32 per-tensor second-level scale (reference:
     common/cast/nvfp4, recipe/nvfp4.cu; QParams.fp4_2d_quantization).
@@ -221,9 +221,32 @@ def nvfp4_quantize(x2d, key=None, global_amax: Optional[jax.Array] = None,
     # Second level: map the largest block-scale (amax/6) to E4M3 max.
     tensor_scale = jnp.where(amax > 0, amax / (fp4_max * e4m3_max), jnp.float32(1.0))
     block_amax = _block_amax(x2d, br, bc)
-    s_dec = block_amax / fp4_max
-    s_e4m3 = saturate_cast(s_dec / tensor_scale, float8_e4m3)
-    s_eff = s_e4m3.astype(jnp.float32) * tensor_scale
-    inv = jnp.where(s_eff > 0, 1.0 / jnp.maximum(s_eff, _F32_TINY), 0.0)
-    data = _cast(x2d.astype(jnp.float32) * _expand_scales(inv, br, bc, r, c), float4_e2m1, key)
+
+    def encode(s_dec):
+        s_e4m3 = saturate_cast(s_dec / tensor_scale, float8_e4m3)
+        s_eff = s_e4m3.astype(jnp.float32) * tensor_scale
+        inv = jnp.where(s_eff > 0, 1.0 / jnp.maximum(s_eff, _F32_TINY), 0.0)
+        data = _cast(x2d.astype(jnp.float32)
+                     * _expand_scales(inv, br, bc, r, c), float4_e2m1, key)
+        return data, s_e4m3, s_eff
+
+    data, s_e4m3, s_eff = encode(block_amax / fp4_max)
+    if four_over_six:
+        # Four Over Six (reference: cast/nvfp4/quantize_4over6_nvfp4.cuh):
+        # a second candidate expands the block scale 1.5x so FP4 value 4
+        # covers the range value 6 covers normally; per block, keep the
+        # encoding with lower squared dequantization error (ties -> 6).
+        data4, s4_e4m3, s4_eff = encode(block_amax / 4.0)
+
+        def block_err(d, eff):
+            dq = d.astype(jnp.float32) * _expand_scales(eff, br, bc, r, c)
+            e = jnp.square(x2d.astype(jnp.float32) - dq)
+            gr, gc = -(-r // br), -(-c // bc)
+            ep = jnp.pad(e, ((0, gr * br - r), (0, gc * bc - c)))
+            return ep.reshape(gr, br, gc, bc).sum(axis=(1, 3))
+
+        use4 = block_err(data4, s4_eff) < block_err(data, s_eff)
+        s_e4m3 = jnp.where(use4, s4_e4m3, s_e4m3)
+        use4_full = _expand_scales(use4, br, bc, r, c)
+        data = jnp.where(use4_full, data4, data)
     return data, s_e4m3, tensor_scale.reshape(1), amax

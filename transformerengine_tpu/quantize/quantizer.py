@@ -244,6 +244,7 @@ class NVFP4Quantizer(Quantizer):
     with_rht: bool = dataclasses.field(default=False, metadata=dict(static=True))
     rht_sign_mask: int = dataclasses.field(default=0, metadata=dict(static=True))
     stochastic_rounding: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    four_over_six: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def _quantize_2d(self, x2d, key, is_colwise=False):
         # RHT is applied only to the colwise usage: the two colwise
@@ -256,7 +257,8 @@ class NVFP4Quantizer(Quantizer):
         if not self.stochastic_rounding:
             key = None
         data, block_scale, ts_inv, amax = qmath.nvfp4_quantize(
-            x2d, key, block_shape=self.scaling_mode.block_shape)
+            x2d, key, block_shape=self.scaling_mode.block_shape,
+            four_over_six=self.four_over_six)
         return data, block_scale, ts_inv, amax
 
 
