@@ -129,12 +129,16 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
             return t
         if t.scaling_mode.is_tensor_scaling:
             post_scale = post_scale * t.scale_inv.astype(jnp.float32).reshape(())
-            # Feed the fp8 payload DIRECTLY to dot_general: XLA fuses the
-            # upconvert into the matmul operand load (measured 2.05x over
-            # bf16 weights on v5e decode — 755 GB/s of fp8 bytes). An
-            # explicit astype(bf16) here gets hoisted out of decode loops
-            # and materializes a bf16 copy, erasing the fp8 win.
-            return t.data
+            if t.resident:
+                # HBM-resident payload (prequantized weight / cache): feed
+                # fp8 DIRECTLY so XLA streams 1 byte/param (755 GB/s
+                # measured; an astype here would hoist out of decode loops
+                # and materialize a bf16 copy).
+                return t.data
+            # In-graph quantized tensor: the bf16 cast fuses into the
+            # producing quantize; direct fp8 operands measured SLOWER for
+            # training steps (0.73x vs 0.87x of bf16).
+            return t.data.astype(jnp.bfloat16)
         if t.tensor_scale_inv is not None:
             post_scale = post_scale * t.tensor_scale_inv.astype(jnp.float32).reshape(())
         return _dq_block_to_bf16(t)

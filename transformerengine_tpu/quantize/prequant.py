@@ -53,8 +53,10 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Recipe,
     for d in kernel.shape[:n_cdims]:
         k *= d
     n = kernel.size // k
+    import dataclasses as _dc
     q = QuantizerFactory.create(recipe, "kernel", QuantizeLayout.COLWISE)
     t = q.quantize(kernel.reshape(k, n), dq_dtype=kernel.dtype)
+    t = _dc.replace(t, resident=True)
     return PrequantizedKernel(colwise=t, logical_shape=tuple(kernel.shape))
 
 

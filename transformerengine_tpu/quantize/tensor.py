@@ -59,6 +59,11 @@ class ScaledTensor1x:
     # Boundary between "row" dims and "col" dims of the stored data when
     # treated as a 2D matrix for block-scale purposes.
     flatten_axis: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # True for tensors that LIVE in HBM across steps (prequantized weights,
+    # KV caches): matmuls feed the fp8 payload directly so XLA streams
+    # 1 byte/param. False (default) for in-graph quantized tensors, where
+    # an explicit bf16 cast fuses into the producing quantize instead.
+    resident: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def __post_init__(self):
         assert self.layout in ("N", "T"), self.layout
@@ -147,6 +152,7 @@ def make_scaled_tensor(
     tensor_scale_inv=None,
     layout: str = "N",
     flatten_axis: int = -1,
+    resident: bool = False,
 ) -> ScaledTensor1x:
     return ScaledTensor1x(
         data=data,
@@ -157,4 +163,5 @@ def make_scaled_tensor(
         dq_dtype=jnp.dtype(dq_dtype),
         layout=layout,
         flatten_axis=flatten_axis,
+        resident=resident,
     )
