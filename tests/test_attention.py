@@ -124,3 +124,41 @@ class TestSoftmaxTypes:
             softmax_offset=off) ** 2))(jnp.zeros((2,)))
         assert g.shape == (2,)
         assert jnp.any(g != 0)
+
+
+class TestFlashBias:
+    def test_post_scale_bias_fwd_matches_unfused(self):
+        from transformerengine_tpu.attention import AttnBiasType
+        q, k, v = _make_qkv(2, 128, 128, 4, 4, 64)
+        bias = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 128, 128)) * 0.5
+        o_ref = fused_attn((q, k, v), bias=bias,
+                           attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                           attn_mask_type=AttnMaskType.CAUSAL,
+                           backend=AttnBackend.UNFUSED, is_training=False)
+        o_fl = fused_attn((q, k, v), bias=bias,
+                          attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                          attn_mask_type=AttnMaskType.CAUSAL,
+                          backend=AttnBackend.FLASH, is_training=False)
+        assert jnp.max(jnp.abs(o_ref - o_fl)) < 5e-6
+
+    def test_broadcast_batch_bias(self):
+        from transformerengine_tpu.attention import AttnBiasType
+        q, k, v = _make_qkv(2, 64, 64, 2, 2, 64)
+        bias = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 64)) * 0.5
+        o_ref = fused_attn((q, k, v), bias=bias,
+                           attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                           backend=AttnBackend.UNFUSED, is_training=False)
+        o_fl = fused_attn((q, k, v), bias=bias,
+                          attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                          backend=AttnBackend.FLASH, is_training=False)
+        assert jnp.max(jnp.abs(o_ref - o_fl)) < 5e-6
+
+    def test_training_with_bias_selects_unfused(self):
+        from transformerengine_tpu.attention import (
+            AttnBiasType, get_attention_backend)
+        assert get_attention_backend(
+            attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+            is_training=True) is AttnBackend.UNFUSED
+        assert get_attention_backend(
+            attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+            is_training=False) is AttnBackend.FLASH

@@ -303,8 +303,10 @@ def get_attention_backend(
         return AttnBackend.UNFUSED
     if env == "flash":
         return AttnBackend.FLASH
-    if attn_bias_type is not AttnBiasType.NO_BIAS:
-        return AttnBackend.UNFUSED     # bias dgrad not in the Pallas kernel yet
+    if attn_bias_type is AttnBiasType.POST_SCALE_BIAS and not is_training:
+        pass                           # fwd-only bias is in the Pallas kernel
+    elif attn_bias_type is not AttnBiasType.NO_BIAS:
+        return AttnBackend.UNFUSED     # bias dgrad not in the Pallas kernel
     if dropout_probability > 0.0 and is_training:
         return AttnBackend.UNFUSED
     if has_explicit_mask:
@@ -394,7 +396,9 @@ def fused_attn(
             q, k, v, sequence_descriptor,
             attn_mask_type=attn_mask_type,
             scaling_factor=scaling_factor,
-            window_size=window_size)
+            window_size=window_size,
+            bias=(bias if attn_bias_type is AttnBiasType.POST_SCALE_BIAS
+                  else None))
 
     full_mask = mask
     if full_mask is None and (

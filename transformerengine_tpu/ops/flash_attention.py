@@ -37,9 +37,11 @@ def _ceil_to(x: int, m: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
+                o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
                 scale: float, causal: bool, use_segments: bool,
+                use_bias: bool,
                 window: Tuple[int, int], offset: int,
                 block_q: int, block_k: int, num_k_blocks: int):
     iq, ik = pl.program_id(2), pl.program_id(3)
@@ -70,6 +72,8 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_re
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if use_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
 
         qpos = q_start + off + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
@@ -116,8 +120,8 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_re
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
 
 
-def _flash_fwd(q, k, v, qseg, kseg, qoff, *, scale, causal, window, offset,
-               block_q, block_k):
+def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
+               window, offset, block_q, block_k):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
@@ -137,10 +141,27 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, *, scale, causal, window, offset,
         kseg = jnp.zeros((b, 8, 128), jnp.int32)
 
     grid = (b, hq, nq, nk)
+    use_bias = bias is not None
+    if use_bias:
+        # (Bb, H, Sq, Skv); Bb == b or 1 (broadcast over batch)
+        bias_b = bias.shape[0]
+    else:
+        bias = jnp.zeros((1, 1, 8, 128), jnp.float32)
+        bias_b = 1
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, use_segments=use_segments,
+        use_bias=use_bias,
         window=window, offset=offset, block_q=block_q, block_k=block_k,
         num_k_blocks=nk)
+    if use_bias:
+        bias_spec = pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            lambda bi, h, iq, ik: (bi % bias_b if bias_b > 1 else 0, h, iq, ik),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((1, 1, 8, 128),
+                                 lambda bi, h, iq, ik: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     if use_segments:
         seg_q_spec = pl.BlockSpec((1, block_q, 128),
@@ -170,6 +191,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, *, scale, causal, window, offset,
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bi, h, iq, ik: (bi, h // group, ik, 0),
                          memory_space=pltpu.VMEM),
+            bias_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d),
@@ -189,7 +211,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, *, scale, causal, window, offset,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qoff, qseg, kseg, q, k, v)
+    )(qoff, qseg, kseg, q, k, v, bias)
     return o, lse[..., 0]
 
 
@@ -450,28 +472,32 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
 # custom_vjp wrapper (BSHD user layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _flash_core(q, k, v, qseg, kseg, qoff, scale, causal, window, offset,
-                blocks):
-    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, scale, causal, window,
-                           offset, blocks)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _flash_core(q, k, v, qseg, kseg, qoff, bias, scale, causal, window,
+                offset, blocks):
+    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, scale, causal,
+                           window, offset, blocks)
     return o
 
 
-def _flash_core_fwd(q, k, v, qseg, kseg, qoff, scale, causal, window, offset,
-                    blocks):
-    o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, scale=scale, causal=causal,
-                        window=window, offset=offset,
+def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, scale, causal, window,
+                    offset, blocks):
+    o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, bias, scale=scale,
+                        causal=causal, window=window, offset=offset,
                         block_q=blocks[0], block_k=blocks[1])
-    return o, (q, k, v, o, lse, qseg, kseg, qoff)
+    return o, (q, k, v, o, lse, qseg, kseg, qoff, bias is not None)
 
 
 def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
-    q, k, v, o, lse, qseg, kseg, qoff = res
+    q, k, v, o, lse, qseg, kseg, qoff, had_bias = res
+    if had_bias:
+        raise NotImplementedError(
+            "flash attention backward with bias is not implemented; the "
+            "backend selector routes biased training to UNFUSED")
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, scale=scale,
                             causal=causal, window=window, offset=offset,
                             block_q=blocks[0], block_k=blocks[1])
-    return dq, dk, dv, None, None, None
+    return dq, dk, dv, None, None, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -487,6 +513,8 @@ def flash_attention(
     scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
     q_position_offset=None,
+    bias: Optional[jax.Array] = None,   # (B|1, Hq, Sq, Skv) post-scale;
+                                        # forward-only (bwd -> unfused)
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
@@ -521,6 +549,9 @@ def flash_attention(
     # Pad sequence lengths to block multiples; padded tokens get segment 0.
     sq_p = _ceil_to(sq, min(block_q, _ceil_to(sq, 8)))
     skv_p = _ceil_to(skv, min(block_k, _ceil_to(skv, 8)))
+    if bias is not None and (sq_p != sq or skv_p != skv):
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - sq),
+                              (0, skv_p - skv)))
     if sq_p != sq or skv_p != skv:
         if qseg is None:
             qseg = jnp.ones((b, sq), jnp.int32)
@@ -539,8 +570,8 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash_core(qt, kt, vt, qseg, kseg, qoff, float(scale), causal, window,
-                    offset, (block_q, block_k))
+    o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, float(scale),
+                    causal, window, offset, (block_q, block_k))
     o = o.transpose(0, 2, 1, 3)
     if sq_p != sq:
         o = o[:, :sq]
