@@ -20,8 +20,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Swept on v5e prefill (B4/S2048/H32/GQA8/D128, causal):
+#   (512,512) 50.6 TF/s, (512,1024) 69.3, (1024,1024) 69.2, (256,256) 25.8.
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
