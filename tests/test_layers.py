@@ -208,3 +208,24 @@ class TestMHC:
         h_res = jnp.broadcast_to(jnp.eye(n), (s, b, n, n))
         out = mhc_expand_combine(f, None, h_post, x, h_res)
         assert jnp.allclose(out, x, atol=1e-6)
+
+
+class TestClampedSwigluMLP:
+    def test_layernorm_mlp_clamped_swiglu(self):
+        from transformerengine_tpu.ops.activation import clamped_swiglu
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32), jnp.float32)
+        gamma = jnp.ones((32,))
+        k1 = jax.random.normal(jax.random.PRNGKey(1), (32, 2, 64)) * 0.1
+        k2 = jax.random.normal(jax.random.PRNGKey(2), (64, 32)) * 0.1
+        out = layernorm_mlp(x, gamma, None, k1, k2, norm_type="rmsnorm",
+                            activation_type="clamped_swiglu")
+        # reference composition
+        h = _ref_rmsnorm(x, gamma)
+        z = jnp.einsum("bsh,haf->bsaf", h, k1)
+        a = clamped_swiglu(z)
+        ref = jnp.einsum("bsf,fh->bsh", a, k2)
+        assert jnp.max(jnp.abs(out - ref)) < 1e-4
+        g = jax.grad(lambda x: jnp.sum(layernorm_mlp(
+            x, gamma, None, k1, k2, norm_type="rmsnorm",
+            activation_type="clamped_swiglu") ** 2))(x)
+        assert jnp.all(jnp.isfinite(g))

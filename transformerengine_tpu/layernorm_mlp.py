@@ -235,11 +235,16 @@ def layernorm_mlp(
     for gated activations (reference kernel layout:
     jax/layernorm_mlp.py), ``kernel2`` has shape ``(ffn, hidden)``.
     """
-    acts = normalize_activation_type(activation_type)
+    if activation_type == "clamped_swiglu":
+        acts = "clamped_swiglu"
+        n_act_expected = 2
+    else:
+        acts = normalize_activation_type(activation_type)
+        n_act_expected = len(acts)
     if kernel1.ndim == 2:
         kernel1 = kernel1[:, None, :]
-    assert kernel1.shape[-2] == len(acts), (
-        f"kernel1 n_act dim {kernel1.shape[-2]} != {len(acts)} activations")
+    assert kernel1.shape[-2] == n_act_expected, (
+        f"kernel1 n_act dim {kernel1.shape[-2]} != {n_act_expected} activations")
     cfg = (norm_type, zero_centered_gamma, float(epsilon), acts,
            (tuple(input_axes) if input_axes else None,
             tuple(dot1_kernel_axes) if dot1_kernel_axes else None,

@@ -121,6 +121,9 @@ def act_lu(
     For gated activations ``x`` has shape ``[..., 2, H]``:
     ``out = act(x[..., 0, :]) * x[..., 1, :]``.
     """
+    if activation_type == "clamped_swiglu":
+        out = clamped_swiglu(x)
+        return quantizer.quantize(out) if quantizer is not None else out
     acts = normalize_activation_type(activation_type)
     if len(acts) == 2:
         assert x.shape[-2] == 2, f"gated activation needs [..., 2, H], got {x.shape}"
@@ -145,6 +148,11 @@ def dact_lu(
     reference's fused dact(+quantize) backward kernels
     (common/cast/dispatch/gated.cuh). Shapes mirror act_lu.
     """
+    if activation_type == "clamped_swiglu":
+        _, vjp = jax.vjp(lambda xin: clamped_swiglu(xin).astype(dz.dtype), x)
+        (dx,) = vjp(dz)
+        dx = dx.astype(x.dtype)
+        return quantizer.quantize(dx) if quantizer is not None else dx
     acts = normalize_activation_type(activation_type)
 
     if len(acts) == 2:
