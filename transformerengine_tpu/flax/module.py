@@ -256,6 +256,23 @@ class LayerNormMLP(TransformerEngineBase):
                                (n_act, self.intermediate_dim), self.dtype)
             bias2 = self.param("wo_bias", nn.initializers.zeros, (h,),
                                self.dtype)
+        if self.intermediate_dropout_rate > 0.0 and not deterministic:
+            # Dropout between the GEMMs (reference: jax/flax/module.py:879
+            # LayerNormMLP intermediate dropout) — the fused custom-VJP
+            # block has no dropout hook, so compose the unfused path.
+            from ..ops.activation import act_lu
+            y = layernorm_fn(x, gamma, beta, self.norm_type,
+                             self.zero_centered_gamma, self.epsilon)
+            a = dense(y, kernel1.reshape(h, n_act * self.intermediate_dim),
+                      bias1.reshape(-1) if bias1 is not None else None,
+                      input_axes=self.input_axes or None,
+                      quantizer_set=self.quantizer_set("mlp1"))
+            a = a.reshape(*a.shape[:-1], n_act, self.intermediate_dim)
+            act = act_lu(a, acts)
+            act = nn.Dropout(rate=self.intermediate_dropout_rate)(
+                act, deterministic=False)
+            return dense(act, kernel2, bias2,
+                         quantizer_set=self.quantizer_set("mlp2"))
         return layernorm_mlp(
             x, gamma, beta, kernel1, kernel2, bias1, bias2,
             norm_type=self.norm_type,

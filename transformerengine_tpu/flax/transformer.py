@@ -313,6 +313,18 @@ class TransformerLayer(TransformerEngineBase):
     context_parallel_axis: str = ""
     dtype: Any = jnp.bfloat16
 
+    def _drop_path(self, branch: jax.Array, deterministic: bool) -> jax.Array:
+        """Stochastic depth on a residual branch (reference:
+        pytorch/transformer.py drop_path): drop the whole branch per
+        sample with prob ``drop_path``, rescale survivors by 1/keep."""
+        if self.drop_path <= 0.0 or deterministic:
+            return branch
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        shape = (branch.shape[0],) + (1,) * (branch.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, branch / keep, 0.0).astype(branch.dtype)
+
     @nn.compact
     def __call__(
         self,
@@ -347,7 +359,7 @@ class TransformerLayer(TransformerEngineBase):
         if self.hidden_dropout > 0.0 and not deterministic:
             attn_out = nn.Dropout(rate=self.hidden_dropout)(
                 attn_out, deterministic=deterministic)
-        x = x + attn_out
+        x = x + self._drop_path(attn_out, deterministic)
 
         if self.layer_type == "decoder" and encoded is not None:
             cross = MultiHeadAttention(
@@ -385,7 +397,7 @@ class TransformerLayer(TransformerEngineBase):
         if self.hidden_dropout > 0.0 and not deterministic:
             mlp_out = nn.Dropout(rate=self.hidden_dropout)(
                 mlp_out, deterministic=deterministic)
-        x = x + mlp_out
+        x = x + self._drop_path(mlp_out, deterministic)
 
         if self.output_layernorm:
             x = LayerNorm(

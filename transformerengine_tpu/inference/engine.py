@@ -6,6 +6,12 @@ decode step is one jitted program, so "CUDA graph capture" is just
 jit + lax.scan). Continuous batching hooks: per-sequence lengths live
 in the cache, so finished sequences can be replaced by resetting their
 length and writing a new prompt (slot reuse).
+
+Sampling parameters (temperature / top_k / top_p) are traced values:
+changing 0.7 -> 0.9 or top_k 40 -> 50 does NOT recompile. Only the
+sampling *structure* (greedy vs sampled, top-k/top-p on vs off) is
+static, so each mode compiles once and keeps its fast path (greedy
+decode never pays for a vocab sort).
 """
 from __future__ import annotations
 
@@ -19,17 +25,36 @@ import jax.numpy as jnp
 from .kv_cache import InferenceParams
 
 
-def _sample(logits, key, temperature: float, top_k: int = 0,
-            top_p: float = 1.0):
-    """Greedy / temperature / top-k / nucleus sampling."""
-    if temperature == 0.0:
+def _sample_mode(temperature, top_k, top_p) -> Tuple[bool, bool, bool]:
+    """Static sampling structure from (possibly Python-number) params."""
+    greedy = isinstance(temperature, (int, float)) and float(temperature) == 0.0
+    use_top_k = not (isinstance(top_k, (int, float)) and int(top_k) <= 0)
+    use_top_p = not (isinstance(top_p, (int, float)) and float(top_p) >= 1.0)
+    return (greedy, use_top_k, use_top_p)
+
+
+def _sample(logits, key, sampling, mode):
+    """Greedy / temperature / top-k / nucleus sampling. ``sampling`` holds
+    traced (temperature, top_k, top_p); ``mode`` is the static structure."""
+    greedy, use_top_k, use_top_p = mode
+    if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    x = logits.astype(jnp.float32) / temperature
-    if top_k > 0:
-        kth = jax.lax.top_k(x, top_k)[0][..., -1:]
-        x = jnp.where(x < kth, -jnp.inf, x)
-    if top_p < 1.0:
+    temperature, top_k, top_p = sampling
+    x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if use_top_k or use_top_p:
         sorted_x = jnp.sort(x, axis=-1)[..., ::-1]
+    if use_top_k:
+        idx = jnp.clip(top_k - 1, 0, x.shape[-1] - 1)
+        kth = jnp.take_along_axis(
+            sorted_x, jnp.broadcast_to(idx, (*sorted_x.shape[:-1], 1)),
+            axis=-1)
+        x = jnp.where(x < kth, -jnp.inf, x)
+        if use_top_p:
+            sorted_x = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, sorted_x.shape,
+                                         sorted_x.ndim - 1) < top_k,
+                sorted_x, -jnp.inf)
+    if use_top_p:
         probs = jax.nn.softmax(sorted_x, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # smallest logit still inside the nucleus
@@ -40,12 +65,9 @@ def _sample(logits, key, temperature: float, top_k: int = 0,
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 7, 8))
-def prefill(model, variables, tokens, inference_params: InferenceParams,
-            prompt_lengths, temperature: float = 0.0, rng_seed=0,
-            top_k: int = 0, top_p: float = 1.0):
-    """Run the prompt through the model, filling the cache.
-    Returns (first sampled token (B,), cache collection)."""
+@partial(jax.jit, static_argnums=(0, 3, 7))
+def _prefill_jit(model, variables, tokens, inference_params, prompt_lengths,
+                 sampling, rng_seed, mode):
     from ..attention import SequenceDescriptor
     desc = SequenceDescriptor.from_seqlens(prompt_lengths)
     logits, mutated = model.apply(
@@ -58,9 +80,22 @@ def prefill(model, variables, tokens, inference_params: InferenceParams,
     cache = _adjust_lengths(cache, -pad)
     last = jnp.take_along_axis(
         logits, (prompt_lengths - 1)[:, None, None], axis=1)[:, 0]
-    tok = _sample(last, jax.random.PRNGKey(rng_seed), temperature,
-                  top_k, top_p)
+    tok = _sample(last, jax.random.PRNGKey(rng_seed), sampling, mode)
     return tok, cache
+
+
+def prefill(model, variables, tokens, inference_params: InferenceParams,
+            prompt_lengths, temperature=0.0, rng_seed=0,
+            top_k=0, top_p=1.0):
+    """Run the prompt through the model, filling the cache.
+    Returns (first sampled token (B,), cache collection)."""
+    mode = _sample_mode(temperature, top_k, top_p)
+    sampling = (jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32),
+                jnp.asarray(top_p, jnp.float32))
+    return _prefill_jit(model, variables, tokens, inference_params,
+                        prompt_lengths, sampling,
+                        jnp.asarray(rng_seed, jnp.uint32), mode)
 
 
 def _adjust_lengths(cache, delta):
@@ -71,14 +106,9 @@ def _adjust_lengths(cache, delta):
     return jax.tree_util.tree_map_with_path(fix, cache)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 8, 9))
-def decode_steps(model, variables, cache, first_token,
-                 inference_params: InferenceParams, num_steps: int,
-                 temperature: float = 0.0, rng=None,
-                 top_k: int = 0, top_p: float = 1.0):
-    """Greedy/temperature decode of ``num_steps`` tokens as one jitted
-    lax.scan (the reference needs CUDA graphs for this; jit suffices)."""
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
+@partial(jax.jit, static_argnums=(0, 4, 5, 8))
+def _decode_steps_jit(model, variables, cache, first_token,
+                      inference_params, num_steps, sampling, rng, mode):
     base = {k: v for k, v in variables.items() if k != "cache"}
 
     def step(carry, _):
@@ -87,12 +117,26 @@ def decode_steps(model, variables, cache, first_token,
         logits, mutated = model.apply(
             {**base, "cache": cache}, tok[:, None], deterministic=True,
             inference_params=inference_params, mutable=["cache"])
-        nxt = _sample(logits[:, -1], sub, temperature, top_k, top_p)
+        nxt = _sample(logits[:, -1], sub, sampling, mode)
         return (nxt, mutated["cache"], rng), nxt
 
     (_, cache, _), toks = jax.lax.scan(
         step, (first_token, cache, rng), None, length=num_steps)
     return toks.T, cache              # (B, num_steps)
+
+
+def decode_steps(model, variables, cache, first_token,
+                 inference_params: InferenceParams, num_steps: int,
+                 temperature=0.0, rng=None, top_k=0, top_p=1.0):
+    """Greedy/temperature decode of ``num_steps`` tokens as one jitted
+    lax.scan (the reference needs CUDA graphs for this; jit suffices)."""
+    mode = _sample_mode(temperature, top_k, top_p)
+    sampling = (jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32),
+                jnp.asarray(top_p, jnp.float32))
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    return _decode_steps_jit(model, variables, cache, first_token,
+                             inference_params, num_steps, sampling, rng, mode)
 
 
 def generate(

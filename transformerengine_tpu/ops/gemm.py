@@ -105,21 +105,10 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
         if out is not None:
             return out
 
-    # Decode small-M path: measured SLOWER than XLA's convert-fused dot on
-    # v5e (bench 2026-08-17: 154 vs 630 tok/s), so opt-in only until the
-    # kernel is profiled and fixed (TE_TPU_SMALL_M_MATMUL=1).
-    if (os.environ.get("TE_TPU_SMALL_M_MATMUL", "0") == "1"
-            and is_scaled(rhs)
-            and rhs.scaling_mode.is_tensor_scaling and not is_scaled(lhs)):
-        m = lhs.shape[0]
-        rn, rk = rhs._2d_shape()
-        if m <= 64 and rn % 512 == 0 and rk % 512 == 0:
-            from .scaled_matmul import fp8_small_m_matmul
-            tk = 1024 if rk % 1024 == 0 else 512
-            return fp8_small_m_matmul(
-                lhs, rhs.data.reshape(rn, rk),
-                rhs.scale_inv.astype(jnp.float32).reshape(1),
-                tile_k=tk)
+    # (A custom small-M FP8 matvec kernel was benchmarked here in round 1:
+    # 75 GB/s vs XLA's 755 GB/s direct-fp8 dot, and it crashed the remote
+    # compiler on some tilings — removed. XLA's convert-fused dot with a
+    # resident fp8 operand IS the speed-of-light decode path on v5e.)
 
     post_scale = jnp.float32(1.0)
 

@@ -101,68 +101,3 @@ def scaled_tn_matmul(
             transcendentals=0),
         interpret=_interpret(),
     )(post, lhs, lhs_scales, rhs, rhs_scales)
-
-
-# ---------------------------------------------------------------------------
-# Small-M FP8 matmul (decode hot loop)
-# ---------------------------------------------------------------------------
-
-def _matvec_kernel(scale_ref, x_ref, w_ref, out_ref, acc_ref, *, nk: int):
-    kk = pl.program_id(1)
-
-    @pl.when(kk == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[...]                       # (Mp, TK) bf16
-    w = w_ref[...].astype(jnp.bfloat16)  # (TN, TK) fp8 -> bf16 in VMEM
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-
-    @pl.when(kk == nk - 1)
-    def _done():
-        out_ref[...] = acc_ref[...] * scale_ref[0]
-
-
-def fp8_small_m_matmul(
-    x: jax.Array,          # (M, K) bf16/f32, M small (decode batch)
-    w_data: jax.Array,     # (N, K) fp8 payload
-    scale_inv: jax.Array,  # (1,) f32 dequant scale
-    *,
-    tile_n: int = 512,
-    tile_k: int = 1024,
-) -> jax.Array:
-    """out = x @ dequant(w).T — streams the FP8 weight from HBM once and
-    upcasts in VMEM, so decode weight traffic is 1 byte/param (the whole
-    point of FP8-resident weights on a chip without an FP8 MXU)."""
-    m, k = x.shape
-    n = w_data.shape[0]
-    mp = max(8, -(-m // 8) * 8)
-    if mp != m:
-        x = jnp.pad(x, ((0, mp - m), (0, 0)))
-    tn = min(tile_n, n)
-    tk = min(tile_k, k)
-    assert n % tn == 0 and k % tk == 0, (n, k, tn, tk)
-    out = pl.pallas_call(
-        functools.partial(_matvec_kernel, nk=k // tk),
-        grid=(n // tn, k // tk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((mp, tk), lambda i, kk: (0, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tk), lambda i, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((mp, tn), lambda i, kk: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((mp, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * n * k, bytes_accessed=n * k + mp * k * 2,
-            transcendentals=0),
-        interpret=_interpret(),
-    )(scale_inv.reshape(1).astype(jnp.float32), x.astype(jnp.bfloat16),
-      w_data)
-    return out[:m]

@@ -23,6 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..dense import _amax_of, _update_set
 from ..ops.gemm import tn_dot
 from ..quantize.quantizer import QuantizerSet, noop_quantizer_set
 from ..quantize.tensor import get_colwise, get_rowwise
@@ -52,7 +53,7 @@ def _sp_col_fwd(axis_name, x, kernel, quantizer_set):
             x, quantizer_set.x, axis_name)
         qk = quantizer_set.kernel.quantize(kernel)
         out = tn_dot(t_full, get_colwise(qk))
-        res = (t_full, get_rowwise(qk), qk)
+        res = (t_full, get_rowwise(qk), _amax_of(t_full), _amax_of(qk))
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
     return out.astype(x.dtype), (res, meta, quantizer_set)
 
@@ -64,8 +65,9 @@ def _sp_col_bwd(axis_name, residuals, g):
         x_full, kernel, _ = res
         dx_full = tn_dot(g, kernel)
         dw = tn_dot(x_full.T, g.T)
+        d_qset = quantizer_set
     else:
-        t_full, qk_row, _ = res
+        t_full, qk_row, amax_x, amax_k = res
         qg = quantizer_set.dgrad.quantize(g)
         dx_full = tn_dot(get_rowwise(qg), qk_row)
         # wgrad: colwise(x_full) x colwise(g) — colwise of a tensor-scaled
@@ -74,10 +76,11 @@ def _sp_col_bwd(axis_name, residuals, g):
         x_col = dataclasses.replace(
             t_full, data=t_full.data.T, layout="T")
         dw = tn_dot(x_col, get_colwise(qg))
+        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg))
     # dgrad of the all-gather = reduce-scatter back to the seq shard.
     dx = reduce_scatter_along_first_dim(dx_full, axis_name)
     return (dx.reshape(x_shape).astype(x_dtype),
-            dw.reshape(k_shape).astype(k_dtype), quantizer_set)
+            dw.reshape(k_shape).astype(k_dtype), d_qset)
 
 
 _sp_dense_column.defvjp(_sp_col_fwd, _sp_col_bwd)
@@ -103,7 +106,7 @@ def _sp_row_fwd(axis_name, x, kernel, quantizer_set):
         qx = quantizer_set.x.quantize(x)
         qk = quantizer_set.kernel.quantize(kernel)
         partial_out = tn_dot(get_rowwise(qx), get_colwise(qk))
-        res = (get_colwise(qx), get_rowwise(qk), None, None)
+        res = (get_colwise(qx), get_rowwise(qk), _amax_of(qx), _amax_of(qk))
     out = reduce_scatter_along_first_dim(
         partial_out.astype(x.dtype), axis_name)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
@@ -119,13 +122,15 @@ def _sp_row_bwd(axis_name, residuals, g):
         x2d, kernel = res[0], res[1]
         dx = tn_dot(g_full, kernel)
         dw = tn_dot(x2d.T, g_full.T)
+        d_qset = quantizer_set
     else:
-        qx_col, qk_row = res[0], res[1]
+        qx_col, qk_row, amax_x, amax_k = res
         qg = quantizer_set.dgrad.quantize(g_full)
         dx = tn_dot(get_rowwise(qg), qk_row)
         dw = tn_dot(qx_col, get_colwise(qg))
+        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg))
     return (dx.reshape(x_shape).astype(x_dtype),
-            dw.reshape(k_shape).astype(k_dtype), quantizer_set)
+            dw.reshape(k_shape).astype(k_dtype), d_qset)
 
 
 _sp_dense_row.defvjp(_sp_row_fwd, _sp_row_bwd)
