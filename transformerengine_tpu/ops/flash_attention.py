@@ -20,11 +20,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Swept on v5e prefill (B4/S2048/H32/GQA8/D128, causal):
-#   (512,512) 50.6 TF/s, (512,1024) 69.3, (1024,1024) 69.2, (256,256) 25.8.
+# Swept on v5e prefill (B4/S2048/H32/GQA8/D128, causal), bf16 MXU operands:
+#   r1 f32 kernel: (512,1024) 69.3 TF/s; r2 bf16 kernel: see docs/PARITY.md.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
+# m/lse floor. Masked scores are filled with MASKED (< NEG_INF) so that
+# exp(MASKED - m) underflows to exactly 0 even for all-masked rows where
+# m stays at the NEG_INF floor — no post-exp `where` rescue needed.
 NEG_INF = -1e30
+MASKED = -2e30
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def _interpret() -> bool:
@@ -35,6 +41,35 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
+                 causal, window, use_segments, block_q, block_k):
+    """Fill masked score entries with MASKED, unconditionally on every
+    run block. (Profiled on v5e: the iota/compare/select chain costs ~4%
+    of block time; gating it behind a scalar `lax.cond` costs ~60%
+    because Mosaic evaluates both branches through VMEM — never use a
+    vector-valued cond here.)"""
+    any_mask = causal or window[0] >= 0 or window[1] >= 0 or use_segments
+    if not any_mask:
+        return s
+    qpos = q_start + off + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    kpos = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = jnp.ones((block_q, block_k), jnp.bool_)
+    if causal:
+        mask = jnp.logical_and(mask, kpos <= qpos)
+    if window[0] >= 0:
+        mask = jnp.logical_and(mask, qpos - kpos <= window[0])
+    if window[1] >= 0:
+        mask = jnp.logical_and(mask, kpos - qpos <= window[1])
+    if use_segments:
+        qs = qseg_ref[0, :, :1]   # (block_q, 1), sublane rows
+        ks = kseg_ref[0, :1, :]   # (1, block_k), lanes
+        mask = jnp.logical_and(
+            mask, jnp.logical_and(qs == ks, qs != 0))
+    return jnp.where(mask, s, MASKED)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -42,7 +77,7 @@ def _ceil_to(x: int, m: int) -> int:
 def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
                 o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
-                scale: float, causal: bool, use_segments: bool,
+                causal: bool, use_segments: bool,
                 use_bias: bool,
                 window: Tuple[int, int], offset: int,
                 block_q: int, block_k: int, num_k_blocks: int):
@@ -69,47 +104,34 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        # MXU matmuls run on the native (bf16) operands — an f32 upcast
+        # here costs >2x MXU throughput (r1 kernel measured 69 TF/s).
+        # The softmax scale (and the nat->log2 conversion) is folded into
+        # q OUTSIDE the kernel, so scores are already in the exp2 domain:
+        # one VPU pass per score element saved vs `s * scale` + exp().
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         if use_bias:
-            s = s + bias_ref[0, 0].astype(jnp.float32)
-
-        qpos = q_start + off + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        kpos = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = jnp.ones((block_q, block_k), jnp.bool_)
-        if causal:
-            mask = jnp.logical_and(mask, kpos <= qpos)
-        if window[0] >= 0:
-            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
-        if window[1] >= 0:
-            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
-        if use_segments:
-            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
-            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
-            mask = jnp.logical_and(
-                mask, jnp.logical_and(qs == ks, qs != 0))
-        s = jnp.where(mask, s, NEG_INF)
+            s = s + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                         causal=causal, window=window,
+                         use_segments=use_segments,
+                         block_q=block_q, block_k=block_k)
 
         m_prev = m_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        # alpha rescales previous partial sums; rows still at NEG_INF keep 0.
-        alpha = jnp.exp(m_prev - m_new)
-        alpha = jnp.where(m_new <= NEG_INF / 2, 0.0, alpha)
-        p = jnp.exp(s - m_new[:, :1])
-        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])
 
         l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         m_ref[...] = m_new
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
     @pl.when(ik == num_k_blocks - 1)
@@ -117,8 +139,8 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
         l = l_ref[..., :1]
         l_safe = jnp.where(l > 0, l, 1.0)
         o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        m = m_ref[..., :1]
-        lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)
+        m = m_ref[..., :1]          # log2-domain running max
+        lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
 
 
@@ -128,6 +150,9 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     skv = k.shape[2]
     hkv = k.shape[1]
     group = hq // hkv
+    # Fold softmax scale + nat->exp2 conversion into q (one fused pass
+    # over (B,H,S,D) instead of one per score block inside the kernel).
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     block_q = min(block_q, _ceil_to(sq, 8))
     block_k = min(block_k, _ceil_to(skv, 8))
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
@@ -151,7 +176,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         bias = jnp.zeros((1, 1, 8, 128), jnp.float32)
         bias_b = 1
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, use_segments=use_segments,
+        _fwd_kernel, causal=causal, use_segments=use_segments,
         use_bias=use_bias,
         window=window, offset=offset, block_q=block_q, block_k=block_k,
         num_k_blocks=nk)
@@ -212,6 +237,14 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=2 * (b * hq * sq * d + 2 * b * hkv * skv * d
+                                + b * hq * sq * d),
+            transcendentals=b * hq * sq * skv),
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, bias)
     return o, lse[..., 0]
@@ -243,42 +276,33 @@ def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, ls
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1]
+        # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
+        # exp2 domain. The true softmax scale is re-applied once in the
+        # epilogue — no per-score-block scale multiplies.
+        k = k_ref[0, 0]
+        lse2 = lse_ref[0, 0][:, :1]
         delta = delta_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        qpos = q_start + off + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        kpos = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = jnp.ones((block_q, block_k), jnp.bool_)
-        if causal:
-            mask = jnp.logical_and(mask, kpos <= qpos)
-        if window[0] >= 0:
-            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
-        if window[1] >= 0:
-            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
-        if use_segments:
-            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
-            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
-            mask = jnp.logical_and(
-                mask, jnp.logical_and(qs == ks, qs != 0))
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+            q_ref[0, 0], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                         causal=causal, window=window,
+                         use_segments=use_segments,
+                         block_q=block_q, block_k=block_k)
+        # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
+        p = jnp.exp2(s - lse2)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
         acc_ref[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
-        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -304,44 +328,38 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1]
+        # q is pre-scaled by scale*LOG2E; dk therefore accumulates
+        # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse2 = lse_ref[0, 0][:, :1]
         delta = delta_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        qpos = q_start + off + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        kpos = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = jnp.ones((block_q, block_k), jnp.bool_)
-        if causal:
-            mask = jnp.logical_and(mask, kpos <= qpos)
-        if window[0] >= 0:
-            mask = jnp.logical_and(mask, qpos - kpos <= window[0])
-        if window[1] >= 0:
-            mask = jnp.logical_and(mask, kpos - qpos <= window[1])
-        if use_segments:
-            qs = qseg_ref[0, :, :1]     # (block_q, 1), sublane-oriented
-            ks = kseg_ref[0, :1, :]     # (1, block_k), lane-oriented
-            mask = jnp.logical_and(
-                mask, jnp.logical_and(qs == ks, qs != 0))
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                         causal=causal, window=window,
+                         use_segments=use_segments,
+                         block_q=block_q, block_k=block_k)
+        p = jnp.exp2(s - lse2)
+        pc = p.astype(q.dtype)
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_q_blocks - 1)
     def _epilogue():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        # dk_acc = sum ds_raw^T (scale*LOG2E*q_true); dk_true =
+        # scale * sum ds_raw^T q_true = dk_acc / LOG2E = dk_acc * LN2.
+        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -362,7 +380,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
         kseg = jnp.zeros((b, 8, 128), jnp.int32)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    lse_b = jnp.broadcast_to(lse[..., None], (*lse.shape, 128))
+    # exp2-domain kernels: q carries scale*LOG2E, lse converted to log2.
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    lse_b = jnp.broadcast_to((lse * LOG2E)[..., None], (*lse.shape, 128))
     delta_b = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
 
     def seg_spec(which, order):
@@ -417,6 +437,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
@@ -459,6 +482,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
