@@ -189,7 +189,7 @@ def make_gqa_kernel(block_q, block_k, nk, group, causal=True):
 
         @pl.when(run)
         def _body():
-            q = q_ref[0, 0].reshape(rows, q_ref.shape[-1])
+            q = q_ref[0].reshape(rows, q_ref.shape[-1])
             s = jax.lax.dot_general(
                 q, k_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -217,8 +217,8 @@ def make_gqa_kernel(block_q, block_k, nk, group, causal=True):
         def _epilogue():
             l = l_ref[..., :1]
             l_safe = jnp.where(l > 0, l, 1.0)
-            o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
-                o_ref.shape[2:])
+            o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
+                o_ref.shape[1:])
 
     return kernel
 

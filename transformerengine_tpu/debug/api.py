@@ -157,7 +157,8 @@ class DebugQuantizer(Quantizer):
     layer_name: str = dataclasses.field(default="", metadata=dict(static=True))
     role: str = dataclasses.field(default="x", metadata=dict(static=True))
 
-    def quantize(self, x, *, dq_dtype=None, flatten_axis=-1, key=None):
+    def quantize(self, x, *, dq_dtype=None, flatten_axis=-1, key=None,
+                 layout=None):
         st = get_state()
 
         if st.stats_cfg(self.layer_name, self.role) is not None:
@@ -191,7 +192,8 @@ class DebugQuantizer(Quantizer):
         if self.inner is None:
             return x
         return self.inner.quantize(x, dq_dtype=dq_dtype,
-                                   flatten_axis=flatten_axis, key=key)
+                                   flatten_axis=flatten_axis, key=key,
+                                   layout=layout)
 
     def update(self, amax):
         if self.inner is None:

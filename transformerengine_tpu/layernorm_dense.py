@@ -16,11 +16,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.gemm import tn_dot
+from .dense import all_tensor_scaling
+from .ops.gemm import q_dot, tn_dot
 from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
-from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.quantizer import (QuantizeLayout, QuantizerSet,
+                                 noop_quantizer_set)
 from .quantize.prequant import PrequantizedKernel
 from .quantize.tensor import get_colwise, get_rowwise
 from .utils.pytree import Static
@@ -73,6 +75,13 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
         k2d = kernel.reshape(k, n)
         out2d = tn_dot(ln2d, k2d.T)
         res_q = (ln2d, k2d, None, None)
+    elif all_tensor_scaling(quantizer_set):
+        # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
+        k2d = kernel.reshape(k, n)
+        qx = quantizer_set.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.ROWWISE)
+        out2d = q_dot(qx, qk, 1, 0)
+        res_q = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"))
     else:
         k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d)
@@ -105,6 +114,16 @@ def _ln_dense_bwd(cfg, residuals, g):
         dln2d = tn_dot(g2d, k2d)
         dw2d = tn_dot(ln2d.T, g2d.T)
         d_qset = quantizer_set
+    elif len(res_q) == 5 and isinstance(res_q[4], Static):
+        qx, qk, amax_x, amax_k = res_q[:4]     # rowwise (M,K) and (K,N)
+        qg = quantizer_set.dgrad.quantize(g2d, layout=QuantizeLayout.ROWWISE)
+        dln2d = q_dot(qg, qk, 1, 1)            # (M,N) x (K,N) -> (M,K)
+        dw2d = q_dot(qx, qg, 0, 0)             # contract M -> (K,N)
+        d_qset = QuantizerSet(
+            x=quantizer_set.x.update(amax_x),
+            kernel=quantizer_set.kernel.update(amax_k),
+            dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
+        )
     else:
         qx_col, qk_row, amax_x, amax_k = res_q
         qg = quantizer_set.dgrad.quantize(g2d)

@@ -18,12 +18,14 @@ from typing import Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from .dense import all_tensor_scaling
 from .ops.activation import act_lu, dact_lu, normalize_activation_type
-from .ops.gemm import tn_dot
+from .ops.gemm import q_dot, tn_dot
 from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
-from .quantize.quantizer import QuantizerSet, noop_quantizer_set
+from .quantize.quantizer import (QuantizeLayout, QuantizerSet,
+                                 noop_quantizer_set)
 from .quantize.prequant import PrequantizedKernel
 from .quantize.tensor import get_colwise, get_rowwise
 from .utils.pytree import Static
@@ -93,6 +95,13 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
         k1 = kernel1.reshape(hidden, n_act * ffn)
         z2d = tn_dot(ln2d, k1.T)
         res1 = (ln2d, k1, None, None)
+    elif all_tensor_scaling(qset1):
+        # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
+        k1 = kernel1.reshape(hidden, n_act * ffn)
+        qx = qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qk1 = qset1.kernel.quantize(k1, layout=QuantizeLayout.ROWWISE)
+        z2d = q_dot(qx, qk1, 1, 0)
+        res1 = (qx, qk1, _amax_of(qx), _amax_of(qk1), Static("1x"))
     else:
         k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d)
@@ -120,6 +129,12 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
         k2 = kernel2.reshape(ffn, hidden)
         out2d = tn_dot(a2d, k2.T)
         res2 = (a2d, k2, None, None)
+    elif all_tensor_scaling(qset2):
+        k2 = kernel2.reshape(ffn, hidden)
+        qa = qset2.x.quantize(a2d, layout=QuantizeLayout.ROWWISE)
+        qk2 = qset2.kernel.quantize(k2, layout=QuantizeLayout.ROWWISE)
+        out2d = q_dot(qa, qk2, 1, 0)
+        res2 = (qa, qk2, _amax_of(qa), _amax_of(qk2), Static("1x"))
     else:
         k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d)
@@ -160,6 +175,12 @@ def _ln_mlp_bwd(cfg, residuals, g):
         da2d = tn_dot(g2d, k2)
         dw2 = tn_dot(a2d.T, g2d.T)
         d_qset2 = qset2
+    elif len(res2) == 5 and isinstance(res2[4], Static):
+        qa, qk2, amax_a, amax_k2 = res2[:4]    # rowwise (M,F) and (F,H)
+        qg = qset2.dgrad.quantize(g2d, layout=QuantizeLayout.ROWWISE)
+        da2d = q_dot(qg, qk2, 1, 1)            # (M,H) x (F,H) -> (M,F)
+        dw2 = q_dot(qa, qg, 0, 0)              # contract M -> (F,H)
+        d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg))
     else:
         qa_col, qk2_row, amax_a, amax_k2 = res2
         qg = qset2.dgrad.quantize(g2d)
@@ -182,6 +203,12 @@ def _ln_mlp_bwd(cfg, residuals, g):
         dln2d = tn_dot(dz2d, k1)
         dw1 = tn_dot(ln2d.T, dz2d.T)
         d_qset1 = qset1
+    elif len(res1) == 5 and isinstance(res1[4], Static):
+        qx, qk1, amax_x, amax_k1 = res1[:4]    # rowwise (M,H) and (H,NF)
+        qdz = qset1.dgrad.quantize(dz2d, layout=QuantizeLayout.ROWWISE)
+        dln2d = q_dot(qdz, qk1, 1, 1)          # (M,NF) x (H,NF) -> (M,H)
+        dw1 = q_dot(qx, qdz, 0, 0)             # contract M -> (H,NF)
+        d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz))
     else:
         qx_col, qk1_row, amax_x, amax_k1 = res1
         qdz = qset1.dgrad.quantize(dz2d)

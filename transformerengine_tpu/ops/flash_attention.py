@@ -41,21 +41,42 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _effective_blocks(sq: int, skv: int, group: int,
+                      block_q: int, block_k: int) -> Tuple[int, int]:
+    """Block sizes actually used by the kernels. Must be computed
+    identically by the BSHD wrapper (for padding) and the kernel
+    builders. Packed rows (group*block_q) are capped at 1024: keeps the
+    working set inside the 16 MB scoped-vmem default (rows=2048 needs a
+    raised vmem limit, which stalls the remote compiler, for the same
+    measured throughput; bq=256/bk=1024 and bq=512/bk=1024 both profile
+    at ~78 TF/s packed on v5e)."""
+    block_q = min(block_q, _ceil_to(sq, 8), max(8, 1024 // max(group, 1)))
+    block_k = min(block_k, _ceil_to(skv, 8))
+    return block_q, block_k
+
+
 def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
-                 causal, window, use_segments, block_q, block_k):
+                 causal, window, use_segments, group, block_q, block_k):
     """Fill masked score entries with MASKED, unconditionally on every
     run block. (Profiled on v5e: the iota/compare/select chain costs ~4%
     of block time; gating it behind a scalar `lax.cond` costs ~60%
     because Mosaic evaluates both branches through VMEM — never use a
-    vector-valued cond here.)"""
+    vector-valued cond here.)
+
+    With GQA group packing (group > 1) the score block stacks the
+    `group` query heads sharing one KV head: row r of the packed block
+    is query position q_start + (r % block_q)."""
     any_mask = causal or window[0] >= 0 or window[1] >= 0 or use_segments
     if not any_mask:
         return s
-    qpos = q_start + off + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0)
+    rows = group * block_q
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+    if group > 1:
+        row = jax.lax.rem(row, block_q)
+    qpos = q_start + off + row
     kpos = k_start + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1)
-    mask = jnp.ones((block_q, block_k), jnp.bool_)
+        jnp.int32, (rows, block_k), 1)
+    mask = jnp.ones((rows, block_k), jnp.bool_)
     if causal:
         mask = jnp.logical_and(mask, kpos <= qpos)
     if window[0] >= 0:
@@ -65,8 +86,12 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
     if use_segments:
         qs = qseg_ref[0, :, :1]   # (block_q, 1), sublane rows
         ks = kseg_ref[0, :1, :]   # (1, block_k), lanes
-        mask = jnp.logical_and(
-            mask, jnp.logical_and(qs == ks, qs != 0))
+        segm = jnp.logical_and(qs == ks, qs != 0)   # (block_q, block_k)
+        if group > 1:
+            segm = jax.lax.broadcast_in_dim(
+                segm, (group, block_q, block_k), (1, 2)).reshape(
+                    rows, block_k)
+        mask = jnp.logical_and(mask, segm)
     return jnp.where(mask, s, MASKED)
 
 
@@ -80,8 +105,14 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
                 causal: bool, use_segments: bool,
                 use_bias: bool,
                 window: Tuple[int, int], offset: int,
-                block_q: int, block_k: int, num_k_blocks: int):
+                group: int, block_q: int, block_k: int, num_k_blocks: int):
+    """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
+    are stacked into one (group*block_q, d) operand so each K/V block is
+    DMA'd and matmul'd once per group instead of once per query head
+    (measured +15% on v5e GQA-4 prefill, and it quadruples the MXU work
+    per K/V byte moved)."""
     iq, ik = pl.program_id(2), pl.program_id(3)
+    rows = group * block_q
 
     @pl.when(ik == 0)
     def _init():
@@ -109,15 +140,17 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
         # The softmax scale (and the nat->log2 conversion) is folded into
         # q OUTSIDE the kernel, so scores are already in the exp2 domain:
         # one VPU pass per score element saved vs `s * scale` + exp().
+        q = q_ref[0].reshape(rows, q_ref.shape[-1])
         s = jax.lax.dot_general(
-            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if use_bias:
-            s = s + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+            bias = bias_ref[0].reshape(rows, block_k)
+            s = s + bias.astype(jnp.float32) * LOG2E
         s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                          causal=causal, window=window,
                          use_segments=use_segments,
-                         block_q=block_q, block_k=block_k)
+                         group=group, block_q=block_q, block_k=block_k)
 
         m_prev = m_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -138,10 +171,13 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
     def _epilogue():
         l = l_ref[..., :1]
         l_safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        d = o_ref.shape[-1]
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
+            group, block_q, d)
         m = m_ref[..., :1]          # log2-domain running max
         lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
+        lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).reshape(
+            group, block_q, 128)
 
 
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
@@ -149,12 +185,12 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
+    assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
     group = hq // hkv
     # Fold softmax scale + nat->exp2 conversion into q (one fused pass
     # over (B,H,S,D) instead of one per score block inside the kernel).
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    block_q = min(block_q, _ceil_to(sq, 8))
-    block_k = min(block_k, _ceil_to(skv, 8))
+    block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
     use_segments = qseg is not None
     # Segment ids are pre-broadcast outside the kernel so each read has the
@@ -167,7 +203,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         qseg = jnp.zeros((b, 8, 128), jnp.int32)
         kseg = jnp.zeros((b, 8, 128), jnp.int32)
 
-    grid = (b, hq, nq, nk)
+    grid = (b, hkv, nq, nk)
+    rows = group * block_q
     use_bias = bias is not None
     if use_bias:
         # (Bb, H, Sq, Skv); Bb == b or 1 (broadcast over batch)
@@ -178,28 +215,30 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, use_segments=use_segments,
         use_bias=use_bias,
-        window=window, offset=offset, block_q=block_q, block_k=block_k,
+        window=window, offset=offset, group=group,
+        block_q=block_q, block_k=block_k,
         num_k_blocks=nk)
     if use_bias:
         bias_spec = pl.BlockSpec(
-            (1, 1, block_q, block_k),
-            lambda bi, h, iq, ik: (bi % bias_b if bias_b > 1 else 0, h, iq, ik),
+            (1, group, block_q, block_k),
+            lambda bi, hk, iq, ik: (bi % bias_b if bias_b > 1 else 0,
+                                    hk, iq, ik),
             memory_space=pltpu.VMEM)
     else:
         bias_spec = pl.BlockSpec((1, 1, 8, 128),
-                                 lambda bi, h, iq, ik: (0, 0, 0, 0),
+                                 lambda bi, hk, iq, ik: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     if use_segments:
         seg_q_spec = pl.BlockSpec((1, block_q, 128),
-                                  lambda bi, h, iq, ik: (bi, iq, 0),
+                                  lambda bi, hk, iq, ik: (bi, iq, 0),
                                   memory_space=pltpu.VMEM)
         seg_k_spec = pl.BlockSpec((1, 8, block_k),
-                                  lambda bi, h, iq, ik: (bi, 0, ik),
+                                  lambda bi, hk, iq, ik: (bi, 0, ik),
                                   memory_space=pltpu.VMEM)
     else:
         seg_q_spec = seg_k_spec = pl.BlockSpec(
-            (1, 8, 128), lambda bi, h, iq, ik: (bi, 0, 0),
+            (1, 8, 128), lambda bi, hk, iq, ik: (bi, 0, 0),
             memory_space=pltpu.VMEM)
 
     o, lse = pl.pallas_call(
@@ -209,23 +248,23 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_q_spec,
             seg_k_spec,
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         lambda bi, hk, iq, ik: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         lambda bi, hk, iq, ik: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             bias_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, 128),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -233,9 +272,9 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((rows, d), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -257,8 +296,9 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
 def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
-                   block_q, block_k, num_k_blocks):
+                   group, block_q, block_k, num_k_blocks):
     iq, ik = pl.program_id(2), pl.program_id(3)
+    rows = group * block_q
 
     @pl.when(ik == 0)
     def _init():
@@ -279,21 +319,24 @@ def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, ls
         # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
         # exp2 domain. The true softmax scale is re-applied once in the
         # epilogue — no per-score-block scale multiplies.
+        d = q_ref.shape[-1]
+        q = q_ref[0].reshape(rows, d)
+        do = do_ref[0].reshape(rows, d)
         k = k_ref[0, 0]
-        lse2 = lse_ref[0, 0][:, :1]
-        delta = delta_ref[0, 0][:, :1]
+        lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
+        delta = delta_ref[0].reshape(rows, 128)[:, :1]
 
         s = jax.lax.dot_general(
-            q_ref[0, 0], k, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                          causal=causal, window=window,
                          use_segments=use_segments,
-                         block_q=block_q, block_k=block_k)
+                         group=group, block_q=block_q, block_k=block_k)
         # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
         p = jnp.exp2(s - lse2)
         dp = jax.lax.dot_general(
-            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         acc_ref[...] += jax.lax.dot_general(
@@ -302,14 +345,21 @@ def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, ls
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
-        dq_ref[0, 0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+        d = dq_ref.shape[-1]
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype).reshape(
+            group, block_q, d)
 
 
 def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     scale, causal, use_segments, window, offset,
-                    block_q, block_k, num_q_blocks):
+                    group, block_q, block_k, num_q_blocks):
+    """dK/dV over grid (b, hkv, ik, iq). With GQA packing the `group`
+    query heads sharing this KV head are stacked into the contraction
+    rows, so dk/dv come out already summed over the group — no per-head
+    (b, hq, skv, d) materialization + reduce pass."""
     ik, iq = pl.program_id(2), pl.program_id(3)
+    rows = group * block_q
 
     @pl.when(iq == 0)
     def _init():
@@ -330,10 +380,11 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
     def _body():
         # q is pre-scaled by scale*LOG2E; dk therefore accumulates
         # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        lse2 = lse_ref[0, 0][:, :1]
-        delta = delta_ref[0, 0][:, :1]
+        d = q_ref.shape[-1]
+        q = q_ref[0].reshape(rows, d)
+        do = do_ref[0].reshape(rows, d)
+        lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
+        delta = delta_ref[0].reshape(rows, 128)[:, :1]
 
         s = jax.lax.dot_general(
             q, k_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -341,7 +392,7 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
         s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                          causal=causal, window=window,
                          use_segments=use_segments,
-                         block_q=block_q, block_k=block_k)
+                         group=group, block_q=block_q, block_k=block_k)
         p = jnp.exp2(s - lse2)
         pc = p.astype(q.dtype)
         dv_acc[...] += jax.lax.dot_general(
@@ -367,9 +418,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                offset, block_q, block_k):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
+    assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
     group = hq // hkv
-    block_q = min(block_q, _ceil_to(sq, 8))
-    block_k = min(block_k, _ceil_to(skv, 8))
+    block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
     use_segments = qseg is not None
     if use_segments:
@@ -391,9 +442,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                                 memory_space=pltpu.VMEM)
         if which == "q":
             shape = (1, block_q, 128)
-            if order == "qk":   # grid dims (b, h, iq, ik)
+            if order == "qk":   # grid dims (b, hk, iq, ik)
                 idx = lambda bi, h, iq, ik: (bi, iq, 0)
-            else:               # grid dims (b, h, ik, iq)
+            else:               # grid dims (b, hk, ik, iq)
                 idx = lambda bi, h, ik, iq: (bi, iq, 0)
         else:
             shape = (1, 8, block_k)
@@ -404,79 +455,86 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
     common = dict(scale=scale, causal=causal, use_segments=use_segments,
-                  window=window, offset=offset,
+                  window=window, offset=offset, group=group,
                   block_q=block_q, block_k=block_k)
+    rows = group * block_q
 
-    # --- dQ: grid (b, hq, iq, ik) ---
+    # --- dQ: grid (b, hkv, iq, ik), group-packed q/do/dq rows ---
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, num_k_blocks=nk, **common),
-        grid=(b, hq, nq, nk),
+        grid=(b, hkv, nq, nk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "qk"),
             seg_spec("k", "qk"),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         lambda bi, hk, iq, ik: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, iq, ik: (bi, h // group, ik, 0),
+                         lambda bi, hk, iq, ik: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, 128),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda bi, h, iq, ik: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, 128),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, h, iq, ik: (bi, h, iq, 0),
+        out_specs=pl.BlockSpec((1, group, block_q, d),
+                               lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
-    # --- dK/dV: grid (b, hq, ik, iq); per-q-head then group reduce ---
-    dk_h, dv_h = pl.pallas_call(
+    # --- dK/dV: grid (b, hkv, ik, iq); group summed in-kernel ---
+    dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **common),
-        grid=(b, hq, nk, nq),
+        grid=(b, hkv, nk, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "kq"),
             seg_spec("k", "kq"),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, ik, iq: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, ik, iq: (bi, h // group, ik, 0),
+                         lambda bi, hk, ik, iq: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, ik, iq: (bi, h // group, ik, 0),
+                         lambda bi, hk, ik, iq: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, ik, iq: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda bi, h, ik, iq: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, 128),
+                         lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda bi, h, ik, iq: (bi, h, iq, 0),
+            pl.BlockSpec((1, group, block_q, 128),
+                         lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, ik, iq: (bi, h, ik, 0),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hk, ik, iq: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, ik, iq: (bi, h, ik, 0),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hk, ik, iq: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, skv, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hq, skv, d), v.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -488,11 +546,6 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
 
-    if group > 1:
-        dk = dk_h.reshape(b, hkv, group, skv, d).sum(axis=2).astype(k.dtype)
-        dv = dv_h.reshape(b, hkv, group, skv, d).sum(axis=2).astype(v.dtype)
-    else:
-        dk, dv = dk_h, dv_h
     return dq, dk, dv
 
 
@@ -575,8 +628,11 @@ def flash_attention(
         raise ValueError("padding mask requires a sequence_descriptor")
 
     # Pad sequence lengths to block multiples; padded tokens get segment 0.
-    sq_p = _ceil_to(sq, min(block_q, _ceil_to(sq, 8)))
-    skv_p = _ceil_to(skv, min(block_k, _ceil_to(skv, 8)))
+    hkv = k.shape[2]
+    eff_bq, eff_bk = _effective_blocks(
+        sq, skv, hq // hkv if hq % hkv == 0 else 1, block_q, block_k)
+    sq_p = _ceil_to(sq, eff_bq)
+    skv_p = _ceil_to(skv, eff_bk)
     if bias is not None and (sq_p != sq or skv_p != skv):
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - sq),
                               (0, skv_p - skv)))

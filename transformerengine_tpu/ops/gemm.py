@@ -93,14 +93,22 @@ def _dq_block_to_bf16(t: ScaledTensor1x) -> jax.Array:
     return (x * s).astype(jnp.bfloat16).reshape(t.data.shape)
 
 
-def tn_dot(lhs, rhs, precision=None) -> jax.Array:
-    """out[i, j] = sum_k lhs[i, k] * rhs[j, k], with lhs/rhs either plain
-    arrays or ScaledTensor1x. Leading dims of each operand are flattened
-    by the caller; this takes strict 2D operands and returns f32.
+def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
+    """2D quantized matmul contracting ``lhs_cdim`` of lhs with
+    ``rhs_cdim`` of rhs; operands are plain arrays or ScaledTensor1x.
+
+    Per-tensor scaling imposes NO layout constraint (the scale is a
+    scalar), so any contraction axes are allowed — this is what lets the
+    layers keep only ONE quantized orientation and aim dgrad/wgrad at
+    whatever axes the stored payloads already have (the reference needs
+    cast-transpose kernels here purely because cuBLAS FP8 requires TN;
+    XLA's dot_general does not). Block-scaled operands must contract
+    along their stored last axis (the scaled axis).
     """
     if (_use_pallas_matmul() and is_scaled(lhs) and is_scaled(rhs)
             and lhs.scaling_mode.is_block_scaling
-            and rhs.scaling_mode.is_block_scaling):
+            and rhs.scaling_mode.is_block_scaling
+            and lhs_cdim == 1 and rhs_cdim == 1):
         out = _pallas_block_dot(lhs, rhs)
         if out is not None:
             return out
@@ -112,7 +120,7 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
 
     post_scale = jnp.float32(1.0)
 
-    def prep(t):
+    def prep(t, cdim):
         nonlocal post_scale
         if not is_scaled(t):
             return t
@@ -128,15 +136,28 @@ def tn_dot(lhs, rhs, precision=None) -> jax.Array:
             # producing quantize; direct fp8 operands measured SLOWER for
             # training steps (0.73x vs 0.87x of bf16).
             return t.data.astype(jnp.bfloat16)
+        assert cdim == t.data.ndim - 1, (
+            "block-scaled operands must contract along the stored last "
+            "axis (scales run along it)")
         if t.tensor_scale_inv is not None:
             post_scale = post_scale * t.tensor_scale_inv.astype(jnp.float32).reshape(())
         return _dq_block_to_bf16(t)
 
-    a, b = prep(lhs), prep(rhs)
+    a, b = prep(lhs, lhs_cdim), prep(rhs, rhs_cdim)
     out = jax.lax.dot_general(
-        a, b, dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        a, b, dimension_numbers=(((lhs_cdim,), (rhs_cdim,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
     return out * post_scale
+
+
+def tn_dot(lhs, rhs, precision=None) -> jax.Array:
+    """out[i, j] = sum_k lhs[i, k] * rhs[j, k], with lhs/rhs either plain
+    arrays or ScaledTensor1x. Leading dims of each operand are flattened
+    by the caller; this takes strict 2D operands and returns f32.
+    """
+    lk = (lhs.data.ndim if is_scaled(lhs) else lhs.ndim) - 1
+    rk = (rhs.data.ndim if is_scaled(rhs) else rhs.ndim) - 1
+    return q_dot(lhs, rhs, lk, rk, precision=precision)
 
 
 def dequantize_any(x) -> jax.Array:

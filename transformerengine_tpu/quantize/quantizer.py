@@ -79,7 +79,14 @@ class Quantizer:
         dq_dtype=None,
         flatten_axis: int = -1,
         key: Optional[jax.Array] = None,
+        layout: Optional[QuantizeLayout] = None,
     ):
+        """Quantize ``x``. ``layout`` overrides the quantizer's configured
+        ``q_layout`` for this call — layers use it to skip the colwise
+        usage when the recipe's scaling is per-tensor (the payload would
+        be an exact transpose; dgrad/wgrad contract the rowwise payload
+        along whatever axis is needed instead — see ops/gemm.q_dot)."""
+        q_layout = layout if layout is not None else self.q_layout
         dq_dtype = jnp.dtype(dq_dtype or x.dtype)
         fa = flatten_axis % max(x.ndim, 1)
         x2d, x2d_t, t_shape = _2d_views(x, fa)
@@ -93,9 +100,9 @@ class Quantizer:
                 layout=layout, flatten_axis=this_fa)
 
         kr, kc = (jax.random.split(key) if key is not None else (None, None))
-        if self.q_layout is QuantizeLayout.ROWWISE:
+        if q_layout is QuantizeLayout.ROWWISE:
             return build(x2d, x.shape, "N", fa, kr)
-        if self.q_layout is QuantizeLayout.COLWISE:
+        if q_layout is QuantizeLayout.COLWISE:
             return build(x2d_t, t_shape, "T", x.ndim - fa, kc)
         fused = self._fused_2x(x2d, key)
         if fused is not None:
@@ -268,7 +275,8 @@ class NoopQuantizer(Quantizer):
     """Pass-through 'quantizer' used when quantization is disabled for a
     tensor role (reference: higher-precision fallback paths)."""
 
-    def quantize(self, x, *, dq_dtype=None, flatten_axis=-1, key=None):
+    def quantize(self, x, *, dq_dtype=None, flatten_axis=-1, key=None,
+                 layout=None):
         return x
 
 
