@@ -4,9 +4,12 @@ TPU counterpart of the reference GroupedLinear (reference:
 pytorch/module/grouped_linear.py; jax/dense.py:318 grouped_dense). Rows
 of ``x`` are expert-contiguous (output of token_dispatch); weights are
 stacked (E, K, M); the three GEMMs (fwd/dgrad/wgrad) are XLA ragged
-dots. Quantization uses per-tensor scaling (the reference's
-GroupedQuantizer per-expert scales are a follow-up; per-tensor is
-numerically valid for current/delayed scaling).
+dots. Tensor-scaling recipes fold the per-tensor scales into the GEMM
+output; block-scaled recipes (MXFP8/blockwise) quantize both operands
+with scales along the contraction axis (kernel stored TN as (E, M, K))
+and dequantize exactly into the ragged dot (reference:
+jax/quantize/quantizer.py:881 GroupedQuantizer,
+common/gemm/cublaslt_grouped_gemm.cu).
 """
 from __future__ import annotations
 
@@ -16,7 +19,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.grouped_gemm import grouped_gemm, grouped_gemm_dw
+from .ops.grouped_gemm import (grouped_gemm, grouped_gemm_dgrad,
+                               grouped_gemm_dw, grouped_gemm_tn)
 from .quantize.quantizer import QuantizerSet, noop_quantizer_set
 from .quantize.tensor import get_rowwise
 from .utils.pytree import Static
@@ -29,15 +33,13 @@ def _amax_of(t):
 
 
 def _q1x(quantizer, x):
-    """Quantize rowwise-only (ragged dots take natural layouts)."""
+    """Quantize rowwise-only: scales run along the stored last axis,
+    which callers arrange to be the contraction axis (TN invariant)."""
     if quantizer is None:
         return x, jnp.float32(0.0)
     import dataclasses
     from .quantize.quantizer import QuantizeLayout
     q = dataclasses.replace(quantizer, q_layout=QuantizeLayout.ROWWISE)
-    assert q.scaling_mode.is_tensor_scaling, (
-        "grouped_dense supports tensor-scaling recipes; block-scaled "
-        "grouped quantization lands with GroupedQuantizer")
     t = q.quantize(x)
     return t, _amax_of(t)
 
@@ -52,10 +54,20 @@ def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set):
     if quantizer_set.x is None:
         out = grouped_gemm(x, kernel, group_sizes)
         res = (x, kernel, group_sizes, None, None)
-    else:
+    elif quantizer_set.x.scaling_mode.is_tensor_scaling:
         qx, ax = _q1x(quantizer_set.x, x)
         qk, ak = _q1x(quantizer_set.kernel, kernel)
         out = grouped_gemm(qx, qk, group_sizes)
+        res = (qx, qk, group_sizes, ax, ak)
+    else:
+        # Block-scaled (MXFP8 / blockwise): quantize both operands with
+        # scales along the contraction axis (K), which requires the
+        # kernel stored transposed (E, M, K) — the grouped analog of the
+        # TN dense path (reference: jax/quantize/quantizer.py:881
+        # GroupedQuantizer + cublaslt_grouped_gemm.cu MXFP8 path).
+        qx, ax = _q1x(quantizer_set.x, x)
+        qk, ak = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
+        out = grouped_gemm_tn(qx, qk, group_sizes)
         res = (qx, qk, group_sizes, ax, ak)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
     return out.astype(x.dtype), (res, meta, quantizer_set)
@@ -76,14 +88,19 @@ def _gd_bwd(num_experts, residuals, g):
             kernel=quantizer_set.kernel.update(ak),
             dgrad=quantizer_set.dgrad.update(ag))
 
-    # dX[n] = G[n] @ W[e]^T  — ragged dot against transposed kernels.
-    kt = (kq.data if hasattr(kq, "data") else kq)
-    if hasattr(kq, "data"):
-        import dataclasses
-        kt = dataclasses.replace(kq, data=jnp.swapaxes(kq.data, 1, 2))
+    if (quantizer_set.x is not None
+            and not quantizer_set.x.scaling_mode.is_tensor_scaling):
+        # TN storage: kq is already (E, M, K); contract M directly.
+        dx = grouped_gemm_dgrad(gq, kq, group_sizes).astype(x_dtype)
     else:
-        kt = jnp.swapaxes(kq, 1, 2)
-    dx = grouped_gemm(gq, kt, group_sizes).astype(x_dtype)
+        # dX[n] = G[n] @ W[e]^T  — ragged dot against transposed kernels.
+        kt = (kq.data if hasattr(kq, "data") else kq)
+        if hasattr(kq, "data"):
+            import dataclasses
+            kt = dataclasses.replace(kq, data=jnp.swapaxes(kq.data, 1, 2))
+        else:
+            kt = jnp.swapaxes(kq, 1, 2)
+        dx = grouped_gemm(gq, kt, group_sizes).astype(x_dtype)
     dw = grouped_gemm_dw(xq, gq, group_sizes, num_experts).astype(k_dtype)
     return dx.reshape(x_shape), dw.reshape(k_shape), None, d_qset
 

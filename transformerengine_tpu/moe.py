@@ -54,8 +54,16 @@ def moe(
         noop_quantizer_set, noop_quantizer_set),
     ep_axis: Optional[str] = None,
     capacity_factor: float = 2.0,
+    dropless: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (output with x's shape, aux_loss scalar)."""
+    """Returns (output with x's shape, aux_loss scalar).
+
+    Under EP (``ep_axis``), ``dropless=True`` (default) routes every
+    selected token to its expert via exact-size all-to-alls (reference:
+    jax/moe.py:2071 fused dropless block; pytorch/permutation.py
+    index-based dispatch); ``dropless=False`` keeps the bounded-memory
+    Switch-style capacity path where overflow tokens fall back to the
+    residual stream."""
     orig_shape = x.shape
     h = x.reshape(-1, x.shape[-1])
     t = h.shape[0]
@@ -73,6 +81,9 @@ def moe(
         out_e = _expert_mlp(disp, w_up, w_down, aux["group_sizes"], acts,
                             *quantizer_sets)
         out = token_combine(out_e.astype(h.dtype), probs, aux)
+    elif dropless:
+        out = _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
+                               quantizer_sets, ep_axis, topk)
     else:
         out = _moe_ep(h, probs, routing_map, w_up, w_down, acts,
                       quantizer_sets, ep_axis, topk, capacity_factor)
@@ -83,6 +94,139 @@ def moe(
 # Expert-parallel path (inside shard_map over ep_axis; tokens sharded on
 # the batch/token dim, experts sharded on the expert dim)
 # ---------------------------------------------------------------------------
+
+def _excl_cumsum(x, axis=0):
+    return jnp.cumsum(x, axis=axis) - x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ragged_a2a(axis_name, out_rows, x, in_off, send, out_off, recv,
+                bwd_out_off):
+    """Differentiable exact-size ragged all-to-all. ``bwd_out_off[i]`` is
+    the offset in source i's operand where my return chunk lands (i.e.
+    i's ``in_off[me]``) — precomputed by the caller from the gathered
+    count matrix so the transpose needs no extra collective."""
+    buf = jnp.zeros((out_rows, x.shape[1]), x.dtype)
+    return jax.lax.ragged_all_to_all(x, buf, in_off, send, out_off, recv,
+                                     axis_name=axis_name)
+
+
+def _ragged_a2a_fwd(axis_name, out_rows, x, in_off, send, out_off, recv,
+                    bwd_out_off):
+    out = _ragged_a2a(axis_name, out_rows, x, in_off, send, out_off, recv,
+                      bwd_out_off)
+    return out, (x.shape, in_off, send, out_off, recv, bwd_out_off)
+
+
+def _ragged_a2a_bwd(axis_name, out_rows, res, g):
+    import numpy as np
+    x_shape, in_off, send, out_off, recv, bwd_out_off = res
+    buf = jnp.zeros(x_shape, g.dtype)
+    dx = jax.lax.ragged_all_to_all(
+        g, buf, _excl_cumsum(recv), recv, bwd_out_off, send,
+        axis_name=axis_name)
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dx, z(in_off), z(send), z(out_off), z(recv), z(bwd_out_off))
+
+
+_ragged_a2a.defvjp(_ragged_a2a_fwd, _ragged_a2a_bwd)
+
+
+def _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
+                     quantizer_sets, ep_axis, topk):
+    """Dropless EP: every selected token reaches its expert
+    (reference: jax/moe.py:2071 — dropless permutation-based EP block).
+
+    Comm layout: tokens are dispatched expert-contiguous locally (which
+    is also destination-device-contiguous), all-to-all'd with exact
+    per-pair counts, re-sorted expert-major on the receiver, run through
+    the grouped MLP, and routed back through the inverse permutation +
+    reverse all-to-all. All shapes are static: the receive buffer is
+    sized at the worst case (every selection in the system targeting
+    this device's experts, ep * T_local * topk rows); XLA's ragged dot
+    skips the padding rows so FLOPs track the true token counts.
+
+    On TPU the transfers use ``lax.ragged_all_to_all`` (exact bytes on
+    the wire); XLA:CPU does not implement that op, so off-TPU the same
+    exact semantics run over a dense slot-padded ``lax.all_to_all``
+    (TE_TPU_MOE_A2A=ragged|dense overrides)."""
+    import os
+    ep = jax.lax.axis_size(ep_axis)
+    me = jax.lax.axis_index(ep_axis)
+    t, hidden = h.shape
+    e_local = w_up.shape[0]
+    s = t * topk                                    # local selections bound
+    r_rows = ep * s                                 # worst-case recv rows
+
+    mode = os.environ.get("TE_TPU_MOE_A2A", "")
+    use_ragged = (mode == "ragged" or
+                  (mode != "dense" and jax.default_backend() == "tpu"))
+
+    disp, aux = token_dispatch(h, routing_map, num_out_tokens=s)
+    gs = aux["group_sizes"]                         # (E,) rows per expert
+    send_sizes = gs.reshape(ep, e_local).sum(1)     # (ep,) rows per dest dev
+    in_off = _excl_cumsum(send_sizes)
+    C = jax.lax.all_gather(send_sizes, ep_axis)     # (ep, ep): C[i, j]
+    recv_sizes = C[:, me]
+    out_off = _excl_cumsum(C, axis=0)[me]           # my chunk's slot at dest j
+    bwd_out_off = _excl_cumsum(C, axis=1)[:, me]    # src i's in_off[me]
+    # Per-source row counts into each of my local experts.
+    GS = jax.lax.all_gather(gs, ep_axis)            # (ep, E)
+    csrc = jax.lax.dynamic_slice(GS, (0, me * e_local), (ep, e_local))
+
+    if use_ragged:
+        recv_flat = _ragged_a2a(ep_axis, r_rows, disp, in_off, send_sizes,
+                                out_off, recv_sizes, bwd_out_off)
+        # src i's chunk is packed at excl_cumsum(recv_sizes)[i]; rows
+        # inside are expert-minor — flat block starts in src-major order:
+        starts = _excl_cumsum(csrc.reshape(-1))
+    else:
+        dev_of_row = jnp.repeat(jnp.arange(ep), send_sizes,
+                                total_repeat_length=s)
+        slot = jnp.arange(s) - in_off[dev_of_row]
+        send_buf = jnp.zeros((ep, s, hidden), disp.dtype
+                             ).at[dev_of_row, slot].set(disp)
+        recv_buf = jax.lax.all_to_all(send_buf, ep_axis, 0, 0, tiled=False)
+        recv_flat = recv_buf.reshape(r_rows, hidden)
+        # src i's chunk occupies slot block [i*s, i*s + recv_sizes[i]).
+        starts = (jnp.arange(ep)[:, None] * s
+                  + _excl_cumsum(csrc, axis=1)).reshape(-1)
+
+    # Re-sort received rows expert-major (my e_local experts contiguous).
+    tot_e = csrc.sum(0)                             # (e_local,) rows/expert
+    n_r = tot_e.sum()
+    # expert-major flat ordering of the (src, expert) blocks:
+    sizes_em = csrc.T.reshape(-1)                   # (e_local*ep,)
+    starts_em = starts.reshape(ep, e_local).T.reshape(-1)
+    tgt_em = _excl_cumsum(sizes_em)                 # contiguous target space
+    p = jnp.arange(r_rows)
+    blk = jnp.searchsorted(jnp.cumsum(sizes_em), p, side="right")
+    blk = jnp.minimum(blk, sizes_em.shape[0] - 1)
+    gather_idx = starts_em[blk] + (p - tgt_em[blk])
+    valid_r = p < n_r
+    expert_in = jnp.where(valid_r[:, None],
+                          recv_flat[jnp.where(valid_r, gather_idx, 0)], 0)
+    # Padding rows are zeros; attribute them to the last expert (zero
+    # rows produce zero MLP output and are never gathered back).
+    group_sizes_local = tot_e.at[-1].add(r_rows - n_r).astype(jnp.int32)
+
+    out_e = _expert_mlp(expert_in, w_up, w_down, group_sizes_local, acts,
+                        *quantizer_sets).astype(h.dtype)
+
+    # Inverse local sort: back to (src-major, expert-minor) recv layout.
+    scat_idx = jnp.where(valid_r, gather_idx, r_rows)
+    back_flat = jnp.zeros((r_rows, hidden), out_e.dtype
+                          ).at[scat_idx].set(out_e, mode="drop")
+
+    if use_ragged:
+        ret = _ragged_a2a(ep_axis, s, back_flat, _excl_cumsum(recv_sizes),
+                          recv_sizes, bwd_out_off, send_sizes, out_off)
+    else:
+        back = jax.lax.all_to_all(back_flat.reshape(ep, s, hidden),
+                                  ep_axis, 0, 0, tiled=False)
+        ret = back[dev_of_row, slot]
+
+    return token_combine(ret, probs, aux)
 
 def _moe_ep(h, probs, routing_map, w_up, w_down, acts, quantizer_sets,
             ep_axis, topk, capacity_factor):

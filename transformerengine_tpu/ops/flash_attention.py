@@ -99,6 +99,59 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
+                    acc_ref, m_ref, l_ref, q_start, k_start, off, *,
+                    causal, use_segments, use_bias, window, group,
+                    block_q, block_k):
+    """One online-softmax update for a (packed-q, k) block pair. Shared
+    by the dense-grid kernel and the enumerated-steps kernel."""
+    rows = group * block_q
+    # MXU matmuls run on the native (bf16) operands — an f32 upcast
+    # here costs >2x MXU throughput (r1 kernel measured 69 TF/s).
+    # The softmax scale (and the nat->log2 conversion) is folded into
+    # q OUTSIDE the kernel, so scores are already in the exp2 domain:
+    # one VPU pass per score element saved vs `s * scale` + exp().
+    q = q_ref[0].reshape(rows, q_ref.shape[-1])
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if use_bias:
+        bias = bias_ref[0].reshape(rows, block_k)
+        s = s + bias.astype(jnp.float32) * LOG2E
+    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                     causal=causal, window=window,
+                     use_segments=use_segments,
+                     group=group, block_q=block_q, block_k=block_k)
+
+    m_prev = m_ref[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, :1])
+
+    l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+    m_ref[...] = m_new
+    v = v_ref[0, 0]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+
+def _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q):
+    rows = group * block_q
+    l = l_ref[..., :1]
+    l_safe = jnp.where(l > 0, l, 1.0)
+    d = o_ref.shape[-1]
+    o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
+        group, block_q, d)
+    m = m_ref[..., :1]          # log2-domain running max
+    lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
+    lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).reshape(
+        group, block_q, 128)
+
+
 def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
                 o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
@@ -112,7 +165,6 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
     (measured +15% on v5e GQA-4 prefill, and it quadruples the MXU work
     per K/V byte moved)."""
     iq, ik = pl.program_id(2), pl.program_id(3)
-    rows = group * block_q
 
     @pl.when(ik == 0)
     def _init():
@@ -135,53 +187,92 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
 
     @pl.when(run)
     def _body():
-        # MXU matmuls run on the native (bf16) operands — an f32 upcast
-        # here costs >2x MXU throughput (r1 kernel measured 69 TF/s).
-        # The softmax scale (and the nat->log2 conversion) is folded into
-        # q OUTSIDE the kernel, so scores are already in the exp2 domain:
-        # one VPU pass per score element saved vs `s * scale` + exp().
-        q = q_ref[0].reshape(rows, q_ref.shape[-1])
-        s = jax.lax.dot_general(
-            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if use_bias:
-            bias = bias_ref[0].reshape(rows, block_k)
-            s = s + bias.astype(jnp.float32) * LOG2E
-        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                         causal=causal, window=window,
-                         use_segments=use_segments,
-                         group=group, block_q=block_q, block_k=block_k)
-
-        m_prev = m_ref[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new[:, :1])
-
-        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
-        m_ref[...] = m_new
-        v = v_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+        _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
+                        acc_ref, m_ref, l_ref, q_start, k_start, off,
+                        causal=causal, use_segments=use_segments,
+                        use_bias=use_bias, window=window, group=group,
+                        block_q=block_q, block_k=block_k)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
-        l = l_ref[..., :1]
-        l_safe = jnp.where(l > 0, l, 1.0)
-        d = o_ref.shape[-1]
-        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
-            group, block_q, d)
-        m = m_ref[..., :1]          # log2-domain running max
-        lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
-        lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).reshape(
-            group, block_q, 128)
+        _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q)
+
+
+def _fwd_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+                      bias_ref, o_ref, lse_ref,
+                      acc_ref, m_ref, l_ref, *,
+                      causal: bool, use_segments: bool, use_bias: bool,
+                      window: Tuple[int, int], offset: int,
+                      group: int, block_q: int, block_k: int):
+    """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
+    block pair (steps[0,t], steps[1,t]) — ONLY reachable blocks are
+    enumerated (lower triangle for causal, band for sliding window), so
+    the kernel body is branchless: no per-block run predicate, no wasted
+    K/V DMA on skipped blocks. steps[2,t]/steps[3,t] flag the first/last
+    step of each q row (same role as ik==0 / ik==nk-1 in the dense
+    grid). Same trick as jax's SplashAttention data-dependent grids."""
+    t = pl.program_id(2)
+    iq = steps_ref[0, t]
+    ik = steps_ref[1, t]
+
+    @pl.when(steps_ref[2, t] == 1)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
+                    acc_ref, m_ref, l_ref, iq * block_q, ik * block_k,
+                    offset,
+                    causal=causal, use_segments=use_segments,
+                    use_bias=use_bias, window=window, group=group,
+                    block_q=block_q, block_k=block_k)
+
+    @pl.when(steps_ref[3, t] == 1)
+    def _epilogue():
+        _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q)
+
+
+def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
+                     order="qk"):
+    """Static (iq, ik) block pairs that can contain unmasked entries,
+    with first/last flags marking segment boundaries of the outer index.
+    order='qk': iq-major (fwd, dq — flags delimit each iq's k sweep);
+    order='kq': ik-major (dkv — flags delimit each ik's q sweep).
+    Returns an int32 array of shape (4, T): iq, ik, first, last."""
+    import numpy as np
+    pairs = []
+    for outer in range(nq if order == "qk" else nk):
+        inner_n = nk if order == "qk" else nq
+        row = []
+        for inner in range(inner_n):
+            iq, ik = (outer, inner) if order == "qk" else (inner, outer)
+            q_first = iq * block_q + offset
+            q_last = q_first + block_q - 1
+            k_first = ik * block_k
+            k_last = k_first + block_k - 1
+            needed = True
+            if causal:
+                needed = needed and (k_first <= q_last)
+            if window[0] >= 0:
+                needed = needed and (k_last >= q_first - window[0])
+            if window[1] >= 0 and not causal:
+                needed = needed and (k_first <= q_last + window[1])
+            if needed:
+                row.append((iq, ik))
+        if not row:
+            # Outer index fully masked (e.g. bottom-right causal with
+            # sq > skv): still run one block so its output is written —
+            # the in-kernel mask zeroes it (l stays 0 / ds is 0).
+            row = [(outer, 0) if order == "qk" else (0, outer)]
+        for j, (iq, ik) in enumerate(row):
+            pairs.append((iq, ik, 1 if j == 0 else 0,
+                          1 if j == len(row) - 1 else 0))
+    return np.asarray(pairs, dtype=np.int32).T.copy()
 
 
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
-               window, offset, block_q, block_k):
+               window, offset, block_q, block_k, static_pos=False):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
@@ -192,6 +283,12 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
+    # Enumerated-steps grid: when positions are static (no dynamic
+    # q-offset) and a causal/window structure masks out whole blocks,
+    # enumerate only the reachable block pairs instead of skipping
+    # inside a dense grid (skipped grid steps still pay K/V DMA and
+    # branch latency — measured 72.9 -> see docs/PARITY.md).
+    use_steps = static_pos and (causal or window[0] >= 0 or window[1] >= 0)
     use_segments = qseg is not None
     # Segment ids are pre-broadcast outside the kernel so each read has the
     # right TPU orientation (q: sublane rows, kv: lanes) with no in-kernel
@@ -203,7 +300,6 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         qseg = jnp.zeros((b, 8, 128), jnp.int32)
         kseg = jnp.zeros((b, 8, 128), jnp.int32)
 
-    grid = (b, hkv, nq, nk)
     rows = group * block_q
     use_bias = bias is not None
     if use_bias:
@@ -212,6 +308,89 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     else:
         bias = jnp.zeros((1, 1, 8, 128), jnp.float32)
         bias_b = 1
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((rows, d), jnp.float32),
+        pltpu.VMEM((rows, 128), jnp.float32),
+        pltpu.VMEM((rows, 128), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
+        bytes_accessed=2 * (b * hq * sq * d + 2 * b * hkv * skv * d
+                            + b * hq * sq * d),
+        transcendentals=b * hq * sq * skv)
+
+    if use_steps:
+        steps = _enumerate_steps(nq, nk, block_q, block_k, offset,
+                                 causal, window, order="qk")
+        T = steps.shape[1]
+        kernel = functools.partial(
+            _fwd_kernel_steps, causal=causal, use_segments=use_segments,
+            use_bias=use_bias, window=window, offset=offset, group=group,
+            block_q=block_q, block_k=block_k)
+        if use_bias:
+            bias_spec = pl.BlockSpec(
+                (1, group, block_q, block_k),
+                lambda bi, hk, t, st: (bi % bias_b if bias_b > 1 else 0,
+                                       hk, st[0, t], st[1, t]),
+                memory_space=pltpu.VMEM)
+        else:
+            bias_spec = pl.BlockSpec((1, 1, 8, 128),
+                                     lambda bi, hk, t, st: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+        if use_segments:
+            seg_q_spec = pl.BlockSpec((1, block_q, 128),
+                                      lambda bi, hk, t, st: (bi, st[0, t], 0),
+                                      memory_space=pltpu.VMEM)
+            seg_k_spec = pl.BlockSpec((1, 8, block_k),
+                                      lambda bi, hk, t, st: (bi, 0, st[1, t]),
+                                      memory_space=pltpu.VMEM)
+        else:
+            seg_q_spec = seg_k_spec = pl.BlockSpec(
+                (1, 8, 128), lambda bi, hk, t, st: (bi, 0, 0),
+                memory_space=pltpu.VMEM)
+        o, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, hkv, T),
+                in_specs=[
+                    seg_q_spec,
+                    seg_k_spec,
+                    pl.BlockSpec((1, group, block_q, d),
+                                 lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_k, d),
+                                 lambda bi, hk, t, st: (bi, hk, st[1, t], 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_k, d),
+                                 lambda bi, hk, t, st: (bi, hk, st[1, t], 0),
+                                 memory_space=pltpu.VMEM),
+                    bias_spec,
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, group, block_q, d),
+                                 lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, group, block_q, 128),
+                                 lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(jnp.asarray(steps), qseg, kseg, q, k, v, bias)
+        return o, lse[..., 0]
+
+    grid = (b, hkv, nq, nk)
     kernel = functools.partial(
         _fwd_kernel, causal=causal, use_segments=use_segments,
         use_bias=use_bias,
@@ -267,23 +446,12 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, d), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
-            bytes_accessed=2 * (b * hq * sq * d + 2 * b * hkv * skv * d
-                                + b * hq * sq * d),
-            transcendentals=b * hq * sq * skv),
+        cost_estimate=cost,
         interpret=_interpret(),
     )(qoff, qseg, kseg, q, k, v, bias)
     return o, lse[..., 0]
@@ -293,12 +461,45 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
+def _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, acc_ref, q_start, k_start, off, *,
+                       causal, use_segments, window, group, block_q, block_k):
+    """dQ contribution of one (packed-q, k) block pair. Shared by the
+    dense-grid and enumerated-steps dq kernels."""
+    rows = group * block_q
+    # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
+    # exp2 domain. The true softmax scale is re-applied once in the
+    # epilogue — no per-score-block scale multiplies.
+    d = q_ref.shape[-1]
+    q = q_ref[0].reshape(rows, d)
+    do = do_ref[0].reshape(rows, d)
+    k = k_ref[0, 0]
+    lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
+    delta = delta_ref[0].reshape(rows, 128)[:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                     causal=causal, window=window,
+                     use_segments=use_segments,
+                     group=group, block_q=block_q, block_k=block_k)
+    # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
+    p = jnp.exp2(s - lse2)
+    dp = jax.lax.dot_general(
+        do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
                    group, block_q, block_k, num_k_blocks):
     iq, ik = pl.program_id(2), pl.program_id(3)
-    rows = group * block_q
 
     @pl.when(ik == 0)
     def _init():
@@ -316,38 +517,83 @@ def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, ls
 
     @pl.when(run)
     def _body():
-        # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
-        # exp2 domain. The true softmax scale is re-applied once in the
-        # epilogue — no per-score-block scale multiplies.
-        d = q_ref.shape[-1]
-        q = q_ref[0].reshape(rows, d)
-        do = do_ref[0].reshape(rows, d)
-        k = k_ref[0, 0]
-        lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
-        delta = delta_ref[0].reshape(rows, 128)[:, :1]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                         causal=causal, window=window,
-                         use_segments=use_segments,
-                         group=group, block_q=block_q, block_k=block_k)
-        # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
-        p = jnp.exp2(s - lse2)
-        dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        acc_ref[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                           lse_ref, delta_ref, acc_ref, q_start, k_start, off,
+                           causal=causal, use_segments=use_segments,
+                           window=window, group=group,
+                           block_q=block_q, block_k=block_k)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
         d = dq_ref.shape[-1]
         dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype).reshape(
             group, block_q, d)
+
+
+def _bwd_dq_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+                         do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *,
+                         scale, causal, use_segments, window, offset,
+                         group, block_q, block_k):
+    """Enumerated-steps dQ: grid (b, hkv, T), step t -> block pair
+    (steps[0,t], steps[1,t]); flags [2]/[3] mark each iq's first/last
+    k block. Branchless body — only reachable blocks are enumerated."""
+    t = pl.program_id(2)
+    iq = steps_ref[0, t]
+    ik = steps_ref[1, t]
+
+    @pl.when(steps_ref[2, t] == 1)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, acc_ref,
+                       iq * block_q, ik * block_k, offset,
+                       causal=causal, use_segments=use_segments,
+                       window=window, group=group,
+                       block_q=block_q, block_k=block_k)
+
+    @pl.when(steps_ref[3, t] == 1)
+    def _epilogue():
+        d = dq_ref.shape[-1]
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype).reshape(
+            group, block_q, d)
+
+
+def _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, dk_acc, dv_acc,
+                        q_start, k_start, off, *,
+                        causal, use_segments, window, group,
+                        block_q, block_k):
+    """dK/dV contribution of one (packed-q, k) block pair. Shared by the
+    dense-grid and enumerated-steps dkv kernels."""
+    rows = group * block_q
+    # q is pre-scaled by scale*LOG2E; dk therefore accumulates
+    # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
+    d = q_ref.shape[-1]
+    q = q_ref[0].reshape(rows, d)
+    do = do_ref[0].reshape(rows, d)
+    lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
+    delta = delta_ref[0].reshape(rows, 128)[:, :1]
+
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
+                     causal=causal, window=window,
+                     use_segments=use_segments,
+                     group=group, block_q=block_q, block_k=block_k)
+    p = jnp.exp2(s - lse2)
+    pc = p.astype(q.dtype)
+    dv_acc[...] += jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -378,33 +624,12 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
 
     @pl.when(run)
     def _body():
-        # q is pre-scaled by scale*LOG2E; dk therefore accumulates
-        # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
-        d = q_ref.shape[-1]
-        q = q_ref[0].reshape(rows, d)
-        do = do_ref[0].reshape(rows, d)
-        lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
-        delta = delta_ref[0].reshape(rows, 128)[:, :1]
-
-        s = jax.lax.dot_general(
-            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                         causal=causal, window=window,
-                         use_segments=use_segments,
-                         group=group, block_q=block_q, block_k=block_k)
-        p = jnp.exp2(s - lse2)
-        pc = p.astype(q.dtype)
-        dv_acc[...] += jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta)).astype(q.dtype)
-        dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                            lse_ref, delta_ref, dk_acc, dv_acc,
+                            q_start, k_start, off,
+                            causal=causal, use_segments=use_segments,
+                            window=window, group=group,
+                            block_q=block_q, block_k=block_k)
 
     @pl.when(iq == num_q_blocks - 1)
     def _epilogue():
@@ -414,8 +639,37 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _bwd_dkv_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+                          do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                          dk_acc, dv_acc, *,
+                          scale, causal, use_segments, window, offset,
+                          group, block_q, block_k):
+    """Enumerated-steps dK/dV: grid (b, hkv, T), ik-major enumeration
+    (order='kq') so flags [2]/[3] delimit each ik's q sweep."""
+    t = pl.program_id(2)
+    iq = steps_ref[0, t]
+    ik = steps_ref[1, t]
+
+    @pl.when(steps_ref[2, t] == 1)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, dk_acc, dv_acc,
+                        iq * block_q, ik * block_k, offset,
+                        causal=causal, use_segments=use_segments,
+                        window=window, group=group,
+                        block_q=block_q, block_k=block_k)
+
+    @pl.when(steps_ref[3, t] == 1)
+    def _epilogue():
+        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
-               offset, block_q, block_k):
+               offset, block_q, block_k, static_pos=False):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
@@ -458,6 +712,80 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                   window=window, offset=offset, group=group,
                   block_q=block_q, block_k=block_k)
     rows = group * block_q
+
+    use_steps = static_pos and (causal or window[0] >= 0 or window[1] >= 0)
+    if use_steps:
+        def steps_seg_spec(which):
+            if not use_segments:
+                return pl.BlockSpec((1, 8, 128),
+                                    lambda bi, h, t, st: (bi, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            if which == "q":
+                return pl.BlockSpec((1, block_q, 128),
+                                    lambda bi, h, t, st: (bi, st[0, t], 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((1, 8, block_k),
+                                lambda bi, h, t, st: (bi, 0, st[1, t]),
+                                memory_space=pltpu.VMEM)
+
+        def q_row_spec(last):
+            return pl.BlockSpec((1, group, block_q, last),
+                                lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
+                                memory_space=pltpu.VMEM)
+
+        def kv_spec():
+            return pl.BlockSpec((1, 1, block_k, d),
+                                lambda bi, hk, t, st: (bi, hk, st[1, t], 0),
+                                memory_space=pltpu.VMEM)
+
+        steps_q = _enumerate_steps(nq, nk, block_q, block_k, offset,
+                                   causal, window, order="qk")
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_steps, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, hkv, steps_q.shape[1]),
+                in_specs=[
+                    steps_seg_spec("q"), steps_seg_spec("k"),
+                    q_row_spec(d), kv_spec(), kv_spec(),
+                    q_row_spec(d), q_row_spec(128), q_row_spec(128),
+                ],
+                out_specs=q_row_spec(d),
+                scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=_interpret(),
+        )(jnp.asarray(steps_q), qseg, kseg, q, k, v, do, lse_b, delta_b)
+
+        steps_k = _enumerate_steps(nq, nk, block_q, block_k, offset,
+                                   causal, window, order="kq")
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel_steps, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, hkv, steps_k.shape[1]),
+                in_specs=[
+                    steps_seg_spec("q"), steps_seg_spec("k"),
+                    q_row_spec(d), kv_spec(), kv_spec(),
+                    q_row_spec(d), q_row_spec(128), q_row_spec(128),
+                ],
+                out_specs=[kv_spec(), kv_spec()],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hkv, skv, d), k.dtype),
+                jax.ShapeDtypeStruct((b, hkv, skv, d), v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=_interpret(),
+        )(jnp.asarray(steps_k), qseg, kseg, q, k, v, do, lse_b, delta_b)
+        return dq, dk, dv
 
     # --- dQ: grid (b, hkv, iq, ik), group-packed q/do/dq rows ---
     dq = pl.pallas_call(
@@ -565,7 +893,8 @@ def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, scale, causal, window,
                     offset, blocks):
     o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, bias, scale=scale,
                         causal=causal, window=window, offset=offset,
-                        block_q=blocks[0], block_k=blocks[1])
+                        block_q=blocks[0], block_k=blocks[1],
+                        static_pos=blocks[2])
     return o, (q, k, v, o, lse, qseg, kseg, qoff, bias is not None)
 
 
@@ -577,7 +906,8 @@ def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
             "backend selector routes biased training to UNFUSED")
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, scale=scale,
                             causal=causal, window=window, offset=offset,
-                            block_q=blocks[0], block_k=blocks[1])
+                            block_q=blocks[0], block_k=blocks[1],
+                            static_pos=blocks[2])
     return dq, dk, dv, None, None, None, None
 
 
@@ -655,7 +985,8 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, float(scale),
-                    causal, window, offset, (block_q, block_k))
+                    causal, window, offset,
+                    (block_q, block_k, q_position_offset is None))
     o = o.transpose(0, 2, 1, 3)
     if sq_p != sq:
         o = o[:, :sq]

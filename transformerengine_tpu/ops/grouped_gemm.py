@@ -41,6 +41,49 @@ def grouped_gemm(
     return out * (sx * sk)
 
 
+def grouped_gemm_tn(
+    x,                       # (N, K) expert-contiguous rows (or ScaledTensor)
+    kernels_t,               # (E, M, K) TN-stored expert weights (or Scaled)
+    group_sizes: jax.Array,  # (E,)
+) -> jax.Array:
+    """Grouped GEMM with the kernel stored transposed (E, M, K) so that
+    block scales run along the stored last axis == the contraction axis
+    for BOTH operands (the repo's TN invariant; reference MXFP8 grouped
+    GEMM quantizes the kernel along K the same way,
+    common/gemm/cublaslt_grouped_gemm.cu)."""
+    xb, sx = _dq(x)
+    kb, sk = _dq(kernels_t)
+    dims = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (2,)), ((), ())),
+        lhs_ragged_dimensions=[0],
+        rhs_group_dimensions=[0],
+    )
+    out = jax.lax.ragged_dot_general(
+        xb, kb, group_sizes.astype(jnp.int32), dims,
+        preferred_element_type=jnp.float32)
+    return out * (sx * sk)
+
+
+def grouped_gemm_dgrad(
+    g,                       # (N, M) expert-contiguous cotangent
+    kernels_t,               # (E, M, K) TN-stored expert weights (or Scaled)
+    group_sizes: jax.Array,
+) -> jax.Array:
+    """dX[n] = G[n] @ W[e]^T with the kernel in TN storage: contracts M
+    of both operands, no transpose materialized."""
+    gb, sg = _dq(g)
+    kb, sk = _dq(kernels_t)
+    dims = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (1,)), ((), ())),
+        lhs_ragged_dimensions=[0],
+        rhs_group_dimensions=[0],
+    )
+    out = jax.lax.ragged_dot_general(
+        gb, kb, group_sizes.astype(jnp.int32), dims,
+        preferred_element_type=jnp.float32)
+    return out * (sg * sk)
+
+
 def grouped_gemm_dw(
     x,                       # (N, K) expert-contiguous
     g,                       # (N, M) expert-contiguous cotangent
