@@ -3,6 +3,8 @@
 Mirrors the reference's backend-equivalence strategy
 (reference: tests/pytorch/attention/test_attention.py — fused/flash
 backends compared against UnfusedDotProductAttention)."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -83,12 +85,16 @@ class TestFlashAttention:
 
 
 class TestBackendSelection:
-    def test_bias_falls_back_to_unfused(self):
+    def test_pre_scale_bias_falls_back_to_unfused(self):
         from transformerengine_tpu.attention import (
             AttnBiasType, get_attention_backend)
         assert get_attention_backend(
-            attn_bias_type=AttnBiasType.POST_SCALE_BIAS
+            attn_bias_type=AttnBiasType.PRE_SCALE_BIAS
         ) is AttnBackend.UNFUSED
+        # post-scale bias (fwd + dbias bwd) is in the Pallas kernel
+        assert get_attention_backend(
+            attn_bias_type=AttnBiasType.POST_SCALE_BIAS
+        ) is AttnBackend.FLASH
 
     def test_default_is_flash(self):
         from transformerengine_tpu.attention import get_attention_backend
@@ -153,15 +159,38 @@ class TestFlashBias:
                           backend=AttnBackend.FLASH, is_training=False)
         assert jnp.max(jnp.abs(o_ref - o_fl)) < 5e-6
 
-    def test_training_with_bias_selects_unfused(self):
+    def test_training_with_bias_selects_flash(self):
         from transformerengine_tpu.attention import (
             AttnBiasType, get_attention_backend)
+        # dbias is in the Pallas bwd kernel (r2) — biased training no
+        # longer falls back to the O(S^2) unfused path.
         assert get_attention_backend(
             attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
-            is_training=True) is AttnBackend.UNFUSED
+            is_training=True) is AttnBackend.FLASH
         assert get_attention_backend(
             attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
             is_training=False) is AttnBackend.FLASH
+
+    def test_bias_bwd_matches_unfused(self):
+        from transformerengine_tpu.attention import AttnBiasType
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4, 32))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 4, 32))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 4, 32))
+        bias = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 64, 64)) * 0.5
+
+        def loss(backend, q, k, v, bias):
+            o = fused_attn((q, k, v), bias=bias,
+                           attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                           attn_mask_type=AttnMaskType.CAUSAL,
+                           backend=backend)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        gf = jax.grad(functools.partial(loss, AttnBackend.FLASH),
+                      argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gu = jax.grad(functools.partial(loss, AttnBackend.UNFUSED),
+                      argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(gf, gu):
+            assert float(jnp.abs(a - b).max()) < 2e-2
 
 
 class TestDropoutSeed:
@@ -179,3 +208,157 @@ class TestDropoutSeed:
                          dropout_probability=0.1, is_training=True,
                          backend=AttnBackend.UNFUSED)
         assert out.shape == q.shape
+
+
+class TestFP8FlashAttention:
+    """FP8 fused attention: Q/K/V payloads enter the kernel with scales
+    folded into the softmax multiplier (reference:
+    common/fused_attn/fused_attn_fp8.cu, FusedAttnFunc FP8 path)."""
+
+    def _quantizers(self):
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        from transformerengine_tpu.quantize.quantizer import (
+            CurrentScaleQuantizer, QuantizeLayout)
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+        mk = lambda: CurrentScaleQuantizer(
+            scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE,
+            q_dtype=jnp.dtype(float8_e4m3))
+        return (mk(), mk(), mk())
+
+    def _qkv(self, dtype=jnp.bfloat16):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4, 64), dtype)
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 2, 64), dtype)
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 2, 64), dtype)
+        return q, k, v
+
+    def test_fwd_matches_dequant_reference(self):
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        q, k, v = self._qkv()
+        qzs = self._quantizers()
+        o8 = flash_attention(q, k, v, attn_mask_type=AttnMaskType.CAUSAL,
+                             qkv_quantizers=qzs)
+        deq = lambda x, qz: qz.quantize(
+            x, layout=QuantizeLayout.ROWWISE).dequantize().astype(x.dtype)
+        oref = flash_attention(deq(q, qzs[0]), deq(k, qzs[1]),
+                               deq(v, qzs[2]),
+                               attn_mask_type=AttnMaskType.CAUSAL)
+        d = jnp.abs(o8.astype(jnp.float32) - oref.astype(jnp.float32)).max()
+        assert float(d) < 0.05   # bf16 output rounding only
+
+    def test_bwd_matches_flash_at_dequant_points(self):
+        """Grads are straight-through quantize: must equal the bf16 flash
+        grads evaluated at the dequantized payload values."""
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        q, k, v = self._qkv()
+        qzs = self._quantizers()
+        deq = lambda x, qz: qz.quantize(
+            x, layout=QuantizeLayout.ROWWISE).dequantize().astype(x.dtype)
+        qd, kd, vd = deq(q, qzs[0]), deq(k, qzs[1]), deq(v, qzs[2])
+
+        def loss8(q, k, v):
+            o = flash_attention(q, k, v, attn_mask_type=AttnMaskType.CAUSAL,
+                                qkv_quantizers=qzs)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            o = flash_attention(q, k, v, attn_mask_type=AttnMaskType.CAUSAL)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g8 = jax.grad(loss8, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qd, kd, vd)
+        for a, b in zip(g8, gr):
+            d = float(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32)).max())
+            m = float(jnp.abs(b.astype(jnp.float32)).max())
+            assert d / m < 0.02, (d, m)
+
+    def test_fused_attn_routes_fp8(self):
+        q, k, v = self._qkv()
+        qzs = self._quantizers()
+        o8 = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                        qkv_quantizers=qzs)
+        oref = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL)
+        # fp8 result differs from bf16 (quantized) but stays close
+        d = jnp.abs(o8.astype(jnp.float32) - oref.astype(jnp.float32)).max()
+        assert 0 < float(d) < 0.2
+
+    def test_dpa_module_fp8_dpa_recipe(self):
+        import transformerengine_tpu as te
+        from transformerengine_tpu.flax.transformer import (
+            DotProductAttention)
+        q, k, v = self._qkv()
+        mod = DotProductAttention(head_dim=64, num_attention_heads=4,
+                                  num_gqa_groups=2)
+        vars_ = mod.init(jax.random.PRNGKey(0), q, k, v)
+        ref = mod.apply(vars_, q, k, v)
+        with te.autocast(recipe=te.Float8CurrentScaling(fp8_dpa=True)):
+            o8 = mod.apply(vars_, q, k, v)
+        d = jnp.abs(jnp.asarray(o8, jnp.float32)
+                    - jnp.asarray(ref, jnp.float32)).max()
+        assert 0 < float(d) < 0.2   # fp8 path actually taken, and close
+
+
+class TestFlashDropout:
+    """In-kernel attention dropout: PRNG mask replayed across fwd and
+    both bwd kernels (reference: cuDNN philox-offset dropout in
+    fused_attn_f16_arbitrary_seqlen.cu)."""
+
+    def _qkv(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2, 32))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 2, 32))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 2, 32))
+        return q, k, v
+
+    def test_deterministic_and_seed_sensitive(self):
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        q, k, v = self._qkv()
+        kw = dict(attn_mask_type=AttnMaskType.CAUSAL,
+                  dropout_probability=0.3)
+        a = flash_attention(q, k, v, dropout_seed=jax.random.PRNGKey(42),
+                            **kw)
+        b = flash_attention(q, k, v, dropout_seed=jax.random.PRNGKey(42),
+                            **kw)
+        c = flash_attention(q, k, v, dropout_seed=jax.random.PRNGKey(7),
+                            **kw)
+        base = flash_attention(q, k, v,
+                               attn_mask_type=AttnMaskType.CAUSAL)
+        assert jnp.array_equal(a, b)
+        assert not jnp.array_equal(a, c)
+        assert float(jnp.abs(a - base).mean()) > 1e-3
+
+    def test_grads_finite_difference(self):
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        import numpy as np
+        q, k, v = self._qkv()
+        key = jax.random.PRNGKey(42)
+
+        def loss(q, k, v):
+            o = flash_attention(q, k, v,
+                                attn_mask_type=AttnMaskType.CAUSAL,
+                                dropout_probability=0.3, dropout_seed=key)
+            return jnp.sum(jnp.sin(o))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        rng = np.random.RandomState(0)
+        eps = 1e-2
+        for i, arr in enumerate((q, k, v)):
+            d = jnp.asarray(rng.randn(*arr.shape), jnp.float32)
+            ap = [q, k, v]; am = [q, k, v]
+            ap[i] = arr + eps * d; am[i] = arr - eps * d
+            fd = (loss(*ap) - loss(*am)) / (2 * eps)
+            an = jnp.vdot(g[i], d)
+            assert abs(float(fd - an)) / max(abs(float(fd)), 1e-6) < 5e-3
+
+    def test_fused_attn_dropout_selects_flash(self):
+        from transformerengine_tpu.attention import get_attention_backend
+        assert get_attention_backend(
+            dropout_probability=0.1, is_training=True) is AttnBackend.FLASH
+
+    def test_fused_attn_dropout_requires_seed(self):
+        q, k, v = self._qkv()
+        with pytest.raises(ValueError, match="seed"):
+            fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                       dropout_probability=0.2, is_training=True)

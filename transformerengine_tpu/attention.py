@@ -303,12 +303,11 @@ def get_attention_backend(
         return AttnBackend.UNFUSED
     if env == "flash":
         return AttnBackend.FLASH
-    if attn_bias_type is AttnBiasType.POST_SCALE_BIAS and not is_training:
-        pass                           # fwd-only bias is in the Pallas kernel
-    elif attn_bias_type is not AttnBiasType.NO_BIAS:
-        return AttnBackend.UNFUSED     # bias dgrad not in the Pallas kernel
-    if dropout_probability > 0.0 and is_training:
-        return AttnBackend.UNFUSED
+    if attn_bias_type in (AttnBiasType.NO_BIAS, AttnBiasType.POST_SCALE_BIAS):
+        pass                           # bias fwd+dgrad are in the Pallas kernel
+    else:
+        return AttnBackend.UNFUSED     # PRE_SCALE_BIAS stays unfused
+    # dropout runs in-kernel (TPU PRNG mask replayed in fwd and bwd)
     if has_explicit_mask:
         return AttnBackend.UNFUSED
     if head_dim % 8 != 0 or head_dim > 256:
@@ -339,6 +338,7 @@ def fused_attn(
     backend: AttnBackend = AttnBackend.AUTO,
     context_parallel_strategy: CPStrategy = CPStrategy.DEFAULT,
     context_parallel_axis: str = "",
+    qkv_quantizers=None,   # (q, k, v) tensor-scaling Quantizers -> FP8 DPA
 ) -> jax.Array:
     """Multi-head scaled dot-product attention (reference:
     jax/attention.py:1447). Returns (B, Sq, Hq, D).
@@ -392,13 +392,23 @@ def fused_attn(
 
     if chosen is AttnBackend.FLASH:
         from .ops.flash_attention import flash_attention
+        rate = dropout_probability if is_training else 0.0
+        if rate > 0.0 and seed is None:
+            raise ValueError(
+                "attention dropout requires an explicit `seed` PRNG key; "
+                "a silent default would reuse the same mask every step")
         return flash_attention(
             q, k, v, sequence_descriptor,
             attn_mask_type=attn_mask_type,
             scaling_factor=scaling_factor,
             window_size=window_size,
             bias=(bias if attn_bias_type is AttnBiasType.POST_SCALE_BIAS
-                  else None))
+                  else None),
+            qkv_quantizers=(tuple(qkv_quantizers)
+                            if qkv_quantizers is not None and bias is None
+                            else None),
+            dropout_probability=rate,
+            dropout_seed=seed)
 
     full_mask = mask
     if full_mask is None and (

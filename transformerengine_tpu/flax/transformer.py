@@ -69,6 +69,24 @@ class DotProductAttention(nn.Module):
             seed = self.make_rng("dropout")
         cp = (CPStrategy.RING if self.context_parallel_axis
               else CPStrategy.DEFAULT)
+        # FP8 DPA: under an active recipe with fp8_dpa=True, quantize
+        # Q/K/V per-tensor inside the flash kernel boundary (reference:
+        # pytorch DotProductAttention fp8_dpa / NVTE fused_attn_fp8).
+        qkv_quantizers = None
+        from ..quantize.helper import get_quantize_config
+        cfg = get_quantize_config()
+        if (cfg.enabled and getattr(cfg.recipe, "fp8_dpa", False)
+                and bias is None and dropout == 0.0
+                and not self.context_parallel_axis):
+            from ..quantize.dtypes import float8_e4m3
+            from ..quantize.quantizer import (CurrentScaleQuantizer,
+                                              QuantizeLayout)
+            from ..quantize.scaling_modes import ScalingMode
+            mk = lambda: CurrentScaleQuantizer(
+                scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+                q_layout=QuantizeLayout.ROWWISE,
+                q_dtype=jnp.dtype(float8_e4m3))
+            qkv_quantizers = (mk(), mk(), mk())
         out = fused_attn(
             (query, key, value),
             bias=bias,
@@ -81,7 +99,8 @@ class DotProductAttention(nn.Module):
             is_training=not deterministic,
             window_size=self.window_size,
             context_parallel_strategy=cp,
-            context_parallel_axis=self.context_parallel_axis)
+            context_parallel_axis=self.context_parallel_axis,
+            qkv_quantizers=qkv_quantizers)
         b, s, h, d = out.shape
         return out.reshape(b, s, h * d)
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -99,12 +101,56 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
-                    acc_ref, m_ref, l_ref, q_start, k_start, off, *,
+def _dropout_keep(seed_ref, q_start, k_start, rows, block_k, rate):
+    """Regenerate the per-block dropout keep-mask. Seeded by (user seed,
+    batch, kv-head, block coords) so the fwd and both bwd kernels derive
+    the SAME bits for a block without storing the O(S^2) mask (same idea
+    as cuDNN's philox offset replay; reference fused-attn dropout).
+
+    Off-TPU (interpret mode) the TPU PRNG has no lowering, so a
+    splitmix-style integer hash stands in — different stream than the
+    hardware PRNG but identically replayed across fwd/bwd."""
+    if not _interpret():
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0),
+                        pl.program_id(1), q_start, k_start)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, block_k)),
+                             jnp.uint32)
+    else:
+        u32 = lambda x: jnp.asarray(x).astype(jnp.uint32)
+        x = (jax.lax.broadcasted_iota(jnp.uint32, (rows, block_k), 0)
+             * np.uint32(0x9E3779B9)
+             ^ jax.lax.broadcasted_iota(jnp.uint32, (rows, block_k), 1)
+             * np.uint32(0x85EBCA6B))
+        x = x ^ (u32(seed_ref[0]) * np.uint32(0xC2B2AE35)
+                 + u32(seed_ref[1])
+                 + u32(pl.program_id(0)) * np.uint32(0x27D4EB2F)
+                 + u32(pl.program_id(1)) * np.uint32(0x165667B1)
+                 + u32(q_start) * np.uint32(0x9E3779B1)
+                 + u32(k_start) * np.uint32(0x85EBCA77))
+        x = x ^ (x >> 16)
+        x = x * np.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * np.uint32(0x846CA68B)
+        bits = x ^ (x >> 16)
+    thr = np.uint32(min(4294967295, int(round(rate * 4294967296.0))))
+    return bits >= thr
+
+
+def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
+                    v_ref, bias_ref, acc_ref, m_ref, l_ref,
+                    q_start, k_start, off, *,
                     causal, use_segments, use_bias, window, group,
-                    block_q, block_k):
+                    block_q, block_k, fp8, dropout_rate=0.0):
     """One online-softmax update for a (packed-q, k) block pair. Shared
-    by the dense-grid kernel and the enumerated-steps kernel."""
+    by the dense-grid kernel and the enumerated-steps kernel.
+
+    ``fp8``: q/k/v refs hold FP8 payloads of per-tensor-scaled tensors
+    (reference: common/fused_attn/fused_attn_fp8.cu). The dequant scales
+    are folded into one score multiplier scales_ref[0] =
+    scale*LOG2E*sq_inv*sk_inv applied before masking, and V's sv_inv is
+    applied once at write-out (linear in the accumulator). The MXU takes
+    the fp8 payloads directly — the v5e lowering converts in-flight
+    (measured faster than a materialized astype, see CLAUDE.md)."""
     rows = group * block_q
     # MXU matmuls run on the native (bf16) operands — an f32 upcast
     # here costs >2x MXU throughput (r1 kernel measured 69 TF/s).
@@ -115,6 +161,8 @@ def _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
     s = jax.lax.dot_general(
         q, k_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if fp8:
+        s = s * scales_ref[0]
     if use_bias:
         bias = bias_ref[0].reshape(rows, block_k)
         s = s + bias.astype(jnp.float32) * LOG2E
@@ -133,30 +181,44 @@ def _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
         jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
     m_ref[...] = m_new
     v = v_ref[0, 0]
+    if dropout_rate > 0.0:
+        # l uses the undropped p (softmax denominator); only the PV
+        # contraction sees the dropped/rescaled weights.
+        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                             dropout_rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(jnp.bfloat16 if fp8 else v.dtype), v,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
 
-def _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q):
+def _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                   group, block_q, fp8):
     rows = group * block_q
     l = l_ref[..., :1]
     l_safe = jnp.where(l > 0, l, 1.0)
     d = o_ref.shape[-1]
-    o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype).reshape(
+    acc = acc_ref[...]
+    if fp8:
+        acc = acc * scales_ref[1]       # V's sv_inv, linear in acc
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype).reshape(
         group, block_q, d)
     m = m_ref[..., :1]          # log2-domain running max
     lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
-    lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).reshape(
-        group, block_q, 128)
+    # 8 lanes, not 128: lse is one value per row; a 128-lane broadcast
+    # writes 16x the HBM bytes (134 MB/call at B4/H32/S2048) for nothing.
+    lse_ref[0] = jnp.broadcast_to(lse, (rows, 8)).reshape(
+        group, block_q, 8)
 
 
-def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
-                o_ref, lse_ref,
+def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                k_ref, v_ref,
+                bias_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
                 causal: bool, use_segments: bool,
-                use_bias: bool,
+                use_bias: bool, fp8: bool, dropout_rate: float,
                 window: Tuple[int, int], offset: int,
                 group: int, block_q: int, block_k: int, num_k_blocks: int):
     """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
@@ -187,21 +249,27 @@ def _fwd_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
 
     @pl.when(run)
     def _body():
-        _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
-                        acc_ref, m_ref, l_ref, q_start, k_start, off,
+        _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                        k_ref, v_ref,
+                        bias_ref, acc_ref, m_ref, l_ref, q_start, k_start,
+                        off,
                         causal=causal, use_segments=use_segments,
                         use_bias=use_bias, window=window, group=group,
-                        block_q=block_q, block_k=block_k)
+                        block_q=block_q, block_k=block_k, fp8=fp8,
+                        dropout_rate=dropout_rate)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
-        _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q)
+        _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                       group, block_q, fp8)
 
 
-def _fwd_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
-                      bias_ref, o_ref, lse_ref,
+def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
+                      q_ref,
+                      k_ref, v_ref, bias_ref, o_ref, lse_ref,
                       acc_ref, m_ref, l_ref, *,
                       causal: bool, use_segments: bool, use_bias: bool,
+                      fp8: bool, dropout_rate: float,
                       window: Tuple[int, int], offset: int,
                       group: int, block_q: int, block_k: int):
     """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
@@ -221,16 +289,19 @@ def _fwd_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    _fwd_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, bias_ref,
-                    acc_ref, m_ref, l_ref, iq * block_q, ik * block_k,
-                    offset,
+    _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
+                    v_ref,
+                    bias_ref, acc_ref, m_ref, l_ref, iq * block_q,
+                    ik * block_k, offset,
                     causal=causal, use_segments=use_segments,
                     use_bias=use_bias, window=window, group=group,
-                    block_q=block_q, block_k=block_k)
+                    block_q=block_q, block_k=block_k, fp8=fp8,
+                    dropout_rate=dropout_rate)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
-        _fwd_write_out(o_ref, lse_ref, acc_ref, m_ref, l_ref, group, block_q)
+        _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                       group, block_q, fp8)
 
 
 def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
@@ -272,15 +343,30 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
 
 
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
-               window, offset, block_q, block_k, static_pos=False):
+               window, offset, block_q, block_k, static_pos=False,
+               scale_invs=None, out_dtype=None,
+               dropout_rate=0.0, dropout_seed=None):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
     assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
     group = hq // hkv
-    # Fold softmax scale + nat->exp2 conversion into q (one fused pass
-    # over (B,H,S,D) instead of one per score block inside the kernel).
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    fp8 = scale_invs is not None
+    if fp8:
+        # FP8 payloads: dequant scales + softmax scale + nat->exp2 fold
+        # into one in-kernel score multiplier; V's sv_inv applies at
+        # write-out (reference: common/fused_attn/fused_attn_fp8.cu).
+        scales = jnp.stack([
+            scale_invs[0] * scale_invs[1] * (scale * LOG2E),
+            scale_invs[2]]).astype(jnp.float32)
+    else:
+        # Fold softmax scale + nat->exp2 conversion into q (one fused pass
+        # over (B,H,S,D) instead of one per score block inside the kernel).
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        scales = jnp.ones((2,), jnp.float32)
+    o_dtype = out_dtype if out_dtype is not None else q.dtype
+    seed = (dropout_seed if dropout_seed is not None
+            else jnp.zeros((2,), jnp.int32))
     block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
     # Enumerated-steps grid: when positions are static (no dynamic
@@ -310,8 +396,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         bias_b = 1
 
     out_shape = [
-        jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-        jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, hq, sq, d), o_dtype),
+        jax.ShapeDtypeStruct((b, hq, sq, 8), jnp.float32),
     ]
     scratch_shapes = [
         pltpu.VMEM((rows, d), jnp.float32),
@@ -330,8 +416,9 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         T = steps.shape[1]
         kernel = functools.partial(
             _fwd_kernel_steps, causal=causal, use_segments=use_segments,
-            use_bias=use_bias, window=window, offset=offset, group=group,
-            block_q=block_q, block_k=block_k)
+            use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
+            window=window, offset=offset,
+            group=group, block_q=block_q, block_k=block_k)
         if use_bias:
             bias_spec = pl.BlockSpec(
                 (1, group, block_q, block_k),
@@ -359,6 +446,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                 num_scalar_prefetch=1,
                 grid=(b, hkv, T),
                 in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     seg_q_spec,
                     seg_k_spec,
                     pl.BlockSpec((1, group, block_q, d),
@@ -376,7 +465,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                     pl.BlockSpec((1, group, block_q, d),
                                  lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, group, block_q, 128),
+                    pl.BlockSpec((1, group, block_q, 8),
                                  lambda bi, hk, t, st: (bi, hk, st[0, t], 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -387,13 +476,13 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             cost_estimate=cost,
             interpret=_interpret(),
-        )(jnp.asarray(steps), qseg, kseg, q, k, v, bias)
+        )(jnp.asarray(steps), scales, seed, qseg, kseg, q, k, v, bias)
         return o, lse[..., 0]
 
     grid = (b, hkv, nq, nk)
     kernel = functools.partial(
         _fwd_kernel, causal=causal, use_segments=use_segments,
-        use_bias=use_bias,
+        use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
         window=window, offset=offset, group=group,
         block_q=block_q, block_k=block_k,
         num_k_blocks=nk)
@@ -425,6 +514,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_q_spec,
             seg_k_spec,
             pl.BlockSpec((1, group, block_q, d),
@@ -442,7 +533,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             pl.BlockSpec((1, group, block_q, d),
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, block_q, 128),
+            pl.BlockSpec((1, group, block_q, 8),
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -453,7 +544,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                                  "arbitrary")),
         cost_estimate=cost,
         interpret=_interpret(),
-    )(qoff, qseg, kseg, q, k, v, bias)
+    )(qoff, scales, seed, qseg, kseg, q, k, v, bias)
     return o, lse[..., 0]
 
 
@@ -461,25 +552,35 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                       lse_ref, delta_ref, acc_ref, q_start, k_start, off, *,
-                       causal, use_segments, window, group, block_q, block_k):
+def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                       k_ref, v_ref,
+                       do_ref, lse_ref, delta_ref, bias_ref, acc_ref,
+                       q_start, k_start, off, *,
+                       causal, use_segments, window, group, block_q, block_k,
+                       fp8, use_bias, dropout_rate=0.0):
     """dQ contribution of one (packed-q, k) block pair. Shared by the
-    dense-grid and enumerated-steps dq kernels."""
+    dense-grid and enumerated-steps dq kernels. Returns the natural-
+    domain ds block (== dBias, reference cuDNN bwd dBias output)."""
     rows = group * block_q
     # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
     # exp2 domain. The true softmax scale is re-applied once in the
-    # epilogue — no per-score-block scale multiplies.
+    # epilogue — no per-score-block scale multiplies. In fp8 mode q/k/v
+    # are payloads and scales_ref = [smult, sv_inv, scale*sk_inv].
     d = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, d)
     do = do_ref[0].reshape(rows, d)
     k = k_ref[0, 0]
-    lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
-    delta = delta_ref[0].reshape(rows, 128)[:, :1]
+    lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
+    delta = delta_ref[0].reshape(rows, 8)[:, :1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if fp8:
+        s = s * scales_ref[0]
+    if use_bias:
+        s = s + bias_ref[0].reshape(rows, block_k).astype(
+            jnp.float32) * LOG2E
     s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                      causal=causal, window=window,
                      use_segments=use_segments,
@@ -489,16 +590,26 @@ def _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
     dp = jax.lax.dot_general(
         do, v_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if fp8:
+        dp = dp * scales_ref[1]
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                             dropout_rate)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta)
     acc_ref[...] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds.astype(jnp.bfloat16 if fp8 else k.dtype), k,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    return ds
 
 
-def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, acc_ref, *,
+def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
+                   q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, bias_ref, dq_ref, dbias_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
-                   group, block_q, block_k, num_k_blocks):
+                   group, block_q, block_k, num_k_blocks, fp8, use_bias,
+                   dropout_rate):
     iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -515,25 +626,40 @@ def _bwd_dq_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, ls
         run = jnp.logical_and(
             run, k_start + block_k - 1 >= q_start + off - window[0])
 
+    if use_bias:
+        # Every grid step owns one dbias block; skipped blocks are zero.
+        dbias_ref[0] = jnp.zeros(
+            (group, block_q, block_k), dbias_ref.dtype)
+
     @pl.when(run)
     def _body():
-        _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                           lse_ref, delta_ref, acc_ref, q_start, k_start, off,
-                           causal=causal, use_segments=use_segments,
-                           window=window, group=group,
-                           block_q=block_q, block_k=block_k)
+        ds = _bwd_dq_block_body(
+            scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
+            v_ref, do_ref, lse_ref, delta_ref, bias_ref, acc_ref,
+            q_start, k_start, off,
+            causal=causal, use_segments=use_segments,
+            window=window, group=group,
+            block_q=block_q, block_k=block_k, fp8=fp8, use_bias=use_bias,
+            dropout_rate=dropout_rate)
+        if use_bias:
+            dbias_ref[0] = ds.astype(dbias_ref.dtype).reshape(
+                group, block_q, block_k)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
         d = dq_ref.shape[-1]
-        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype).reshape(
+        mult = scales_ref[2] if fp8 else scale
+        dq_ref[0] = (acc_ref[...] * mult).astype(dq_ref.dtype).reshape(
             group, block_q, d)
 
 
-def _bwd_dq_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
+                         kseg_ref, q_ref,
+                         k_ref, v_ref,
                          do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *,
                          scale, causal, use_segments, window, offset,
-                         group, block_q, block_k):
+                         group, block_q, block_k, fp8, dropout_rate):
+    # (biased bwd uses the dense grid so every dbias block is written)
     """Enumerated-steps dQ: grid (b, hkv, T), step t -> block pair
     (steps[0,t], steps[1,t]); flags [2]/[3] mark each iq's first/last
     k block. Branchless body — only reachable blocks are enumerated."""
@@ -545,25 +671,29 @@ def _bwd_dq_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _bwd_dq_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                       lse_ref, delta_ref, acc_ref,
+    _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                       k_ref, v_ref,
+                       do_ref, lse_ref, delta_ref, None, acc_ref,
                        iq * block_q, ik * block_k, offset,
                        causal=causal, use_segments=use_segments,
                        window=window, group=group,
-                       block_q=block_q, block_k=block_k)
+                       block_q=block_q, block_k=block_k, fp8=fp8,
+                       use_bias=False, dropout_rate=dropout_rate)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
         d = dq_ref.shape[-1]
-        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype).reshape(
+        mult = scales_ref[2] if fp8 else scale
+        dq_ref[0] = (acc_ref[...] * mult).astype(dq_ref.dtype).reshape(
             group, block_q, d)
 
 
-def _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                        lse_ref, delta_ref, dk_acc, dv_acc,
+def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                        k_ref, v_ref,
+                        do_ref, lse_ref, delta_ref, bias_ref, dk_acc, dv_acc,
                         q_start, k_start, off, *,
                         causal, use_segments, window, group,
-                        block_q, block_k):
+                        block_q, block_k, fp8, use_bias, dropout_rate=0.0):
     """dK/dV contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dkv kernels."""
     rows = group * block_q
@@ -572,34 +702,53 @@ def _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
     d = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, d)
     do = do_ref[0].reshape(rows, d)
-    lse2 = lse_ref[0].reshape(rows, 128)[:, :1]
-    delta = delta_ref[0].reshape(rows, 128)[:, :1]
+    lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
+    delta = delta_ref[0].reshape(rows, 8)[:, :1]
 
     s = jax.lax.dot_general(
         q, k_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if fp8:
+        s = s * scales_ref[0]
+    if use_bias:
+        s = s + bias_ref[0].reshape(rows, block_k).astype(
+            jnp.float32) * LOG2E
     s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                      causal=causal, window=window,
                      use_segments=use_segments,
                      group=group, block_q=block_q, block_k=block_k)
     p = jnp.exp2(s - lse2)
-    pc = p.astype(q.dtype)
+    cdt = jnp.bfloat16 if fp8 else q.dtype
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                             dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        pd = jnp.where(keep, p * inv, 0.0)      # dropped weights for dV
+    else:
+        keep, pd = None, p
+    pc = pd.astype(cdt)
     dv_acc[...] += jax.lax.dot_general(
         pc, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         do, v_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta)).astype(q.dtype)
+    if fp8:
+        dp = dp * scales_ref[1]
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    ds = (p * (dp - delta)).astype(cdt)
     dk_acc[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
+                    q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     scale, causal, use_segments, window, offset,
-                    group, block_q, block_k, num_q_blocks):
+                    group, block_q, block_k, num_q_blocks, fp8, use_bias,
+                    dropout_rate):
     """dK/dV over grid (b, hkv, ik, iq). With GQA packing the `group`
     query heads sharing this KV head are stacked into the contraction
     rows, so dk/dv come out already summed over the group — no per-head
@@ -624,26 +773,33 @@ def _bwd_dkv_kernel(qoff_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, l
 
     @pl.when(run)
     def _body():
-        _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                            lse_ref, delta_ref, dk_acc, dv_acc,
+        _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref,
+                            q_ref, k_ref,
+                            v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+                            dk_acc, dv_acc,
                             q_start, k_start, off,
                             causal=causal, use_segments=use_segments,
                             window=window, group=group,
-                            block_q=block_q, block_k=block_k)
+                            block_q=block_q, block_k=block_k, fp8=fp8,
+                            use_bias=use_bias, dropout_rate=dropout_rate)
 
     @pl.when(iq == num_q_blocks - 1)
     def _epilogue():
         # dk_acc = sum ds_raw^T (scale*LOG2E*q_true); dk_true =
         # scale * sum ds_raw^T q_true = dk_acc / LOG2E = dk_acc * LN2.
-        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        # fp8: q is a payload, dk_true = scale*sq_inv*dk_acc (scales[2]).
+        dk_mult = scales_ref[2] if fp8 else LN2
+        dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_dkv_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
+                          kseg_ref, q_ref,
+                          k_ref, v_ref,
                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                           dk_acc, dv_acc, *,
                           scale, causal, use_segments, window, offset,
-                          group, block_q, block_k):
+                          group, block_q, block_k, fp8, dropout_rate):
     """Enumerated-steps dK/dV: grid (b, hkv, T), ik-major enumeration
     (order='kq') so flags [2]/[3] delimit each ik's q sweep."""
     t = pl.program_id(2)
@@ -655,21 +811,30 @@ def _bwd_dkv_kernel_steps(steps_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    _bwd_dkv_block_body(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
-                        lse_ref, delta_ref, dk_acc, dv_acc,
+    _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                        k_ref, v_ref,
+                        do_ref, lse_ref, delta_ref, None, dk_acc, dv_acc,
                         iq * block_q, ik * block_k, offset,
                         causal=causal, use_segments=use_segments,
                         window=window, group=group,
-                        block_q=block_q, block_k=block_k)
+                        block_q=block_q, block_k=block_k, fp8=fp8,
+                        use_bias=False, dropout_rate=dropout_rate)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
-        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        dk_mult = scales_ref[2] if fp8 else LN2
+        dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
-               offset, block_q, block_k, static_pos=False):
+def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
+               causal, window, offset, block_q, block_k, static_pos=False,
+               scale_invs=None, grad_dtype=None,
+               dropout_rate=0.0, dropout_seed=None):
+    """Returns (dq, dk, dv, dbias). dbias is None unless ``bias`` is
+    given, in which case it is the per-batch (B, Hq, Sq, Skv) bias
+    gradient (caller reduces over batch for broadcast bias; reference:
+    cuDNN bwd dBias in fused_attn_f16_arbitrary_seqlen.cu)."""
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
@@ -685,10 +850,20 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
         kseg = jnp.zeros((b, 8, 128), jnp.int32)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    # exp2-domain kernels: q carries scale*LOG2E, lse converted to log2.
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    lse_b = jnp.broadcast_to((lse * LOG2E)[..., None], (*lse.shape, 128))
-    delta_b = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+    fp8 = scale_invs is not None
+    if fp8:
+        smult = scale_invs[0] * scale_invs[1] * (scale * LOG2E)
+        dq_scales = jnp.stack([smult, scale_invs[2],
+                               scale * scale_invs[1]]).astype(jnp.float32)
+        dkv_scales = jnp.stack([smult, scale_invs[2],
+                                scale * scale_invs[0]]).astype(jnp.float32)
+    else:
+        # exp2-domain kernels: q carries scale*LOG2E, lse converted to log2.
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        dq_scales = dkv_scales = jnp.ones((3,), jnp.float32)
+    g_dtype = grad_dtype if grad_dtype is not None else q.dtype
+    lse_b = jnp.broadcast_to((lse * LOG2E)[..., None], (*lse.shape, 8))
+    delta_b = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
 
     def seg_spec(which, order):
         if not use_segments:
@@ -708,12 +883,26 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                 idx = lambda bi, h, ik, iq: (bi, 0, ik)
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
+    use_bias = bias is not None
+    if use_bias:
+        bias_b = bias.shape[0]
+        bias = bias.astype(jnp.float32)
+    else:
+        bias = jnp.zeros((1, 1, 8, 128), jnp.float32)
+        bias_b = 1
+
     common = dict(scale=scale, causal=causal, use_segments=use_segments,
                   window=window, offset=offset, group=group,
-                  block_q=block_q, block_k=block_k)
+                  block_q=block_q, block_k=block_k, fp8=fp8,
+                  dropout_rate=dropout_rate)
     rows = group * block_q
+    seed = (dropout_seed if dropout_seed is not None
+            else jnp.zeros((2,), jnp.int32))
 
-    use_steps = static_pos and (causal or window[0] >= 0 or window[1] >= 0)
+    # Biased bwd needs the dense grid: every (iq, ik) dbias block must be
+    # visited (skipped enumerated blocks would leave garbage).
+    use_steps = (static_pos and not use_bias
+                 and (causal or window[0] >= 0 or window[1] >= 0))
     if use_steps:
         def steps_seg_spec(which):
             if not use_segments:
@@ -746,18 +935,21 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                 num_scalar_prefetch=1,
                 grid=(b, hkv, steps_q.shape[1]),
                 in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     steps_seg_spec("q"), steps_seg_spec("k"),
                     q_row_spec(d), kv_spec(), kv_spec(),
-                    q_row_spec(d), q_row_spec(128), q_row_spec(128),
+                    q_row_spec(d), q_row_spec(8), q_row_spec(8),
                 ],
                 out_specs=q_row_spec(d),
                 scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
             ),
-            out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), g_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=_interpret(),
-        )(jnp.asarray(steps_q), qseg, kseg, q, k, v, do, lse_b, delta_b)
+        )(jnp.asarray(steps_q), dq_scales, seed, qseg, kseg, q, k, v, do,
+          lse_b, delta_b)
 
         steps_k = _enumerate_steps(nq, nk, block_q, block_k, offset,
                                    causal, window, order="kq")
@@ -767,9 +959,11 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                 num_scalar_prefetch=1,
                 grid=(b, hkv, steps_k.shape[1]),
                 in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     steps_seg_spec("q"), steps_seg_spec("k"),
                     q_row_spec(d), kv_spec(), kv_spec(),
-                    q_row_spec(d), q_row_spec(128), q_row_spec(128),
+                    q_row_spec(d), q_row_spec(8), q_row_spec(8),
                 ],
                 out_specs=[kv_spec(), kv_spec()],
                 scratch_shapes=[
@@ -778,20 +972,52 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((b, hkv, skv, d), k.dtype),
-                jax.ShapeDtypeStruct((b, hkv, skv, d), v.dtype),
+                jax.ShapeDtypeStruct((b, hkv, skv, d), g_dtype),
+                jax.ShapeDtypeStruct((b, hkv, skv, d), g_dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=_interpret(),
-        )(jnp.asarray(steps_k), qseg, kseg, q, k, v, do, lse_b, delta_b)
-        return dq, dk, dv
+        )(jnp.asarray(steps_k), dkv_scales, seed, qseg, kseg, q, k, v, do,
+          lse_b, delta_b)
+        return dq, dk, dv, None
 
     # --- dQ: grid (b, hkv, iq, ik), group-packed q/do/dq rows ---
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, num_k_blocks=nk, **common),
+    if use_bias:
+        bias_spec_qk = pl.BlockSpec(
+            (1, group, block_q, block_k),
+            lambda bi, hk, iq, ik: (bi % bias_b if bias_b > 1 else 0,
+                                    hk, iq, ik),
+            memory_space=pltpu.VMEM)
+        bias_spec_kq = pl.BlockSpec(
+            (1, group, block_q, block_k),
+            lambda bi, hk, ik, iq: (bi % bias_b if bias_b > 1 else 0,
+                                    hk, iq, ik),
+            memory_space=pltpu.VMEM)
+        dbias_spec = pl.BlockSpec(
+            (1, group, block_q, block_k),
+            lambda bi, hk, iq, ik: (bi, hk, iq, ik),
+            memory_space=pltpu.VMEM)
+        dbias_shape = jax.ShapeDtypeStruct((b, hq, sq, skv), jnp.float32)
+    else:
+        bias_spec_qk = pl.BlockSpec((1, 1, 8, 128),
+                                    lambda bi, hk, iq, ik: (0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        bias_spec_kq = pl.BlockSpec((1, 1, 8, 128),
+                                    lambda bi, hk, ik, iq: (0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        dbias_spec = pl.BlockSpec((1, 1, 8, 128),
+                                  lambda bi, hk, iq, ik: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        dbias_shape = jax.ShapeDtypeStruct((1, 1, 8, 128), jnp.float32)
+
+    dq, dbias = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, num_k_blocks=nk, use_bias=use_bias,
+                          **common),
         grid=(b, hkv, nq, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "qk"),
             seg_spec("k", "qk"),
@@ -807,29 +1033,37 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
             pl.BlockSpec((1, group, block_q, d),
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, block_q, 128),
+            pl.BlockSpec((1, group, block_q, 8),
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, block_q, 128),
+            pl.BlockSpec((1, group, block_q, 8),
                          lambda bi, hk, iq, ik: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
+            bias_spec_qk,
         ],
-        out_specs=pl.BlockSpec((1, group, block_q, d),
-                               lambda bi, hk, iq, ik: (bi, hk, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, group, block_q, d),
+                         lambda bi, hk, iq, ik: (bi, hk, iq, 0),
+                         memory_space=pltpu.VMEM),
+            dbias_spec,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, hq, sq, d), g_dtype),
+                   dbias_shape],
         scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=_interpret(),
-    )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
+    )(qoff, dq_scales, seed, qseg, kseg, q, k, v, do, lse_b, delta_b, bias)
 
     # --- dK/dV: grid (b, hkv, ik, iq); group summed in-kernel ---
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **common),
+        functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
+                          use_bias=use_bias, **common),
         grid=(b, hkv, nk, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seg_spec("q", "kq"),
             seg_spec("k", "kq"),
@@ -845,12 +1079,13 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
             pl.BlockSpec((1, group, block_q, d),
                          lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, block_q, 128),
+            pl.BlockSpec((1, group, block_q, 8),
                          lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, block_q, 128),
+            pl.BlockSpec((1, group, block_q, 8),
                          lambda bi, hk, ik, iq: (bi, hk, iq, 0),
                          memory_space=pltpu.VMEM),
+            bias_spec_kq,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d),
@@ -861,8 +1096,8 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, skv, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hkv, skv, d), v.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), g_dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), g_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -872,46 +1107,108 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, *, scale, causal, window,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=_interpret(),
-    )(qoff, qseg, kseg, q, k, v, do, lse_b, delta_b)
+    )(qoff, dkv_scales, seed, qseg, kseg, q, k, v, do, lse_b, delta_b, bias)
 
-    return dq, dk, dv
+    return dq, dk, dv, (dbias if use_bias else None)
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper (BSHD user layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _flash_core(q, k, v, qseg, kseg, qoff, bias, scale, causal, window,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _flash_core(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal, window,
                 offset, blocks):
-    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, scale, causal,
-                           window, offset, blocks)
+    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale,
+                           causal, window, offset, blocks)
     return o
 
 
-def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, scale, causal, window,
-                    offset, blocks):
+def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal,
+                    window, offset, blocks):
     o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, bias, scale=scale,
                         causal=causal, window=window, offset=offset,
                         block_q=blocks[0], block_k=blocks[1],
-                        static_pos=blocks[2])
-    return o, (q, k, v, o, lse, qseg, kseg, qoff, bias is not None)
+                        static_pos=blocks[2], dropout_rate=blocks[3],
+                        dropout_seed=seed)
+    return o, (q, k, v, o, lse, qseg, kseg, qoff, bias, seed)
 
 
 def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
-    q, k, v, o, lse, qseg, kseg, qoff, had_bias = res
-    if had_bias:
-        raise NotImplementedError(
-            "flash attention backward with bias is not implemented; the "
-            "backend selector routes biased training to UNFUSED")
-    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, scale=scale,
-                            causal=causal, window=window, offset=offset,
-                            block_q=blocks[0], block_k=blocks[1],
-                            static_pos=blocks[2])
-    return dq, dk, dv, None, None, None, None
+    q, k, v, o, lse, qseg, kseg, qoff, bias, seed = res
+    dq, dk, dv, dbias = _flash_bwd(
+        q, k, v, o, lse, do, qseg, kseg, qoff, bias, scale=scale,
+        causal=causal, window=window, offset=offset,
+        block_q=blocks[0], block_k=blocks[1],
+        static_pos=blocks[2], dropout_rate=blocks[3], dropout_seed=seed)
+    if dbias is not None:
+        if bias.shape[0] == 1:       # broadcast batch: reduce
+            dbias = jnp.sum(dbias, axis=0, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+    return dq, dk, dv, None, None, None, dbias, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+
+
+# ---------------------------------------------------------------------------
+# FP8 (quantized) flash attention core
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fp8_core(q, k, v, qseg, kseg, qoff, quantizers, seed, scale, causal,
+              window, offset, blocks):
+    """Flash attention with Q/K/V quantized to FP8 per-tensor inside the
+    custom-VJP boundary (reference: common/fused_attn/fused_attn_fp8.cu,
+    pytorch FusedAttnFunc FP8 path + NVTE_FP8_DPA_BWD). ``quantizers``
+    is a (q, k, v) tuple of tensor-scaling Quantizers carried as a
+    differentiable arg; its cotangent is the UPDATED quantizer state
+    (overwrite-with-gradient, same convention as dense layers)."""
+    o, _ = _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, seed, scale,
+                         causal, window, offset, blocks)
+    return o
+
+
+def _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, seed, scale, causal,
+                  window, offset, blocks):
+    from ..quantize.quantizer import QuantizeLayout
+    qq = quantizers[0].quantize(q, layout=QuantizeLayout.ROWWISE)
+    qk = quantizers[1].quantize(k, layout=QuantizeLayout.ROWWISE)
+    qv = quantizers[2].quantize(v, layout=QuantizeLayout.ROWWISE)
+    scale_invs = jnp.stack([
+        qq.scale_inv.reshape(()), qk.scale_inv.reshape(()),
+        qv.scale_inv.reshape(())]).astype(jnp.float32)
+    o, lse = _flash_fwd(qq.data, qk.data, qv.data, qseg, kseg, qoff, None,
+                        scale=scale, causal=causal, window=window,
+                        offset=offset, block_q=blocks[0], block_k=blocks[1],
+                        static_pos=blocks[2], scale_invs=scale_invs,
+                        out_dtype=q.dtype, dropout_rate=blocks[3],
+                        dropout_seed=seed)
+    amaxes = (getattr(qq, "amax", None), getattr(qk, "amax", None),
+              getattr(qv, "amax", None))
+    res = (qq.data, qk.data, qv.data, scale_invs, o, lse, qseg, kseg, qoff,
+           amaxes, quantizers, seed)
+    return o, res
+
+
+def _fp8_core_bwd(scale, causal, window, offset, blocks, res, do):
+    (qd, kd, vd, scale_invs, o, lse, qseg, kseg, qoff, amaxes,
+     quantizers, seed) = res
+    dq, dk, dv, _ = _flash_bwd(qd, kd, vd, o, lse, do, qseg, kseg, qoff,
+                               scale=scale, causal=causal, window=window,
+                               offset=offset, block_q=blocks[0],
+                               block_k=blocks[1], static_pos=blocks[2],
+                               scale_invs=scale_invs, grad_dtype=do.dtype,
+                               dropout_rate=blocks[3], dropout_seed=seed)
+    new_quantizers = tuple(
+        qz.update(a) if a is not None else qz
+        for qz, a in zip(quantizers, amaxes))
+    return dq, dk, dv, None, None, None, new_quantizers, None
+
+
+_fp8_core.defvjp(_fp8_core_fwd, _fp8_core_bwd)
 
 
 def flash_attention(
@@ -925,14 +1222,22 @@ def flash_attention(
     window_size: Optional[Tuple[int, int]] = None,
     q_position_offset=None,
     bias: Optional[jax.Array] = None,   # (B|1, Hq, Sq, Skv) post-scale;
-                                        # forward-only (bwd -> unfused)
+                                        # fwd + dbias bwd in-kernel
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    qkv_quantizers=None,
+    dropout_probability: float = 0.0,
+    dropout_seed=None,     # PRNG key or (2,) int32; required if rate > 0
 ) -> jax.Array:
     """Flash attention over BSHD inputs. Masking comes from
     ``attn_mask_type`` (+ optional seqlens / segment ids in
     ``sequence_descriptor``) and ``window_size``; see
-    transformerengine_tpu.attention for the taxonomy."""
+    transformerengine_tpu.attention for the taxonomy.
+
+    ``qkv_quantizers``: optional (q, k, v) tuple of tensor-scaling
+    Quantizers — runs the FP8 fused-attention path (payloads enter the
+    MXU, dequant scales folded into the softmax multiplier in VMEM;
+    reference: common/fused_attn/fused_attn_fp8.cu)."""
     from ..attention import AttnMaskType  # local import to avoid cycle
 
     if attn_mask_type is None:
@@ -984,9 +1289,32 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, float(scale),
-                    causal, window, offset,
-                    (block_q, block_k, q_position_offset is None))
+    rate = float(dropout_probability)
+    if rate > 0.0:
+        if dropout_seed is None:
+            raise ValueError("flash attention dropout requires an explicit "
+                             "dropout_seed (a silent default would reuse "
+                             "the same mask every step)")
+        seed = dropout_seed
+        if hasattr(seed, "dtype") and jnp.issubdtype(seed.dtype,
+                                                     jax.dtypes.prng_key):
+            seed = jax.random.key_data(seed)
+        seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:2]
+        seed = jnp.pad(seed, (0, 2 - seed.shape[0]))
+    else:
+        seed = jnp.zeros((2,), jnp.int32)
+    blocks = (block_q, block_k, q_position_offset is None, rate)
+    if qkv_quantizers is not None:
+        assert bias is None, "FP8 flash attention does not take a bias"
+        for qz in qkv_quantizers:
+            assert qz.scaling_mode.is_tensor_scaling, (
+                "FP8 flash attention requires per-tensor scaling "
+                f"quantizers, got {qz.scaling_mode}")
+        o = _fp8_core(qt, kt, vt, qseg, kseg, qoff, tuple(qkv_quantizers),
+                      seed, float(scale), causal, window, offset, blocks)
+    else:
+        o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, seed,
+                        float(scale), causal, window, offset, blocks)
     o = o.transpose(0, 2, 1, 3)
     if sq_p != sq:
         o = o[:, :sq]

@@ -131,7 +131,7 @@ def _ring_attn_bwd(axis_name, causal, scale, window, res, dout):
     for s in range(cp):
         j = (idx - s) % cp
         qoff = ((idx - j) * L).reshape(1).astype(jnp.int32)
-        dq_s, dk_s, dv_s = _flash_bwd(
+        dq_s, dk_s, dv_s, _ = _flash_bwd(
             qt, k_cur, v_cur, o, lse, dot, None, None, qoff, scale=scale,
             causal=causal, window=window, offset=0, block_q=512, block_k=512)
         dq = dq + dq_s.astype(jnp.float32)
