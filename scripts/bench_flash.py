@@ -58,12 +58,12 @@ def bench(block_q, block_k, bwd=False):
     times = {}
     for n in (n_short, n_long):
         ts = []
-        for i in range(3):
+        for i in range(7):
             qq = q + jnp.bfloat16(0.01 * (i + 1))
             t0 = time.perf_counter()
             float(run(qq, n))
             ts.append(time.perf_counter() - t0)
-        times[n] = sorted(ts)[1]
+        times[n] = min(ts)   # min marginal: least tunnel noise
     dt = (times[n_long] - times[n_short]) / (n_long - n_short)
     flops = 4 * B * HQ * S * S * D * (0.5 if CAUSAL else 1.0)
     if bwd:

@@ -46,8 +46,8 @@ def test_cp_matches_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, "cp", True, q.shape[-1] ** -0.5,
-                             (-1, -1))
+            return ring_attn(q, k, v, None, None, "cp", True,
+                             q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
                       out_specs=spec, check_vma=False)
@@ -67,8 +67,8 @@ def test_cp_grads_match_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, "cp", True, q.shape[-1] ** -0.5,
-                             (-1, -1))
+            return ring_attn(q, k, v, None, None, "cp", True,
+                             q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
                       out_specs=spec, check_vma=False)
@@ -138,3 +138,151 @@ def test_hierarchical_a2a_ring_matches_single_device():
     out = fn(q, k, v)
     ref = _reference(q, k, v)
     assert jnp.max(jnp.abs(out - ref)) < 5e-5
+
+
+def test_ring_with_segment_ids_matches_single_device():
+    """Ragged (THD-style packed) batch under ring CP: kv segment ids
+    rotate with their chunks (reference: nvte_cp_thd_* helpers)."""
+    from transformerengine_tpu.attention import SequenceDescriptor
+    b, s = 2, 256
+    q, k, v = _data(b=b, s=s)
+    # two packed segments + padding tail per row
+    seg = jnp.concatenate([
+        jnp.full((b, 96), 1), jnp.full((b, 112), 2), jnp.zeros((b, 48))],
+        axis=1).astype(jnp.int32)
+    desc = SequenceDescriptor.from_segment_ids_and_pos(seg)
+    ref = fused_attn((q, k, v), sequence_descriptor=desc,
+                     attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+                     backend=AttnBackend.UNFUSED)
+
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v, seg):
+        from transformerengine_tpu.attention import (
+            CPStrategy, SequenceDescriptor as SD)
+        return fused_attn(
+            (q, k, v),
+            sequence_descriptor=SD.from_segment_ids_and_pos(seg),
+            attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+            context_parallel_strategy=CPStrategy.RING,
+            context_parallel_axis="cp")
+
+    out = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec, P(None, "cp")),
+        out_specs=spec, check_vma=False)(q, k, v, seg)
+    # padded rows are unspecified in both backends; compare valid rows
+    valid = (seg != 0)[..., None, None]
+    diff = jnp.where(valid, jnp.abs(out - ref), 0)
+    assert float(diff.max()) < 5e-5
+
+
+def test_ring_with_seqlens_matches_single_device():
+    from transformerengine_tpu.attention import SequenceDescriptor
+    b, s = 2, 256
+    q, k, v = _data(b=b, s=s)
+    lens = jnp.array([200, 136])
+    desc = SequenceDescriptor.from_seqlens(lens)
+    ref = fused_attn((q, k, v), sequence_descriptor=desc,
+                     attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+                     backend=AttnBackend.UNFUSED)
+
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v, lens):
+        from transformerengine_tpu.attention import (
+            CPStrategy, SequenceDescriptor as SD)
+        return fused_attn(
+            (q, k, v), sequence_descriptor=SD.from_seqlens(lens),
+            attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+            context_parallel_strategy=CPStrategy.RING,
+            context_parallel_axis="cp")
+
+    out = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=spec, check_vma=False)(q, k, v, lens)
+    valid = (jnp.arange(s)[None] < lens[:, None])[..., None, None]
+    diff = jnp.where(valid, jnp.abs(out - ref), 0)
+    assert float(diff.max()) < 5e-5
+
+
+def test_ring_striped_matches_single_device():
+    """Striped ring (Striped Attention load balancing): stripe the
+    tokens, run the striped ring, un-stripe the output — must equal
+    full-sequence causal attention."""
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    q, k, v = _data()
+    ref = _reference(q, k, v)
+
+    qs = reorder_causal_striped(q, CP)
+    ks = reorder_causal_striped(k, CP)
+    vs = reorder_causal_striped(v, CP)
+
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v):
+        return ring_attn(q, k, v, None, None, "cp", True,
+                         q.shape[-1] ** -0.5, (-1, -1), True)
+
+    out_s = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False)(qs, ks, vs)
+    out = inverse_reorder_causal_striped(out_s, CP)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-5
+
+
+def test_ring_striped_grads_match_single_device():
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=32)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def striped_loss(q, k, v):
+        qs = reorder_causal_striped(q, CP)
+        ks = reorder_causal_striped(k, CP)
+        vs = reorder_causal_striped(v, CP)
+
+        def local_fn(q, k, v):
+            return ring_attn(q, k, v, None, None, "cp", True,
+                             q.shape[-1] ** -0.5, (-1, -1), True)
+
+        out_s = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False)(qs, ks, vs)
+        out = inverse_reorder_causal_striped(out_s, CP)
+        return jnp.sum(out ** 2)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(_reference(q, k, v) ** 2)
+
+    g = jax.grad(striped_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert float(jnp.abs(a - b).max()) < 5e-4
+
+
+def test_striped_load_balance_flop_parity():
+    """Striping balances causal work: per-rank unmasked score counts are
+    equal to within one stripe diagonal (contiguous sharding is ~2x
+    skewed between first and last rank)."""
+    import numpy as np
+    s = 256
+    pos = np.arange(s)
+
+    def rank_work(order):
+        # order[r] = global positions owned by rank r (query side)
+        work = []
+        for r in range(CP):
+            qpos = order[r]
+            work.append(int(np.sum(pos[None, :] <= qpos[:, None])))
+        return work
+
+    contiguous = [pos[r * (s // CP):(r + 1) * (s // CP)] for r in range(CP)]
+    striped = [pos[r::CP] for r in range(CP)]
+    wc, ws = rank_work(contiguous), rank_work(striped)
+    assert max(wc) / min(wc) > 1.5          # contiguous is badly skewed
+    assert max(ws) / min(ws) < 1.05         # striped: off by one diagonal

@@ -106,6 +106,10 @@ class CPStrategy(enum.Enum):
     ALL_GATHER = 1
     RING = 2
     ULYSSES_A2A = 3
+    # Striped (load-balanced) ring: tokens pre-interleaved with
+    # cp_utils.reorder_causal_striped so every rank does equal causal
+    # work (reference: cpp_extensions/attention.py:1293 striped CP).
+    RING_STRIPED = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -360,16 +364,20 @@ def fused_attn(
                           else AttnMaskType.NO_MASK)
 
     if context_parallel_axis and context_parallel_strategy in (
-            CPStrategy.RING, CPStrategy.ALL_GATHER, CPStrategy.ULYSSES_A2A):
+            CPStrategy.RING, CPStrategy.RING_STRIPED,
+            CPStrategy.ALL_GATHER, CPStrategy.ULYSSES_A2A):
         from .parallel.ring_attention import (
             all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
-        if context_parallel_strategy is CPStrategy.RING:
+        if context_parallel_strategy in (CPStrategy.RING,
+                                         CPStrategy.RING_STRIPED):
             return ring_attn_under_shard_map(
                 q, k, v, sequence_descriptor,
                 axis_name=context_parallel_axis,
                 attn_mask_type=attn_mask_type,
                 scaling_factor=scaling_factor,
-                window_size=window_size)
+                window_size=window_size,
+                striped=(context_parallel_strategy
+                         is CPStrategy.RING_STRIPED))
         if context_parallel_strategy is CPStrategy.ALL_GATHER:
             return all_gather_attn(
                 q, k, v, context_parallel_axis,

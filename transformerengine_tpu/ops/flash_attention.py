@@ -23,9 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Swept on v5e prefill (B4/S2048/H32/GQA8/D128, causal), bf16 MXU operands:
-#   r1 f32 kernel: (512,1024) 69.3 TF/s; r2 bf16 kernel: see docs/PARITY.md.
+#   r1 f32 kernel: (512,1024) 69.3 TF/s; r2 enumerated-grid + 8-lane LSE:
+#   (eff 256,2048) 97-111 TF/s in the same tunnel window ((256,1024) 75-86).
+#   NOTE the axon tunnel's sustained throughput drifts ~2.5x across tens of
+#   minutes — only compare configs benchmarked back-to-back.
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 # m/lse floor. Masked scores are filled with MASKED (< NEG_INF) so that
 # exp(MASKED - m) underflows to exactly 0 even for all-masked rows where
 # m stays at the NEG_INF floor — no post-exp `where` rescue needed.

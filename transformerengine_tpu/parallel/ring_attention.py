@@ -73,29 +73,57 @@ def _ring_perm(cp):
     return [(d, (d + 1) % cp) for d in range(cp)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def ring_attn(q, k, v, axis_name: str, causal: bool, scale: float,
-              window: Tuple[int, int]):
-    out, _ = _ring_attn_fwd(q, k, v, axis_name, causal, scale, window)
+def _ring_qoff(idx, j, L, striped):
+    """Per-step q-position offset for the resident chunk.
+
+    Contiguous sharding: chunk j holds absolute kv positions [j*L, ...)
+    and rank idx's q starts at idx*L — the kernel's qpos = row + qoff
+    with qoff = (idx - j)*L reproduces the global causal mask.
+
+    Striped sharding (Striped Attention; reference
+    cpp_extensions/attention.py:1293 reorder_causal_striped): rank r's
+    token i sits at global position r + i*cp, so between ranks the
+    causal rule collapses to plain causal when j <= idx and STRICT
+    causal when j > idx — expressed as qoff = -1."""
+    if striped:
+        return jnp.where(j <= idx, 0, -1).reshape(1).astype(jnp.int32)
+    return ((idx - j) * L).reshape(1).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def ring_attn(q, k, v, qseg, kseg, axis_name: str, causal: bool,
+              scale: float, window: Tuple[int, int], striped: bool = False):
+    """``qseg``/``kseg``: optional (B, L) int32 segment ids of the LOCAL
+    shard (0 = padding); kseg rotates around the ring with its KV chunk,
+    so packed/ragged (THD-style) batches work under ring CP (reference:
+    nvte_cp_thd_* helpers, common/fused_attn/context_parallel.cu)."""
+    out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale,
+                            window, striped)
     return out
 
 
-def _ring_attn_fwd(q, k, v, axis_name, causal, scale, window):
+def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
+                   striped):
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
     assert L % 8 == 0, f"ring attention needs 8-aligned local seqlen, got {L}"
     qt, kt, vt = _bhsd(q), _bhsd(k), _bhsd(v)
+    use_segs = qseg is not None
 
     num = jnp.zeros((b, hq, L, d), jnp.float32)
     den = jnp.zeros((b, hq, L), jnp.float32)
     m_run = jnp.full((b, hq, L), NEG_INF, jnp.float32)
     k_cur, v_cur = kt, vt
+    kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp                       # chunk resident this step
-        qoff = ((idx - j) * L).reshape(1).astype(jnp.int32)
+        qoff = _ring_qoff(idx, j, L, striped)
         o_s, lse_s = _flash_fwd(
-            qt, k_cur, v_cur, None, None, qoff, scale=scale, causal=causal,
+            qt, k_cur, v_cur,
+            qseg if use_segs else None,
+            kseg_cur if use_segs else None,
+            qoff, scale=scale, causal=causal,
             window=window, offset=0, block_q=512, block_k=512)
         m_new = jnp.maximum(m_run, lse_s)
         m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
@@ -106,45 +134,52 @@ def _ring_attn_fwd(q, k, v, axis_name, causal, scale, window):
         den = den * alpha + w
         m_run = m_new
         if s != cp - 1:
-            k_cur, v_cur = jax.lax.ppermute(
-                (k_cur, v_cur), axis_name, perm=_ring_perm(cp))
+            k_cur, v_cur, kseg_cur = jax.lax.ppermute(
+                (k_cur, v_cur, kseg_cur), axis_name, perm=_ring_perm(cp))
 
     den_safe = jnp.where(den > 0, den, 1.0)
     o = (num / den_safe[..., None]).astype(q.dtype)
     lse_tot = jnp.where(den > 0, m_run + jnp.log(den_safe), NEG_INF)
     out = o.transpose(0, 2, 1, 3)
-    return out, (q, k, v, o, lse_tot)
+    return out, (q, k, v, qseg, kseg, o, lse_tot)
 
 
-def _ring_attn_bwd(axis_name, causal, scale, window, res, dout):
-    q, k, v, o, lse = res
+def _ring_attn_bwd(axis_name, causal, scale, window, striped, res, dout):
+    q, k, v, qseg, kseg, o, lse = res
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
     qt, kt, vt = _bhsd(q), _bhsd(k), _bhsd(v)
     dot = _bhsd(dout)
+    use_segs = qseg is not None
 
     dq = jnp.zeros_like(qt, jnp.float32)
     dk_acc = jnp.zeros_like(kt, jnp.float32)
     dv_acc = jnp.zeros_like(vt, jnp.float32)
     k_cur, v_cur = kt, vt
+    kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp
-        qoff = ((idx - j) * L).reshape(1).astype(jnp.int32)
+        qoff = _ring_qoff(idx, j, L, striped)
         dq_s, dk_s, dv_s, _ = _flash_bwd(
-            qt, k_cur, v_cur, o, lse, dot, None, None, qoff, scale=scale,
+            qt, k_cur, v_cur, o, lse, dot,
+            qseg if use_segs else None,
+            kseg_cur if use_segs else None,
+            qoff, scale=scale,
             causal=causal, window=window, offset=0, block_q=512, block_k=512)
         dq = dq + dq_s.astype(jnp.float32)
         dk_acc = dk_acc + dk_s.astype(jnp.float32)
         dv_acc = dv_acc + dv_s.astype(jnp.float32)
         # Rotate the KV chunk together with its gradient accumulator; after
         # the final rotation (cp total) both are back at the owner.
-        k_cur, v_cur, dk_acc, dv_acc = jax.lax.ppermute(
-            (k_cur, v_cur, dk_acc, dv_acc), axis_name, perm=_ring_perm(cp))
+        k_cur, v_cur, kseg_cur, dk_acc, dv_acc = jax.lax.ppermute(
+            (k_cur, v_cur, kseg_cur, dk_acc, dv_acc), axis_name,
+            perm=_ring_perm(cp))
 
     return (dq.transpose(0, 2, 1, 3).astype(q.dtype),
             dk_acc.transpose(0, 2, 1, 3).astype(k.dtype),
-            dv_acc.transpose(0, 2, 1, 3).astype(v.dtype))
+            dv_acc.transpose(0, 2, 1, 3).astype(v.dtype),
+            None, None)
 
 
 ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
@@ -154,17 +189,42 @@ def ring_attn_under_shard_map(
     q, k, v, sequence_descriptor=None, *, axis_name: str,
     attn_mask_type=None, scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
+    striped: bool = False,
 ):
-    """Entry used by attention.fused_attn for CPStrategy.RING."""
+    """Entry used by attention.fused_attn for CPStrategy.RING /
+    RING_STRIPED. ``sequence_descriptor`` describes the LOCAL shard:
+    segment ids are used as-is; seqlens are interpreted as GLOBAL
+    lengths under contiguous sharding (each rank keeps positions
+    idx*L..idx*L+L-1)."""
     from ..attention import AttnMaskType
-    assert sequence_descriptor is None, (
-        "ring attention with padded/packed batches not yet supported; "
-        "use CP all-gather")
     causal = attn_mask_type.is_causal if attn_mask_type else False
     scale = scaling_factor if scaling_factor is not None \
         else 1.0 / q.shape[-1] ** 0.5
     window = tuple(window_size) if window_size is not None else (-1, -1)
-    return ring_attn(q, k, v, axis_name, causal, float(scale), window)
+    if striped:
+        assert window == (-1, -1), (
+            "striped ring attention supports causal masks only (no "
+            "sliding window): window positions do not survive striping")
+    qseg = kseg = None
+    if sequence_descriptor is not None:
+        sd = sequence_descriptor
+        if sd.q_segment_ids is not None:
+            qseg = sd.q_segment_ids.astype(jnp.int32)
+            kseg = (sd.kv_segment_ids if sd.kv_segment_ids is not None
+                    else sd.q_segment_ids).astype(jnp.int32)
+        elif sd.q_seqlens is not None:
+            assert not striped, (
+                "striped ring with seqlens needs segment ids (positions "
+                "are interleaved)")
+            idx = jax.lax.axis_index(axis_name)
+            L = q.shape[1]
+            pos = idx * L + jnp.arange(L)
+            qlens = sd.q_seqlens
+            klens = sd.kv_seqlens if sd.kv_seqlens is not None else qlens
+            qseg = (pos[None, :] < qlens[:, None]).astype(jnp.int32)
+            kseg = (pos[None, :] < klens[:, None]).astype(jnp.int32)
+    return ring_attn(q, k, v, qseg, kseg, axis_name, causal, float(scale),
+                     window, striped)
 
 
 # ---------------------------------------------------------------------------
@@ -245,5 +305,6 @@ def hierarchical_attn(
                                   tiled=True)
 
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
-    out = ring_attn(qg, kg, vg, outer_axis, causal, float(scale), window)
+    out = ring_attn(qg, kg, vg, None, None, outer_axis, causal,
+                    float(scale), window)
     return head_to_seq(out)
