@@ -1,21 +1,30 @@
 """Benchmark entry point for the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline metric stays the BASELINE.json
+north star (ladder #3): autoregressive FP8 DECODE tokens/sec/chip on an
+8B-geometry Llama stack with FP8-resident weights and FP8 KV cache, vs
+the same stack in BF16 (the reference's te_gemma KV-cache + CUDA-graph
++ FP8-weights decode, BASELINE.md 3.8x/9.3x rows). The rest of the
+BASELINE measurement ladder — Linear microbench (#1), LayerNormMLP
+block (#2), MXFP8 TransformerLayer prefill (#4), p50 TTFT and the
+flash-attention prefill microbench — is reported in the same JSON
+object under "ladder" (still one line).
 
-Config (BASELINE.json ladder #3 / north star): autoregressive DECODE
-tokens/sec/chip on an 8B-geometry Llama stack with FP8-resident weights
-and FP8 KV cache, vs the same stack in BF16 (the reference's te_gemma
-KV-cache + CUDA-graph + FP8-weights decode, BASELINE.md 3.8x/9.3x rows).
 Decode steps are inherently chained through the cache, which also
 defeats the axon tunnel's result caching; the scalar token fetch forces
 materialization, and per-step time is the marginal cost between a short
-and a long jitted scan (see memory note axon-tpu-bench-quirks).
+and a long jitted scan (see memory note axon-tpu-bench-quirks). The
+other rungs use benchmarks/timing.py, the same pattern generalized.
+
+Run `python bench.py --rungs linear,flash` to iterate on a subset.
 """
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +37,12 @@ def _run(model, variables, tokens, lengths, ip, steps):
     return int(toks[0, -1])  # host fetch -> forces execution
 
 
-def main():
+def bench_decode_and_ttft():
+    """Ladder #3 (north star) + p50 TTFT on the same 8B-geometry model."""
     import transformerengine_tpu as te
     from transformerengine_tpu.inference import InferenceParams
-    from transformerengine_tpu.models.llama import LLAMA_TINY, LlamaConfig, LlamaModel
+    from transformerengine_tpu.models.llama import (
+        LLAMA_TINY, LlamaConfig, LlamaModel)
     from transformerengine_tpu.quantize.dtypes import float8_e4m3
     from transformerengine_tpu.quantize.prequant import prequantize_kernels
 
@@ -71,19 +82,68 @@ def main():
                 _run(model, variables, tk, lengths, ip, n)
                 ts.append(time.perf_counter() - t0)
             times[n] = sorted(ts)[1]
-        return (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
+        per_step = (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
+        # p50 TTFT: prompt in -> first token fetched on host, measured
+        # at the short scan so cache state matches serving prefill.
+        ttfts = []
+        from transformerengine_tpu.inference import prefill
+        for i in range(5):
+            tk = tokens.at[:, 1].set((tokens[:, 1] + 13 * i)
+                                     % cfg.vocab_size)
+            t0 = time.perf_counter()
+            first, _ = prefill(model, variables, tk, ip, lengths, 0.0)
+            int(first[0])
+            ttfts.append(time.perf_counter() - t0)
+        return per_step, sorted(ttfts)[len(ttfts) // 2]
 
     fp8_vars = prequantize_kernels(variables, te.Float8CurrentScaling())
-    t_fp8 = bench_variant(fp8_vars, float8_e4m3)
-    t_bf16 = bench_variant(variables, jnp.bfloat16)
+    t_fp8, ttft_fp8 = bench_variant(fp8_vars, float8_e4m3)
+    t_bf16, ttft_bf16 = bench_variant(variables, jnp.bfloat16)
+    return {
+        "decode_tokens_per_s": round(B / t_fp8, 1),
+        "decode_fp8_vs_bf16": round(t_bf16 / t_fp8, 3),
+        "ttft_p50_ms": round(ttft_fp8 * 1e3, 1),
+        "ttft_p50_bf16_ms": round(ttft_bf16 * 1e3, 1),
+    }
 
-    tokens_per_s = B / t_fp8
-    print(json.dumps({
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default="decode,linear,ln_mlp,flash,mxfp8",
+                    help="comma list: decode,linear,ln_mlp,flash,mxfp8")
+    args = ap.parse_args()
+    rungs = set(args.rungs.split(","))
+
+    from benchmarks import ladder
+
+    results, errors = {}, {}
+    plan = {
+        "decode": bench_decode_and_ttft,
+        "linear": ladder.bench_linear,
+        "ln_mlp": ladder.bench_ln_mlp,
+        "flash": ladder.bench_flash_prefill,
+        "mxfp8": ladder.bench_mxfp8_layer,
+    }
+    for name in ("decode", "linear", "ln_mlp", "flash", "mxfp8"):
+        if name not in rungs:
+            continue
+        try:
+            results[name] = plan[name]()
+        except Exception as e:  # one rung failing must not kill the round
+            errors[name] = "".join(
+                traceback.format_exception_only(type(e), e))[-400:].strip()
+
+    decode = results.get("decode", {})
+    out = {
         "metric": "fp8_decode_tokens_per_sec_per_chip_8b_geometry_16L",
-        "value": round(tokens_per_s, 1),
+        "value": decode.get("decode_tokens_per_s"),
         "unit": "tokens/s",
-        "vs_baseline": round(t_bf16 / t_fp8, 3),
-    }))
+        "vs_baseline": decode.get("decode_fp8_vs_bf16"),
+        "ladder": results,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,90 @@
+"""Tunnel-safe timing primitives for TPU benchmarks.
+
+The axon TPU tunnel memoizes repeated identical computations and
+``block_until_ready`` does not wait for real device execution, so naive
+timing loops measure RPC caching, not the TPU. Every benchmark here uses
+the validated pattern (see memory note axon-tpu-bench-quirks and
+CLAUDE.md "Benchmarking on the tunnel"):
+
+1. chain steps through a ``lax.scan`` so step N+1 depends on step N
+   (the chain cannot be served from a result cache),
+2. derive a fresh input from a per-call host-side seed so repeated
+   calls are distinct computations,
+3. force materialization with a scalar host fetch (``float(...)``),
+4. report the *marginal* time between a short and a long scan, which
+   cancels dispatch, transfer, and memoization-constant overheads.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chain_carry", "marginal_seconds_per_step", "median_call_seconds"]
+
+
+def chain_carry(carry: jax.Array, out) -> jax.Array:
+    """Fold a negligible but real data dependency on ``out`` into
+    ``carry`` so XLA cannot reorder or elide chained steps.
+
+    The perturbation must be elementwise-NONLINEAR in the carry: a pure
+    scalar rescale (``c * (1+eps)``) lets XLA's algebraic simplifier
+    factor the scalar out of the downstream dot (``dot(c*s, w) ==
+    s*dot(c, w)``) and collapse the whole scan to one matmul plus n
+    scalar fixups — observed as >7x-over-roofline "TFLOP/s" on the
+    linear rung."""
+    leaves = [jnp.sum(l).astype(jnp.float32) for l in jax.tree_util.tree_leaves(out)]
+    tag = sum(leaves) if leaves else jnp.float32(0)
+    c32 = carry.astype(jnp.float32)
+    return (c32 + 1e-6 * jnp.cos(c32 + jnp.tanh(tag))).astype(carry.dtype)
+
+
+def marginal_seconds_per_step(
+    step: Callable[[jax.Array], jax.Array],
+    make_carry: Callable[[int], jax.Array],
+    *,
+    n_short: int = 2,
+    n_long: int = 10,
+    reps: int = 3,
+) -> float:
+    """Median marginal seconds per ``step``.
+
+    ``step`` maps a carry array to the next carry (same shape/dtype) and
+    must contain the full workload being measured; ``make_carry(seed)``
+    builds a fresh initial carry on host for each call.
+    """
+
+    @partial(jax.jit, static_argnames="n")
+    def run(c0, n):
+        return jax.lax.scan(lambda c, _: (step(c), None), c0, None, length=n)[0]
+
+    # Compile both lengths up front (outside the timed region).
+    for n in (n_short, n_long):
+        jnp.sum(run(make_carry(0), n)).block_until_ready()
+
+    times = {}
+    for n in (n_short, n_long):
+        ts = []
+        for r in range(reps):
+            c0 = make_carry(1 + 31 * r + n)
+            t0 = time.perf_counter()
+            float(jnp.sum(run(c0, n)))  # host fetch forces execution
+            ts.append(time.perf_counter() - t0)
+        times[n] = sorted(ts)[len(ts) // 2]
+    return max((times[n_long] - times[n_short]) / (n_long - n_short), 1e-9)
+
+
+def median_call_seconds(fn: Callable[[int], float], reps: int = 5) -> float:
+    """Median wall time of ``fn(seed)``; ``fn`` must itself fetch a
+    scalar to host (it returns that scalar, ignored). For end-to-end
+    latencies (e.g. TTFT) where marginal timing does not apply."""
+    fn(0)  # warm / compile
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        fn(1 + 17 * r)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]

@@ -193,3 +193,92 @@ class TestScanLayers:
         v = m.init(jax.random.PRNGKey(1), tokens)
         out = generate(m, v, tokens, jnp.full((1,), 8, jnp.int32), 3)
         assert out.shape == (1, 3)
+
+
+class TestLoRA:
+    """Low-rank adaptation on the projection modules (reference:
+    jax/flax/module.py:137 _apply_low_rank_adaptation, :555-579)."""
+
+    def test_zero_init_matches_base(self):
+        """lora_b is zero-initialized: the adapted module must produce
+        exactly the base output at init."""
+        from transformerengine_tpu.flax.module import DenseGeneral
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32), jnp.float32)
+        base = DenseGeneral(features=64, use_bias=False)
+        lora = DenseGeneral(features=64, use_bias=False,
+                            enable_low_rank_adaptation=True,
+                            low_rank_adaptation_dim=8)
+        vb = base.init(jax.random.PRNGKey(1), x)
+        vl = lora.init(jax.random.PRNGKey(1), x)
+        assert "lora_a_kernel" in vl["params"]
+        assert jnp.all(vl["params"]["lora_b_kernel"] == 0)
+        assert jnp.array_equal(base.apply(vb, x), lora.apply(vl, x))
+
+    def test_adapter_gradients_flow(self):
+        from transformerengine_tpu.flax.module import DenseGeneral
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32), jnp.float32)
+        m = DenseGeneral(features=64, use_bias=False,
+                         enable_low_rank_adaptation=True,
+                         low_rank_adaptation_dim=8,
+                         low_rank_adaptation_alpha=16.0)
+        v = m.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda p: jnp.sum(
+            m.apply({"params": p}, x).astype(jnp.float32) ** 2))(v["params"])
+        assert jnp.any(g["lora_b_kernel"] != 0)
+        # alpha/rank scaling: nonzero B must change the output
+        p2 = dict(v["params"], lora_b_kernel=jnp.ones_like(
+            v["params"]["lora_b_kernel"]))
+        assert not jnp.array_equal(m.apply({"params": p2}, x),
+                                   m.apply(v, x))
+
+    def test_transformer_layer_lora(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64),
+                              jnp.float32)
+        layer = _layer(enable_low_rank_adaptation=True,
+                       low_rank_adaptation_dim=4)
+        v = layer.init(jax.random.PRNGKey(1), x)
+        flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+        lora_names = [jax.tree_util.keystr(k) for k, _ in flat
+                      if "lora" in jax.tree_util.keystr(k)]
+        # qkv + out in MHA, wi + wo in MLP, A and B each -> 8 params
+        assert len(lora_names) == 8, lora_names
+        out = layer.apply(v, x)
+        assert out.shape == x.shape
+        # fp8 path composes with LoRA
+        with te.autocast(enabled=True, recipe=te.Float8CurrentScaling()):
+            v8 = layer.init(jax.random.PRNGKey(1), x)
+            out8 = layer.apply(v8, x)
+        assert jnp.all(jnp.isfinite(out8.astype(jnp.float32)))
+
+
+class TestRelativePositionBiases:
+    """T5-style trained relative position bias (reference:
+    jax/flax/transformer.py:1735)."""
+
+    def test_shape_and_buckets(self):
+        from transformerengine_tpu.flax.transformer import (
+            RelativePositionBiases)
+        m = RelativePositionBiases(num_buckets=32, max_distance=64,
+                                   num_attention_heads=4)
+        v = m.init(jax.random.PRNGKey(0), 8, 8)
+        assert v["params"]["rel_embedding"].shape == (32, 4)
+        b = m.apply(v, 8, 8)
+        assert b.shape == (1, 4, 8, 8)
+        # same distance -> same bias (bucketing is a function of offset)
+        assert jnp.allclose(b[0, :, 0, 3], b[0, :, 2, 5])
+        # unidirectional: future positions all share the zero bucket
+        bu = m.apply(v, 8, 8, False)
+        assert jnp.allclose(bu[0, :, 0, 5], bu[0, :, 0, 1])
+
+    def test_transformer_layer_trains_bias(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64),
+                              jnp.float32)
+        layer = _layer(enable_relative_embedding=True)
+        v = layer.init(jax.random.PRNGKey(1), x)
+        assert "relpos_bias" in v["params"]
+        g = jax.grad(lambda p: jnp.sum(layer.apply(
+            {"params": p}, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(2)}).astype(jnp.float32)
+            ** 2))(v["params"])
+        emb_g = g["relpos_bias"]["rel_embedding"]
+        assert jnp.any(emb_g != 0) and jnp.all(jnp.isfinite(emb_g))

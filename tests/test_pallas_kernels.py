@@ -107,7 +107,7 @@ class TestFusedQuantizerPath:
 
     @pytest.mark.parametrize("recipe", [
         te.DelayedScaling(amax_history_len=4), te.Float8CurrentScaling(),
-        te.MXFP8BlockScaling()])
+        te.MXFP8BlockScaling(), te.NVFP4BlockScaling()])
     def test_bit_identical(self, recipe):
         x = jax.random.normal(jax.random.PRNGKey(0), (128, 256),
                               jnp.float32) * 4
@@ -123,3 +123,70 @@ class TestFusedQuantizerPath:
             assert a.shape == b.shape
             assert jnp.array_equal(a.astype(jnp.float32),
                                    b.astype(jnp.float32)), recipe
+
+
+class TestNVFP4Fused:
+    """Fused RHT+cast kernel (ops/quantize_kernels.nvfp4_quantize_2x)
+    vs qmath.nvfp4_quantize — bit-exact on the deterministic path
+    (reference analog: tests/cpp/operator/test_cast_nvfp4_transpose.cu)."""
+
+    @pytest.mark.parametrize("with_rht", [False, True])
+    @pytest.mark.parametrize("shape", [(128, 256), (64, 128), (256, 384)])
+    def test_kernel_matches_qmath(self, with_rht, shape):
+        from transformerengine_tpu.ops.quantize_kernels import (
+            nvfp4_amax_2x, nvfp4_quantize_2x, pick_tile)
+        from transformerengine_tpu.quantize.hadamard import (
+            apply_rht, rht_matrix_np)
+        x = jax.random.normal(jax.random.PRNGKey(3), shape,
+                              jnp.float32) * 11
+        sign_mask = 0xBEEF
+        rht = rht_matrix_np(sign_mask) if with_rht else None
+        m, n = shape
+        tile = (pick_tile(m, align=16), pick_tile(n, align=128))
+
+        arow, acol = nvfp4_amax_2x(x, rht, tile)
+        xt = apply_rht(x.T, sign_mask) if with_rht else x.T
+        assert jnp.array_equal(arow, qmath.compute_amax(x))
+        assert jnp.array_equal(acol, qmath.compute_amax(xt))
+
+        denom = 6.0 * 448.0
+        ts_row = jnp.where(arow > 0, arow / denom, 1.0)
+        ts_col = jnp.where(acol > 0, acol / denom, 1.0)
+        row, srow, col, scol = nvfp4_quantize_2x(
+            x, ts_row, ts_col, rht, tile=tile)
+        ref_r, ref_sr, ref_tsr, _ = qmath.nvfp4_quantize(x)
+        ref_c, ref_sc, ref_tsc, _ = qmath.nvfp4_quantize(xt)
+        assert jnp.array_equal(row.astype(jnp.float32),
+                               ref_r.astype(jnp.float32))
+        assert jnp.array_equal(srow.astype(jnp.float32),
+                               ref_sr.astype(jnp.float32))
+        assert jnp.array_equal(col.astype(jnp.float32),
+                               ref_c.astype(jnp.float32))
+        assert jnp.array_equal(scol.astype(jnp.float32),
+                               ref_sc.astype(jnp.float32))
+        assert jnp.allclose(ts_row, ref_tsr[0])
+        assert jnp.allclose(ts_col, ref_tsc[0])
+
+    @pytest.mark.parametrize("role", ["x", "dgrad"])
+    def test_quantizer_fused_path_bit_identical(self, role):
+        """NVFP4Quantizer with RHT through the public quantize() API:
+        fused on == fused off (deterministic; SR falls back on CPU)."""
+        recipe = te.NVFP4BlockScaling()
+        q = QuantizerFactory.create(recipe, role)
+        x = jax.random.normal(jax.random.PRNGKey(5), (8, 64, 128),
+                              jnp.float32) * 3
+        os.environ["TE_TPU_FUSED_QUANTIZE"] = "1"
+        try:
+            t_fused = q.quantize(x)
+        finally:
+            os.environ["TE_TPU_FUSED_QUANTIZE"] = "0"
+        t_ref = q.quantize(x)
+        os.environ.pop("TE_TPU_FUSED_QUANTIZE", None)
+        if role == "dgrad":
+            # stochastic rounding has no interpret-mode PRNG -> the fused
+            # path must decline (both sides take the qmath path).
+            pass
+        for a, b in zip(jax.tree.leaves(t_fused), jax.tree.leaves(t_ref)):
+            assert a.shape == b.shape
+            assert jnp.array_equal(a.astype(jnp.float32),
+                                   b.astype(jnp.float32))

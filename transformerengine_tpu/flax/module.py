@@ -37,6 +37,33 @@ def _maybe_partition(init, axes):
     return init
 
 
+def _lora_delta(x, a_kernel, b_kernel, alpha):
+    """Low-rank adaptation delta ``scaling * ((x @ A) @ B)`` (reference:
+    jax/flax/module.py:137 _apply_low_rank_adaptation). ``A`` has shape
+    (in, *feat[:-1], rank), ``B`` (*feat[:-1], rank, feat_last); the
+    delta runs in the input dtype (high precision — LoRA adapters are
+    never quantized, matching the reference)."""
+    rank = a_kernel.shape[-1]
+    scaling = (alpha / rank) if alpha is not None else 1.0
+    n_mid = a_kernel.ndim - 2   # len(features) - 1
+    mid = "nopqr"[:n_mid]
+    expr = (f"...i,i{mid}s,{mid}sj->...{mid}j")
+    return jnp.einsum(expr, x, a_kernel, b_kernel) * scaling
+
+
+def _lora_params(module: nn.Module, name: str, in_dim: int,
+                 features: Tuple[int, ...], kernel_init, dtype):
+    """Create the (A, B) adapter pair. A is kernel-initialized, B
+    zero-initialized so the adapted module starts exactly at the base
+    model (reference: jax/flax/module.py:555-577)."""
+    rank = module.low_rank_adaptation_dim
+    a = module.param(f"{name}lora_a_kernel", kernel_init,
+                     (in_dim, *features[:-1], rank), dtype)
+    b = module.param(f"{name}lora_b_kernel", nn.initializers.zeros,
+                     (*features[:-1], rank, features[-1]), dtype)
+    return a, b
+
+
 class TransformerEngineBase(nn.Module):
     """Shared quantizer-state plumbing for all TE Flax modules."""
 
@@ -132,6 +159,9 @@ class DenseGeneral(TransformerEngineBase):
     bias_init: Initializer = nn.initializers.zeros
     bias_axes: Tuple[str, ...] = ()
     input_axes: Tuple[str, ...] = ()
+    enable_low_rank_adaptation: bool = False
+    low_rank_adaptation_dim: int = 32
+    low_rank_adaptation_alpha: Optional[float] = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -146,10 +176,16 @@ class DenseGeneral(TransformerEngineBase):
             bias = self.param(
                 "bias", _maybe_partition(self.bias_init, self.bias_axes),
                 features, self.dtype)
-        return dense(x, kernel, bias,
-                     input_axes=self.input_axes or None,
-                     kernel_axes=self.kernel_axes or None,
-                     quantizer_set=self.quantizer_set("dense"))
+        out = dense(x, kernel, bias,
+                    input_axes=self.input_axes or None,
+                    kernel_axes=self.kernel_axes or None,
+                    quantizer_set=self.quantizer_set("dense"))
+        if self.enable_low_rank_adaptation:
+            a, b = _lora_params(self, "", x.shape[-1], features,
+                                self.kernel_init, self.dtype)
+            out = out + _lora_delta(x, a, b, self.low_rank_adaptation_alpha
+                                    ).astype(out.dtype)
+        return out
 
 
 class LayerNormDenseGeneral(TransformerEngineBase):
@@ -167,6 +203,9 @@ class LayerNormDenseGeneral(TransformerEngineBase):
     bias_axes: Tuple[str, ...] = ()
     input_axes: Tuple[str, ...] = ()
     scale_axes: Tuple[str, ...] = (sh.W_NO_SHARD_AXES,)
+    enable_low_rank_adaptation: bool = False
+    low_rank_adaptation_dim: int = 32
+    low_rank_adaptation_alpha: Optional[float] = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -202,6 +241,18 @@ class LayerNormDenseGeneral(TransformerEngineBase):
             input_axes=self.input_axes or None,
             kernel_axes=self.kernel_axes or None,
             quantizer_set=self.quantizer_set("ln_dense"))
+        if self.enable_low_rank_adaptation:
+            # The adapter consumes the normalized input (reference:
+            # jax/flax/module.py:854 — LoRA is applied to `y`, the LN
+            # output). The duplicate norm is bandwidth-trivial and CSEs
+            # where possible.
+            ln_out = layernorm_fn(x, gamma, beta, self.norm_type,
+                                  self.zero_centered_gamma, self.epsilon)
+            a, b = _lora_params(self, "", h, features, self.kernel_init,
+                                self.dtype)
+            out = out + _lora_delta(ln_out, a, b,
+                                    self.low_rank_adaptation_alpha
+                                    ).astype(out.dtype)
         if self.return_layernorm_output:
             ln_out = layernorm_fn(x, gamma, beta, self.norm_type,
                                   self.zero_centered_gamma, self.epsilon)
@@ -226,6 +277,9 @@ class LayerNormMLP(TransformerEngineBase):
     kernel_axes_2: Tuple[str, ...] = (sh.W_TP_AXES, sh.W_FSDP_AXES)
     input_axes: Tuple[str, ...] = ()
     intermediate_axes: Tuple[str, ...] = ()
+    enable_low_rank_adaptation: bool = False
+    low_rank_adaptation_dim: int = 32
+    low_rank_adaptation_alpha: Optional[float] = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -256,10 +310,14 @@ class LayerNormMLP(TransformerEngineBase):
                                (n_act, self.intermediate_dim), self.dtype)
             bias2 = self.param("wo_bias", nn.initializers.zeros, (h,),
                                self.dtype)
-        if self.intermediate_dropout_rate > 0.0 and not deterministic:
-            # Dropout between the GEMMs (reference: jax/flax/module.py:879
-            # LayerNormMLP intermediate dropout) — the fused custom-VJP
-            # block has no dropout hook, so compose the unfused path.
+        needs_decomposed = (
+            (self.intermediate_dropout_rate > 0.0 and not deterministic)
+            or self.enable_low_rank_adaptation)
+        if needs_decomposed:
+            # Intermediate dropout / LoRA need the tensors between the
+            # GEMMs (reference: jax/flax/module.py:879 intermediate
+            # dropout, :1150 per-GEMM LoRA) — the fused custom-VJP block
+            # has no hooks there, so compose the unfused path.
             from ..ops.activation import act_lu
             y = layernorm_fn(x, gamma, beta, self.norm_type,
                              self.zero_centered_gamma, self.epsilon)
@@ -268,11 +326,27 @@ class LayerNormMLP(TransformerEngineBase):
                       input_axes=self.input_axes or None,
                       quantizer_set=self.quantizer_set("mlp1"))
             a = a.reshape(*a.shape[:-1], n_act, self.intermediate_dim)
+            if self.enable_low_rank_adaptation:
+                a1, b1 = _lora_params(
+                    self, "wi_", h, (n_act, self.intermediate_dim),
+                    self.kernel_init, self.dtype)
+                a = a + _lora_delta(y, a1, b1,
+                                    self.low_rank_adaptation_alpha
+                                    ).astype(a.dtype)
             act = act_lu(a, acts)
-            act = nn.Dropout(rate=self.intermediate_dropout_rate)(
-                act, deterministic=False)
-            return dense(act, kernel2, bias2,
-                         quantizer_set=self.quantizer_set("mlp2"))
+            if self.intermediate_dropout_rate > 0.0 and not deterministic:
+                act = nn.Dropout(rate=self.intermediate_dropout_rate)(
+                    act, deterministic=False)
+            out = dense(act, kernel2, bias2,
+                        quantizer_set=self.quantizer_set("mlp2"))
+            if self.enable_low_rank_adaptation:
+                a2, b2 = _lora_params(
+                    self, "wo_", self.intermediate_dim, (h,),
+                    self.kernel_init, self.dtype)
+                out = out + _lora_delta(act, a2, b2,
+                                        self.low_rank_adaptation_alpha
+                                        ).astype(out.dtype)
+            return out
         return layernorm_mlp(
             x, gamma, beta, kernel1, kernel2, bias1, bias2,
             norm_type=self.norm_type,

@@ -38,6 +38,66 @@ class RotaryPositionEmbedding(nn.Module):
                          interleaved=self.interleaved)
 
 
+class RelativePositionBiases(nn.Module):
+    """T5-style trained relative-position attention bias
+    (reference: jax/flax/transformer.py:1735).
+
+    Maps query-key distance to one of ``num_buckets`` learned embeddings
+    per head — exact distances for nearby pairs, log-spaced buckets out
+    to ``max_distance`` — and returns a (1, H, q_len, k_len) bias to add
+    to attention logits (``attn_bias_type=POST_SCALE_BIAS``).
+    """
+
+    num_buckets: int = 32
+    max_distance: int = 128
+    num_attention_heads: int = 8
+    embedding_init: Callable = nn.initializers.variance_scaling(
+        1.0, "fan_avg", "uniform")
+    embedding_axes: Tuple[str, ...] = ()
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def _bucket(relative_position: jax.Array, bidirectional: bool,
+                num_buckets: int, max_distance: int) -> jax.Array:
+        """Distance -> bucket index, vectorized and jit-friendly."""
+        rp = relative_position
+        bucket = jnp.zeros_like(rp)
+        if bidirectional:
+            num_buckets //= 2
+            bucket += jnp.where(rp > 0, num_buckets, 0)
+            rp = jnp.abs(rp)
+        else:
+            rp = -jnp.minimum(rp, 0)  # only attend to the past
+        max_exact = num_buckets // 2
+        is_small = rp < max_exact
+        # log-spaced buckets from max_exact to num_buckets for distances
+        # up to max_distance; clamp beyond.
+        log_ratio = jnp.log(rp.astype(jnp.float32) / max_exact
+                            + jnp.float32(1e-6))
+        log_denom = jnp.log(max_distance / max_exact)
+        large = max_exact + (log_ratio / log_denom
+                             * (num_buckets - max_exact)).astype(rp.dtype)
+        large = jnp.minimum(large, num_buckets - 1)
+        return bucket + jnp.where(is_small, rp, large)
+
+    @nn.compact
+    def __call__(self, q_seqlen: int, k_seqlen: int,
+                 bidirectional: bool = True) -> jax.Array:
+        context_position = jnp.arange(q_seqlen, dtype=jnp.int32)[:, None]
+        memory_position = jnp.arange(k_seqlen, dtype=jnp.int32)[None, :]
+        relative_position = memory_position - context_position
+        buckets = self._bucket(relative_position, bidirectional,
+                               self.num_buckets, self.max_distance)
+        embedding = self.param(
+            "rel_embedding",
+            _maybe_partition(self.embedding_init, self.embedding_axes),
+            (self.num_buckets, self.num_attention_heads), self.dtype)
+        onehot = jax.nn.one_hot(buckets, self.num_buckets,
+                                dtype=self.dtype)           # (q, k, B)
+        bias = jnp.einsum("qkb,bh->hqk", onehot, embedding)
+        return bias[None].astype(self.dtype)                # (1, H, q, k)
+
+
 class DotProductAttention(nn.Module):
     """Scaled dot-product attention core
     (reference: jax/flax/transformer.py:446)."""
@@ -128,7 +188,17 @@ class MultiHeadAttention(TransformerEngineBase):
     input_layernorm: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     context_parallel_axis: str = ""
+    enable_low_rank_adaptation: bool = False
+    low_rank_adaptation_dim: int = 32
+    low_rank_adaptation_alpha: Optional[float] = None
     dtype: Any = jnp.bfloat16
+
+    @property
+    def _lora_kw(self):
+        return dict(
+            enable_low_rank_adaptation=self.enable_low_rank_adaptation,
+            low_rank_adaptation_dim=self.low_rank_adaptation_dim,
+            low_rank_adaptation_alpha=self.low_rank_adaptation_alpha)
 
     @nn.compact
     def __call__(
@@ -160,10 +230,12 @@ class MultiHeadAttention(TransformerEngineBase):
                 kernel_axes=qkv_axes,
                 input_axes=in_axes,
                 dtype=self.dtype,
+                **self._lora_kw,
                 name="qkv") if self.input_layernorm else DenseGeneral(
                     features=(hq + 2 * hkv) * d, use_bias=self.use_bias,
                     kernel_init=self.kernel_init, kernel_axes=qkv_axes,
-                    input_axes=in_axes, dtype=self.dtype, name="qkv")
+                    input_axes=in_axes, dtype=self.dtype, **self._lora_kw,
+                    name="qkv")
             qkv = proj(x)
             b, s = qkv.shape[0], qkv.shape[1]
             q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
@@ -177,11 +249,11 @@ class MultiHeadAttention(TransformerEngineBase):
                 zero_centered_gamma=self.zero_centered_gamma,
                 use_bias=self.use_bias, kernel_init=self.kernel_init,
                 kernel_axes=qkv_axes, input_axes=in_axes, dtype=self.dtype,
-                name="query")
+                **self._lora_kw, name="query")
             kv_proj = DenseGeneral(
                 features=2 * hkv * d, use_bias=self.use_bias,
                 kernel_init=self.kernel_init, kernel_axes=qkv_axes,
-                dtype=self.dtype, name="kv")
+                dtype=self.dtype, **self._lora_kw, name="kv")
             q = q_proj(x)
             kv = kv_proj(kv_source)
             b, sq = q.shape[0], q.shape[1]
@@ -211,7 +283,7 @@ class MultiHeadAttention(TransformerEngineBase):
                 features=self.hidden_size, use_bias=self.use_bias,
                 kernel_init=self.kernel_init,
                 kernel_axes=(sh.W_TP_AXES, sh.W_FSDP_AXES),
-                dtype=self.dtype, name="out")(out_ctx)
+                dtype=self.dtype, **self._lora_kw, name="out")(out_ctx)
 
         q = nn.with_logical_constraint(
             q, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
@@ -238,6 +310,7 @@ class MultiHeadAttention(TransformerEngineBase):
             kernel_axes=(sh.W_TP_AXES, sh.W_FSDP_AXES),
             input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_TP_AXES),
             dtype=self.dtype,
+            **self._lora_kw,
             name="out")(ctx)
         return out
 
@@ -330,6 +403,12 @@ class TransformerLayer(TransformerEngineBase):
     output_layernorm: bool = False
     drop_path: float = 0.0
     context_parallel_axis: str = ""
+    enable_relative_embedding: bool = False
+    relative_embedding_buckets: int = 32
+    relative_embedding_max_distance: int = 128
+    enable_low_rank_adaptation: bool = False
+    low_rank_adaptation_dim: int = 32
+    low_rank_adaptation_alpha: Optional[float] = None
     dtype: Any = jnp.bfloat16
 
     def _drop_path(self, branch: jax.Array, deterministic: bool) -> jax.Array:
@@ -354,6 +433,19 @@ class TransformerLayer(TransformerEngineBase):
         deterministic: bool = True,
         inference_params=None,
     ) -> jax.Array:
+        attn_bias = None
+        attn_bias_type = AttnBiasType.NO_BIAS
+        if self.enable_relative_embedding and inference_params is None:
+            # T5-style trained bias on the self-attention logits
+            # (reference: jax/flax/transformer.py:1847 TransformerLayer
+            # relative_embedding); causal masks are unidirectional.
+            bidirectional = "causal" not in self.self_attn_mask_type.value
+            attn_bias = RelativePositionBiases(
+                num_buckets=self.relative_embedding_buckets,
+                max_distance=self.relative_embedding_max_distance,
+                num_attention_heads=self.num_attention_heads,
+                name="relpos_bias")(x.shape[1], x.shape[1], bidirectional)
+            attn_bias_type = AttnBiasType.POST_SCALE_BIAS
         attn_out = MultiHeadAttention(
             hidden_size=self.hidden_size,
             num_attention_heads=self.num_attention_heads,
@@ -364,16 +456,20 @@ class TransformerLayer(TransformerEngineBase):
             zero_centered_gamma=self.zero_centered_gamma,
             use_bias=self.use_bias,
             attn_mask_type=self.self_attn_mask_type,
+            attn_bias_type=attn_bias_type,
             attention_dropout=self.attention_dropout,
             window_size=self.window_size,
             enable_rotary_pos_emb=self.enable_rotary_pos_emb,
             rotary_pos_emb_base=self.rotary_pos_emb_base,
             max_seq_len=self.max_seq_len,
             context_parallel_axis=self.context_parallel_axis,
+            enable_low_rank_adaptation=self.enable_low_rank_adaptation,
+            low_rank_adaptation_dim=self.low_rank_adaptation_dim,
+            low_rank_adaptation_alpha=self.low_rank_adaptation_alpha,
             dtype=self.dtype,
             name="self_attention")(
-                x, None, sequence_descriptor, positions=positions,
-                deterministic=deterministic,
+                x, None, sequence_descriptor, bias=attn_bias,
+                positions=positions, deterministic=deterministic,
                 inference_params=inference_params)
         if self.hidden_dropout > 0.0 and not deterministic:
             attn_out = nn.Dropout(rate=self.hidden_dropout)(
@@ -392,6 +488,9 @@ class TransformerLayer(TransformerEngineBase):
                 use_bias=self.use_bias,
                 attn_mask_type=AttnMaskType.PADDING,
                 attention_dropout=self.attention_dropout,
+                enable_low_rank_adaptation=self.enable_low_rank_adaptation,
+                low_rank_adaptation_dim=self.low_rank_adaptation_dim,
+                low_rank_adaptation_alpha=self.low_rank_adaptation_alpha,
                 dtype=self.dtype,
                 name="inter_attention")(
                     x, encoded, sequence_descriptor,
@@ -411,6 +510,9 @@ class TransformerLayer(TransformerEngineBase):
             input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES),
             intermediate_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.JOINED_AXES,
                                sh.HIDDEN_TP_AXES),
+            enable_low_rank_adaptation=self.enable_low_rank_adaptation,
+            low_rank_adaptation_dim=self.low_rank_adaptation_dim,
+            low_rank_adaptation_alpha=self.low_rank_adaptation_alpha,
             dtype=self.dtype,
             name="mlp")(x, deterministic=deterministic)
         if self.hidden_dropout > 0.0 and not deterministic:

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quantize.dtypes import E8M0_BIAS, dtype_max, float8_e4m3
+from ..quantize.dtypes import (
+    E8M0_BIAS, FP4_STORAGE_DTYPE, dtype_max, float8_e4m3)
 
 
 def _interpret() -> bool:
@@ -148,6 +149,207 @@ def _mxfp8_kernel(x_ref, row_ref, col_ref, srow_ref, scol_ref, *,
     yc, sc = block_quant(x.T, tm)
     col_ref[...] = yc
     scol_ref[...] = sc
+
+
+# ---------------------------------------------------------------------------
+# NVFP4 fused RHT + two-level cast (rowwise + colwise in one pass)
+# ---------------------------------------------------------------------------
+#
+# TPU collapse of the reference's 8.5k-LoC hadamard_transform kernel
+# family (reference: common/hadamard_transform/, fused row-cast /
+# col-RHT-cast / +amax variants): a first pass reads the tensor once and
+# produces BOTH global amaxes (plain and rotated — NVFP4's two-level
+# scaling needs them before any cast), a second pass re-reads it once
+# and emits the rowwise payload, the RHT'd colwise payload, and both
+# E4M3 block-scale grids. The 16x16 rotation happens in VMEM on the
+# tile; nothing rotated ever touches HBM at full precision.
+
+_FP4_BOUNDS = (0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0)
+_FP4_TIE_UP = (False, True, False, True, False, True, False)
+_FP4_VALS = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+_F32_TINY = 2.0 ** -126
+
+
+def _fp4_grid_round(y):
+    """Round-to-nearest(-even on grid ties) onto the FP4 E2M1 value grid;
+    bit-identical to qmath.cast_to_fp4_grid (same table, vectorized as
+    comparison counts since Pallas has no gather)."""
+    ax = jnp.clip(jnp.abs(y), 0.0, 6.0)
+    lo = sum((ax > b).astype(jnp.int32) for b in _FP4_BOUNDS)
+    hi = sum((ax >= b).astype(jnp.int32) for b in _FP4_BOUNDS)
+    k = jnp.clip(lo, 0, 6)
+    tie_up = sum(((k == i) & t) for i, t in enumerate(_FP4_TIE_UP))
+    idx = jnp.where((lo != hi) & tie_up, hi, lo)
+    idx = jnp.clip(idx, 0, 7)
+    mag = sum(jnp.where(idx == i, jnp.float32(v), 0.0)
+              for i, v in enumerate(_FP4_VALS))
+    return jnp.sign(y) * mag
+
+
+def _fp4_grid_round_sr(y, ubits):
+    """Stochastic rounding onto the FP4 grid: same construction as
+    qmath._stochastic_cast_fp4 (exactly unbiased between neighbours) but
+    driven by the TPU PRNG (`ubits` uint32)."""
+    ax = jnp.clip(jnp.abs(y), 0.0, 6.0)
+    il = jnp.clip(
+        sum((ax >= v).astype(jnp.int32) for v in _FP4_VALS) - 1, 0, 7)
+    iu = jnp.clip(il + 1, 0, 7)
+    lo = sum(jnp.where(il == i, jnp.float32(v), 0.0)
+             for i, v in enumerate(_FP4_VALS))
+    up = sum(jnp.where(iu == i, jnp.float32(v), 0.0)
+             for i, v in enumerate(_FP4_VALS))
+    p = jnp.where(up > lo, (ax - lo) / jnp.maximum(up - lo, _F32_TINY), 0.0)
+    u = (ubits >> 8).astype(jnp.float32) * (2.0 ** -24)
+    mag = jnp.where(u < p, up, lo)
+    return jnp.sign(y) * mag
+
+
+def _rht_rotate(v, rht):
+    """Apply the 16x16 RHT along the last axis of a 2D tile (precision
+    matches quantize/hadamard.apply_rht for bit-exactness)."""
+    r, c = v.shape
+    return jnp.matmul(v.reshape(r, c // 16, 16), rht,
+                      precision="highest").reshape(r, c)
+
+
+def _nvfp4_amax_kernel(rht_ref, x_ref, arow_ref, acol_ref, *, with_rht):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        arow_ref[0] = jnp.float32(0.0)
+        acol_ref[0] = jnp.float32(0.0)
+
+    x = x_ref[...].astype(jnp.float32)
+    arow_ref[0] = jnp.maximum(arow_ref[0], jnp.max(jnp.abs(x)))
+    if with_rht:
+        rot = _rht_rotate(x.T, rht_ref[...])
+        acol_ref[0] = jnp.maximum(acol_ref[0], jnp.max(jnp.abs(rot)))
+
+
+def nvfp4_amax_2x(x2d: jax.Array, rht_matrix,
+                  tile: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
+    """(amax(|x|), amax(|rht(x^T)|)) in one HBM read. Without RHT the
+    second equals the first (transpose preserves amax)."""
+    m, n = x2d.shape
+    tm, tn = tile
+    with_rht = rht_matrix is not None
+    rht_in = jnp.asarray(rht_matrix if with_rht else jnp.eye(16),
+                         jnp.float32)
+    arow, acol = pl.pallas_call(
+        functools.partial(_nvfp4_amax_kernel, with_rht=with_rht),
+        grid=(m // tm, n // tn),
+        in_specs=[pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)],
+        interpret=_interpret(),
+    )(rht_in, x2d)
+    if not with_rht:
+        acol = arow
+    return arow[0], acol[0]
+
+
+def _nvfp4_quantize_block(v, ts, key_bits):
+    """Two-level NVFP4 quantize of a 2D tile along (1,16) blocks given
+    the per-tensor scale ``ts``; mirrors qmath.nvfp4_quantize.encode."""
+    r, c = v.shape
+    bamax = jnp.abs(v).reshape(r, c // 16, 16).max(axis=2)
+    s_dec = bamax / 6.0
+    s_e4m3 = jnp.clip(s_dec / ts, -448.0, 448.0).astype(float8_e4m3)
+    s_eff = s_e4m3.astype(jnp.float32) * ts
+    inv = jnp.where(s_eff > 0, 1.0 / jnp.maximum(s_eff, _F32_TINY), 0.0)
+    y = v.reshape(r, c // 16, 16) * inv[:, :, None]
+    y = y.reshape(r, c)
+    if key_bits is None:
+        data = _fp4_grid_round(y)
+    else:
+        data = _fp4_grid_round_sr(y, key_bits)
+    return data.astype(FP4_STORAGE_DTYPE), s_e4m3
+
+
+def _nvfp4_cast_kernel(ts_ref, seed_ref, rht_ref, x_ref, row_ref, srow_ref,
+                       col_ref, scol_ref, *, with_rht, stochastic):
+    i, j = pl.program_id(0), pl.program_id(1)
+    x = x_ref[...].astype(jnp.float32)
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0], i, j)
+        rb = pltpu.prng_random_bits(x.shape).astype(jnp.uint32)
+        cb = pltpu.prng_random_bits((x.shape[1], x.shape[0])).astype(jnp.uint32)
+    else:
+        rb = cb = None
+    row, srow = _nvfp4_quantize_block(x, ts_ref[0], rb)
+    row_ref[...] = row
+    srow_ref[...] = srow
+    xt = x.T
+    if with_rht:
+        xt = _rht_rotate(xt, rht_ref[...])
+    col, scol = _nvfp4_quantize_block(xt, ts_ref[1], cb)
+    col_ref[...] = col
+    scol_ref[...] = scol
+
+
+def nvfp4_quantize_2x(
+    x2d: jax.Array,                      # (M, N), both multiples of 16
+    ts_row: jax.Array,                   # () f32 per-tensor scale, rowwise
+    ts_col: jax.Array,                   # () f32 per-tensor scale, colwise
+    rht_matrix: Optional[jax.Array],     # (16,16) f32 or None
+    *,
+    seed: Optional[jax.Array] = None,    # uint32 () -> stochastic rounding
+    tile: Tuple[int, int] = (256, 256),
+):
+    """Fused NVFP4 quantize: one read emits rowwise (M,N) + colwise
+    RHT'd (N,M) payloads and both (.,/16) E4M3 block-scale grids.
+
+    Deterministic rounding is bit-identical to qmath.nvfp4_quantize
+    (tests enforce); stochastic rounding uses the in-kernel TPU PRNG
+    (same unbiased construction, different stream — TPU only)."""
+    m, n = x2d.shape
+    tm, tn = tile
+    assert m % tm == 0 and n % tn == 0 and tm % 16 == 0 and tn % 16 == 0, (
+        x2d.shape, tile)
+    ts = jnp.stack([jnp.asarray(ts_row, jnp.float32).reshape(()),
+                    jnp.asarray(ts_col, jnp.float32).reshape(())])
+    seed_arr = (jnp.zeros((1,), jnp.uint32) if seed is None
+                else jnp.asarray(seed, jnp.uint32).reshape(1))
+    with_rht = rht_matrix is not None
+    rht_in = jnp.asarray(rht_matrix if with_rht else jnp.eye(16),
+                         jnp.float32)
+    row, srow, col, scol = pl.pallas_call(
+        functools.partial(_nvfp4_cast_kernel, with_rht=with_rht,
+                          stochastic=seed is not None),
+        grid=(m // tm, n // tn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn // 16), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tm), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tm // 16), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), FP4_STORAGE_DTYPE),
+            jax.ShapeDtypeStruct((m, n // 16), float8_e4m3),
+            jax.ShapeDtypeStruct((n, m), FP4_STORAGE_DTYPE),
+            jax.ShapeDtypeStruct((n, m // 16), float8_e4m3),
+        ],
+        interpret=_interpret(),
+    )(ts, seed_arr, rht_in, x2d)
+    return row, srow, col, scol
 
 
 def mxfp8_quantize_2x(

@@ -22,8 +22,9 @@ def hadamard_matrix(dim: int = RHT_DIM) -> np.ndarray:
     return h
 
 
-def rht_matrix(sign_mask: int = 0, dim: int = RHT_DIM) -> jnp.ndarray:
-    """Normalized Hadamard matrix with random sign flips.
+def rht_matrix_np(sign_mask: int = 0, dim: int = RHT_DIM) -> np.ndarray:
+    """Normalized Hadamard matrix with random sign flips, as a host
+    constant (Pallas kernels inline it; sign_mask is always static).
 
     ``sign_mask`` packs one sign bit per row (bit i == 1 -> flip row i),
     matching the reference's deterministic random-sign parameterization so
@@ -32,7 +33,11 @@ def rht_matrix(sign_mask: int = 0, dim: int = RHT_DIM) -> jnp.ndarray:
     h = hadamard_matrix(dim)
     signs = np.array([1.0 if not (sign_mask >> i) & 1 else -1.0 for i in range(dim)],
                      dtype=np.float32)
-    return jnp.asarray((signs[:, None] * h) / np.sqrt(dim))
+    return ((signs[:, None] * h) / np.sqrt(dim)).astype(np.float32)
+
+
+def rht_matrix(sign_mask: int = 0, dim: int = RHT_DIM) -> jnp.ndarray:
+    return jnp.asarray(rht_matrix_np(sign_mask, dim))
 
 
 def apply_rht(x: jax.Array, sign_mask: int = 0, dim: int = RHT_DIM) -> jax.Array:
@@ -40,11 +45,13 @@ def apply_rht(x: jax.Array, sign_mask: int = 0, dim: int = RHT_DIM) -> jax.Array
     assert x.shape[-1] % dim == 0, f"last dim {x.shape[-1]} % {dim} != 0"
     m = rht_matrix(sign_mask, dim).astype(jnp.float32)
     xr = x.astype(jnp.float32).reshape(*x.shape[:-1], x.shape[-1] // dim, dim)
-    return (xr @ m).reshape(x.shape)
+    # precision=highest: keep full f32 on the MXU so the Pallas fused
+    # kernel (ops/quantize_kernels.nvfp4_quantize_2x) matches bit-exactly.
+    return jnp.matmul(xr, m, precision="highest").reshape(x.shape)
 
 
 def apply_rht_inverse(x: jax.Array, sign_mask: int = 0, dim: int = RHT_DIM) -> jax.Array:
     """Inverse = transpose (the normalized RHT is orthogonal)."""
     m = rht_matrix(sign_mask, dim).astype(jnp.float32).T
     xr = x.astype(jnp.float32).reshape(*x.shape[:-1], x.shape[-1] // dim, dim)
-    return (xr @ m).reshape(x.shape)
+    return jnp.matmul(xr, m, precision="highest").reshape(x.shape)

@@ -107,13 +107,17 @@ class Quantizer:
         fused = self._fused_2x(x2d, key)
         if fused is not None:
             rdat, rs, cdat, cs, ts_inv, amax = fused
+            # NVFP4 with RHT has per-orientation tensor scales / amaxes
+            # (the colwise usage is rotated); tuples carry both.
+            ts_r, ts_c = ts_inv if isinstance(ts_inv, tuple) else (ts_inv,) * 2
+            am_r, am_c = amax if isinstance(amax, tuple) else (amax,) * 2
             rw = make_scaled_tensor(
                 rdat.reshape(x.shape), rs, scaling_mode=self.scaling_mode,
-                dq_dtype=dq_dtype, amax=amax, tensor_scale_inv=ts_inv,
+                dq_dtype=dq_dtype, amax=am_r, tensor_scale_inv=ts_r,
                 layout="N", flatten_axis=fa)
             cw = make_scaled_tensor(
                 cdat.reshape(t_shape), cs, scaling_mode=self.scaling_mode,
-                dq_dtype=dq_dtype, amax=amax, tensor_scale_inv=ts_inv,
+                dq_dtype=dq_dtype, amax=am_c, tensor_scale_inv=ts_c,
                 layout="T", flatten_axis=x.ndim - fa)
             return ScaledTensor2x(rowwise=rw, colwise=cw)
         rw = build(x2d, x.shape, "N", fa, kr)
@@ -267,6 +271,34 @@ class NVFP4Quantizer(Quantizer):
             x2d, key, block_shape=self.scaling_mode.block_shape,
             four_over_six=self.four_over_six)
         return data, block_scale, ts_inv, amax
+
+    def _fused_2x(self, x2d, key):
+        """Single-pass Pallas RHT + two-level cast for the (1,16) 1D mode
+        (reference: common/hadamard_transform/ fused cast family)."""
+        from ..ops.quantize_kernels import (
+            _fused_enabled, nvfp4_amax_2x, nvfp4_quantize_2x, pick_tile)
+        from .hadamard import rht_matrix_np
+        if not _fused_enabled() or self.four_over_six:
+            return None
+        if self.scaling_mode.block_shape != (1, 16):
+            return None
+        stochastic = self.stochastic_rounding and key is not None
+        if stochastic and jax.default_backend() != "tpu":
+            return None  # in-kernel PRNG has no interpret-mode lowering
+        m, n = x2d.shape
+        tm, tn = pick_tile(m, align=16), pick_tile(n, align=128)
+        if tm is None or tn is None or tm % 16 or tn % 16:
+            return None
+        rht = rht_matrix_np(self.rht_sign_mask) if self.with_rht else None
+        arow, acol = nvfp4_amax_2x(x2d, rht, (tm, tn))
+        denom = qmath.dtype_max(float4_e2m1) * qmath.dtype_max(float8_e4m3)
+        ts_row = jnp.where(arow > 0, arow / denom, jnp.float32(1.0))
+        ts_col = jnp.where(acol > 0, acol / denom, jnp.float32(1.0))
+        seed = jax.random.bits(key, (), jnp.uint32) if stochastic else None
+        row, srow, col, scol = nvfp4_quantize_2x(
+            x2d, ts_row, ts_col, rht, seed=seed, tile=(tm, tn))
+        return (row, srow, col, scol,
+                (ts_row.reshape(1), ts_col.reshape(1)), (arow, acol))
 
 
 @jax.tree_util.register_dataclass
