@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 import transformerengine_tpu as te
-from .timing import chain_carry, marginal_seconds_per_step
+from .timing import (chain_carry, marginal_seconds_interleaved,
+                     marginal_seconds_per_step)
 
 __all__ = ["bench_linear", "bench_ln_mlp", "bench_flash_prefill",
            "bench_mxfp8_layer"]
@@ -38,19 +39,19 @@ def bench_linear(M=16384, K=768, N=3072):
     w = _normal(7, (K, N), scale=0.02)
     flops = 2.0 * M * K * N
 
-    def run(qset):
-        def step(c):
-            y = te.dense(c, w, quantizer_set=qset)
-            return chain_carry(c, y)
-        return marginal_seconds_per_step(
-            step, lambda s: _normal(s, (M, K)), n_short=2, n_long=12)
+    def step(c, params):
+        w, qset = params
+        y = te.dense(c, w, quantizer_set=qset)
+        return chain_carry(c, y)
 
-    t_fp8 = run(te.QuantizerFactory.create_set(
-        te.DelayedScaling(amax_history_len=16)))
-    t_bf16 = run(te.QuantizerFactory.create_set(None))
-    return {"fp8_tflops": round(flops / t_fp8 / 1e12, 1),
-            "bf16_tflops": round(flops / t_bf16 / 1e12, 1),
-            "fp8_vs_bf16": round(t_bf16 / t_fp8, 3)}
+    t = marginal_seconds_interleaved(
+        {"fp8": (step, (w, te.QuantizerFactory.create_set(
+            te.DelayedScaling(amax_history_len=16)))),
+         "bf16": (step, (w, te.QuantizerFactory.create_set(None)))},
+        lambda s: _normal(s, (M, K)), n_short=2, n_long=12)
+    return {"fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
+            "bf16_tflops": round(flops / t["bf16"] / 1e12, 1),
+            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
 
 
 def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
@@ -63,47 +64,70 @@ def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
     # dgrad + wgrad per GEMM => 3x the forward GEMM FLOPs.
     flops = 3 * (2.0 * B * S * H * 2 * FFN + 2.0 * B * S * FFN * H)
 
-    def run(qsets):
-        def step(c):
-            def loss(x, kk1, kk2, g):
-                y = te.layernorm_mlp(
-                    x, g, None, kk1, kk2, norm_type="rmsnorm",
-                    activation_type="swiglu", quantizer_sets=qsets)
-                return jnp.sum(y.astype(jnp.float32))
-            grads = jax.grad(loss, argnums=(0, 1, 2, 3))(c, k1, k2, gamma)
-            return chain_carry(c, grads)
-        return marginal_seconds_per_step(
-            step, lambda s: _normal(s, (B, S, H)), n_short=2, n_long=8)
+    def step(c, params):
+        k1, k2, gamma, qsets = params
+
+        def loss(x, kk1, kk2, g):
+            y = te.layernorm_mlp(
+                x, g, None, kk1, kk2, norm_type="rmsnorm",
+                activation_type="swiglu", quantizer_sets=qsets)
+            return jnp.sum(y.astype(jnp.float32))
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(c, k1, k2, gamma)
+        return chain_carry(c, grads)
 
     mk = te.QuantizerFactory.create_set
     recipe = te.DelayedScaling(amax_history_len=16)
-    t_fp8 = run((mk(recipe), mk(recipe)))
-    t_bf16 = run((mk(None), mk(None)))
-    return {"fp8_step_ms": round(t_fp8 * 1e3, 3),
-            "bf16_step_ms": round(t_bf16 * 1e3, 3),
-            "fp8_tflops": round(flops / t_fp8 / 1e12, 1),
-            "fp8_vs_bf16": round(t_bf16 / t_fp8, 3)}
+    t = marginal_seconds_interleaved(
+        {"fp8": (step, (k1, k2, gamma, (mk(recipe), mk(recipe)))),
+         "bf16": (step, (k1, k2, gamma, (mk(None), mk(None))))},
+        lambda s: _normal(s, (B, S, H)), n_short=2, n_long=8)
+    return {"fp8_step_ms": round(t["fp8"] * 1e3, 3),
+            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
+            "fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
+            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
 
 
 def bench_flash_prefill(B=4, S=2048, Hq=32, Hkv=8, D=128):
     """Flash-attention forward microbench (prefill shape, causal GQA).
     The TFLOP/s here gates TTFT; reference analog:
-    benchmarks/attention/benchmark_attention.py."""
+    benchmarks/attention/benchmark_attention.py.
+
+    A plain big bf16 GEMM is interleaved as a drift calibrator: the
+    tunnel's absolute throughput wanders ~2.5x across windows, so
+    ``pct_of_gemm`` (flash TFLOP/s over same-window GEMM TFLOP/s) is
+    the number that survives; absolutes are window luck."""
     from transformerengine_tpu.attention import AttnMaskType, fused_attn
     k = _normal(11, (B, S, Hkv, D))
     v = _normal(12, (B, S, Hkv, D))
     # causal: ~half the S^2 pairs
     flops = 2 * 2.0 * B * Hq * S * S * D / 2
 
-    def step(q):
-        o = fused_attn([q, k, v], attn_mask_type=AttnMaskType.CAUSAL,
+    def flash_step(q, params):
+        kk, vv = params
+        o = fused_attn([q, kk, vv], attn_mask_type=AttnMaskType.CAUSAL,
                        is_training=False)
         return chain_carry(q, o)
 
-    t = marginal_seconds_per_step(
-        step, lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
-    return {"tflops": round(flops / t / 1e12, 1),
-            "ms": round(t * 1e3, 3)}
+    # Calibrator GEMM reuses the flash carry reshaped to 2D: carry is
+    # (B, S, Hq, D) -> (B*S, Hq*D) = (8192, 4096).
+    GM, GK, GN = B * S, Hq * D, 4096
+    gw = _normal(13, (GK, GN), scale=0.02)
+    gemm_flops = 2.0 * GM * GK * GN
+
+    def gemm_step(c, w):
+        y = jnp.dot(c.reshape(GM, GK), w,
+                    preferred_element_type=jnp.float32)
+        return chain_carry(c, y.astype(jnp.bfloat16))
+
+    t = marginal_seconds_interleaved(
+        {"flash": (flash_step, (k, v)), "gemm": (gemm_step, gw)},
+        lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
+    tflops = flops / t["flash"] / 1e12
+    gemm_tflops = gemm_flops / t["gemm"] / 1e12
+    return {"tflops": round(tflops, 1),
+            "ms": round(t["flash"] * 1e3, 3),
+            "gemm_tflops": round(gemm_tflops, 1),
+            "pct_of_gemm": round(100.0 * tflops / gemm_tflops, 1)}
 
 
 def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
@@ -117,18 +141,25 @@ def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
         use_bias=False, enable_rotary_pos_emb=True, max_seq_len=S)
     x0 = _normal(21, (B, S, H))
 
-    def run(recipe):
-        with te.autocast(enabled=recipe is not None, recipe=recipe):
-            variables = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
-
-            def step(c):
+    def make_step(recipe):
+        # The autocast context is consulted at TRACE time, so it wraps
+        # the apply inside the step body (tracing happens inside the
+        # shared interleaved-timing jit, outside this function).
+        def step(c, variables):
+            with te.autocast(enabled=recipe is not None, recipe=recipe):
                 y = layer.apply(variables, c)
-                return chain_carry(c, y)
-            return marginal_seconds_per_step(
-                step, lambda s: _normal(s, (B, S, H)), n_short=2, n_long=6)
+            return chain_carry(c, y)
+        return step
 
-    t_mx = run(te.MXFP8BlockScaling())
-    t_bf16 = run(None)
-    return {"mxfp8_ms": round(t_mx * 1e3, 3),
-            "bf16_ms": round(t_bf16 * 1e3, 3),
-            "mxfp8_vs_bf16": round(t_bf16 / t_mx, 3)}
+    mx_recipe = te.MXFP8BlockScaling()
+    with te.autocast(enabled=True, recipe=mx_recipe):
+        mx_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
+    bf_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
+
+    t = marginal_seconds_interleaved(
+        {"mxfp8": (make_step(mx_recipe), mx_vars),
+         "bf16": (make_step(None), bf_vars)},
+        lambda s: _normal(s, (B, S, H)), n_short=2, n_long=6)
+    return {"mxfp8_ms": round(t["mxfp8"] * 1e3, 3),
+            "bf16_ms": round(t["bf16"] * 1e3, 3),
+            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}

@@ -23,7 +23,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chain_carry", "marginal_seconds_per_step", "median_call_seconds"]
+__all__ = ["chain_carry", "marginal_seconds_per_step",
+           "marginal_seconds_interleaved", "median_call_seconds"]
 
 
 def chain_carry(carry: jax.Array, out) -> jax.Array:
@@ -75,6 +76,59 @@ def marginal_seconds_per_step(
             ts.append(time.perf_counter() - t0)
         times[n] = sorted(ts)[len(ts) // 2]
     return max((times[n_long] - times[n_short]) / (n_long - n_short), 1e-9)
+
+
+def marginal_seconds_interleaved(
+    variants: dict,
+    make_carry: Callable[[int], jax.Array],
+    *,
+    n_short: int = 2,
+    n_long: int = 10,
+    reps: int = 3,
+) -> dict:
+    """Marginal seconds per step for several variants measured in ONE
+    window, interleaved per repetition — the tunnel's absolute
+    throughput drifts ~2.5x over tens of minutes, so A/B ratios are only
+    trustworthy when A and B alternate (memory note
+    axon-tunnel-throughput-drift).
+
+    ``variants`` maps name -> (step, params) where ``step(carry, params)
+    -> carry``. ``params`` is an arbitrary pytree passed as a real jit
+    argument — large weights MUST ride here, not in a closure, or they
+    are embedded as HLO constants and blow the remote-compile request
+    body limit (observed HTTP 413 at ~350 MB of closed-over weights).
+    Returns name -> marginal seconds/step.
+    """
+    runs = {}
+    for name, (stepf, params) in variants.items():
+        @partial(jax.jit, static_argnames="n")
+        def run(c0, params, n, _step=stepf):
+            return jax.lax.scan(lambda c, _: (_step(c, params), None),
+                                c0, None, length=n)[0]
+        runs[name] = run
+
+    for name, run in runs.items():
+        for n in (n_short, n_long):
+            jnp.sum(run(make_carry(0), variants[name][1], n)
+                    ).block_until_ready()
+
+    times = {name: {n: [] for n in (n_short, n_long)} for name in runs}
+    for r in range(reps):
+        for n in (n_short, n_long):
+            for name, run in runs.items():
+                c0 = make_carry(1 + 31 * r + n + 7 * hash(name) % 1000)
+                t0 = time.perf_counter()
+                float(jnp.sum(run(c0, variants[name][1], n)))
+                times[name][n].append(time.perf_counter() - t0)
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    return {
+        name: max((med(t[n_long]) - med(t[n_short])) / (n_long - n_short),
+                  1e-9)
+        for name, t in times.items()
+    }
 
 
 def median_call_seconds(fn: Callable[[int], float], reps: int = 5) -> float:

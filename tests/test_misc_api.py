@@ -38,6 +38,93 @@ class TestFlexAttention:
         out = flex_attention(q, q, q, score_mod=alibi_mod(slopes))
         assert out.shape == q.shape
 
+    def test_chunked_matches_reference_gqa(self):
+        """Default (chunked O(S) memory) impl == direct materialization,
+        with a score mod + causal mask and grouped-query heads."""
+        kq = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(kq[0], (2, 48, 4, 32))
+        k = jax.random.normal(kq[1], (2, 48, 2, 32))
+        v = jax.random.normal(kq[2], (2, 48, 2, 32))
+        slopes = jnp.array([0.5, 0.25, 0.125, 0.0625])
+        out = flex_attention(q, k, v, score_mod=alibi_mod(slopes),
+                             mask_mod=causal_mask_mod, impl="chunked",
+                             block_k=128)
+        ref = flex_attention(q, k, v, score_mod=alibi_mod(slopes),
+                             mask_mod=causal_mask_mod, impl="reference")
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+    def test_chunked_grads_include_mod_params(self):
+        """Chunked path backprops into q/k/v AND into parameters captured
+        by the score_mod closure (relative bias table)."""
+        from transformerengine_tpu.flex_attention import (
+            relative_position_bias_mod)
+        keys = jax.random.split(jax.random.PRNGKey(2), 4)
+        q = jax.random.normal(keys[0], (1, 32, 2, 16))
+        k = jax.random.normal(keys[1], (1, 32, 2, 16))
+        v = jax.random.normal(keys[2], (1, 32, 2, 16))
+        table = 0.1 * jax.random.normal(keys[3], (2, 9))
+
+        def loss(q, k, v, table, impl):
+            o = flex_attention(q, k, v,
+                               score_mod=relative_position_bias_mod(table),
+                               mask_mod=causal_mask_mod, impl=impl,
+                               block_k=128)
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, table, "chunked")
+        gr = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, table,
+                                                  "reference")
+        for a, b in zip(g, gr):
+            assert jnp.max(jnp.abs(a - b)) < 1e-5
+        assert jnp.max(jnp.abs(g[3])) > 0  # table actually gets gradient
+
+    def test_chunked_ragged_kv_padding(self):
+        """Skv not a multiple of block_k: padded columns masked out."""
+        q = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(4), (1, 150, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(5), (1, 150, 2, 16))
+        out = flex_attention(q, k, v, score_mod=soft_cap_mod(20.0),
+                             impl="chunked", block_k=128)
+        ref = flex_attention(q, k, v, score_mod=soft_cap_mod(20.0),
+                             impl="reference")
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+    def test_flash_impl_scoremod_fwd_and_grad(self):
+        """impl='flash' traces the mod into the Pallas kernel; fwd and
+        q/k/v grads match the reference impl."""
+        from transformerengine_tpu.flex_attention import alibi_arith_mod
+        keys = jax.random.split(jax.random.PRNGKey(6), 3)
+        q = jax.random.normal(keys[0], (1, 64, 4, 32))
+        k = jax.random.normal(keys[1], (1, 64, 2, 32))
+        v = jax.random.normal(keys[2], (1, 64, 2, 32))
+        mod = alibi_arith_mod(4)
+
+        def loss(q, k, v, impl):
+            o = flex_attention(q, k, v, score_mod=mod,
+                               mask_mod=causal_mask_mod, impl=impl)
+            return jnp.sum(o ** 2), o
+
+        (l, o), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                       has_aux=True)(q, k, v, "flash")
+        (lr, orf), gr = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True)(q, k, v,
+                                                        "reference")
+        assert jnp.max(jnp.abs(o - orf)) < 2e-2   # bf16 MXU operands
+        for a, b in zip(g, gr):
+            assert jnp.max(jnp.abs(a - b)) < 2e-2
+
+    def test_flash_kernel_softcap(self):
+        """score_mod straight through ops.flash_attention vs unfused."""
+        from transformerengine_tpu.ops.flash_attention import (
+            flash_attention as flash)
+        q = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 4, 32))
+        cap = soft_cap_mod(15.0)
+        out = flash(q, q, q, attn_mask_type=AttnMaskType.CAUSAL,
+                    score_mod=cap)
+        ref = flex_attention(q, q, q, score_mod=cap,
+                             mask_mod=causal_mask_mod, impl="reference")
+        assert jnp.max(jnp.abs(out - ref)) < 2e-2
+
 
 class TestGraphAlias:
     def test_precompiles_and_runs(self):

@@ -9,3 +9,12 @@ from .normalization import (
 from .rope import apply_rope, rope_frequencies
 from .router import (
     compute_routing, fused_moe_aux_loss, fused_topk_with_score_function)
+
+# The te.ops fusible-operation API (reference: pytorch/ops/*) lives in
+# ..fuser and is re-exported here so `te.ops.Sequential(...)` reads the
+# same as the reference's `te.ops.Sequential`.
+from ..fuser import (  # noqa: E402
+    Activation, AddExtraInput, AllGather, AllReduce, Bias, ConstantScale,
+    Dropout, GELU, GeGLU, Identity, L2Normalization, LayerNorm, Linear,
+    MakeExtraOutput, Op, Quantize, ReLU, ReduceScatter, Reshape, RMSNorm,
+    Sequential, SwiGLU)

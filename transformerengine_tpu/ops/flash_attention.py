@@ -60,6 +60,33 @@ def _effective_blocks(sq: int, skv: int, group: int,
     return block_q, block_k
 
 
+def _positions(q_start, k_start, off, rows, block_k, group, block_q):
+    """(qpos, kpos) int32 grids of shape (rows, block_k) for the packed
+    score block (row r of the packed block is query position
+    q_start + off + (r % block_q))."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+    if group > 1:
+        row = jax.lax.rem(row, block_q)
+    qpos = q_start + off + row
+    kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+    return qpos, kpos
+
+
+def _mod_args(q_start, k_start, off, group, block_q, block_k, prog_bh):
+    """(b, h, qpos, kpos) arguments for a score_mod traced into the
+    kernel body. h varies along packed rows: row r belongs to query head
+    hkv*group + r // block_q. ``prog_bh`` is (program_id(0),
+    program_id(1)) computed at kernel top level (program_id inside a
+    pl.when body has no interpret-mode lowering)."""
+    rows = group * block_q
+    qpos, kpos = _positions(q_start, k_start, off, rows, block_k, group,
+                            block_q)
+    bidx, hk = prog_bh
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // block_q
+    hidx = hk * group + hrow
+    return bidx, hidx, qpos, kpos
+
+
 def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
                  causal, window, use_segments, group, block_q, block_k):
     """Fill masked score entries with MASKED, unconditionally on every
@@ -75,12 +102,8 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
     if not any_mask:
         return s
     rows = group * block_q
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
-    if group > 1:
-        row = jax.lax.rem(row, block_q)
-    qpos = q_start + off + row
-    kpos = k_start + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, block_k), 1)
+    qpos, kpos = _positions(q_start, k_start, off, rows, block_k, group,
+                            block_q)
     mask = jnp.ones((rows, block_k), jnp.bool_)
     if causal:
         mask = jnp.logical_and(mask, kpos <= qpos)
@@ -143,7 +166,8 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
                     v_ref, bias_ref, acc_ref, m_ref, l_ref,
                     q_start, k_start, off, *,
                     causal, use_segments, use_bias, window, group,
-                    block_q, block_k, fp8, dropout_rate=0.0):
+                    block_q, block_k, fp8, dropout_rate=0.0,
+                    score_mod=None, scale=1.0, prog_bh=None):
     """One online-softmax update for a (packed-q, k) block pair. Shared
     by the dense-grid kernel and the enumerated-steps kernel.
 
@@ -166,6 +190,13 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
         preferred_element_type=jnp.float32)
     if fp8:
         s = s * scales_ref[0]
+    if score_mod is not None:
+        # score-mod path: q is NOT pre-scaled, scores stay in the
+        # natural domain for the user mod, then convert to exp2
+        # (reference flex-attention: score_mod compiled into the kernel).
+        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
+                                       block_q, block_k, prog_bh)
+        s = score_mod(s * scale, bi, hi, qpos, kpos) * LOG2E
     if use_bias:
         bias = bias_ref[0].reshape(rows, block_k)
         s = s + bias.astype(jnp.float32) * LOG2E
@@ -223,13 +254,15 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                 causal: bool, use_segments: bool,
                 use_bias: bool, fp8: bool, dropout_rate: float,
                 window: Tuple[int, int], offset: int,
-                group: int, block_q: int, block_k: int, num_k_blocks: int):
+                group: int, block_q: int, block_k: int, num_k_blocks: int,
+                score_mod=None, scale=1.0):
     """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
     are stacked into one (group*block_q, d) operand so each K/V block is
     DMA'd and matmul'd once per group instead of once per query head
     (measured +15% on v5e GQA-4 prefill, and it quadruples the MXU work
     per K/V byte moved)."""
     iq, ik = pl.program_id(2), pl.program_id(3)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
 
     @pl.when(ik == 0)
     def _init():
@@ -259,7 +292,8 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         causal=causal, use_segments=use_segments,
                         use_bias=use_bias, window=window, group=group,
                         block_q=block_q, block_k=block_k, fp8=fp8,
-                        dropout_rate=dropout_rate)
+                        dropout_rate=dropout_rate,
+                        score_mod=score_mod, scale=scale, prog_bh=prog_bh)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
@@ -274,7 +308,8 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                       causal: bool, use_segments: bool, use_bias: bool,
                       fp8: bool, dropout_rate: float,
                       window: Tuple[int, int], offset: int,
-                      group: int, block_q: int, block_k: int):
+                      group: int, block_q: int, block_k: int,
+                      score_mod=None, scale=1.0):
     """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
     block pair (steps[0,t], steps[1,t]) — ONLY reachable blocks are
     enumerated (lower triangle for causal, band for sliding window), so
@@ -283,6 +318,7 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
     step of each q row (same role as ik==0 / ik==nk-1 in the dense
     grid). Same trick as jax's SplashAttention data-dependent grids."""
     t = pl.program_id(2)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
     ik = steps_ref[1, t]
 
@@ -299,7 +335,8 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                     causal=causal, use_segments=use_segments,
                     use_bias=use_bias, window=window, group=group,
                     block_q=block_q, block_k=block_k, fp8=fp8,
-                    dropout_rate=dropout_rate)
+                    dropout_rate=dropout_rate,
+                    score_mod=score_mod, scale=scale, prog_bh=prog_bh)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -348,7 +385,7 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                window, offset, block_q, block_k, static_pos=False,
                scale_invs=None, out_dtype=None,
-               dropout_rate=0.0, dropout_seed=None):
+               dropout_rate=0.0, dropout_seed=None, score_mod=None):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
@@ -362,10 +399,14 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         scales = jnp.stack([
             scale_invs[0] * scale_invs[1] * (scale * LOG2E),
             scale_invs[2]]).astype(jnp.float32)
-    else:
+    elif score_mod is None:
         # Fold softmax scale + nat->exp2 conversion into q (one fused pass
         # over (B,H,S,D) instead of one per score block inside the kernel).
         q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        scales = jnp.ones((2,), jnp.float32)
+    else:
+        # Score-mod path: the user mod needs natural-domain raw scores,
+        # so q stays unscaled and scale applies in-kernel pre-mod.
         scales = jnp.ones((2,), jnp.float32)
     o_dtype = out_dtype if out_dtype is not None else q.dtype
     seed = (dropout_seed if dropout_seed is not None
@@ -421,7 +462,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             _fwd_kernel_steps, causal=causal, use_segments=use_segments,
             use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
             window=window, offset=offset,
-            group=group, block_q=block_q, block_k=block_k)
+            group=group, block_q=block_q, block_k=block_k,
+            score_mod=score_mod, scale=scale)
         if use_bias:
             bias_spec = pl.BlockSpec(
                 (1, group, block_q, block_k),
@@ -488,7 +530,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
         window=window, offset=offset, group=group,
         block_q=block_q, block_k=block_k,
-        num_k_blocks=nk)
+        num_k_blocks=nk, score_mod=score_mod, scale=scale)
     if use_bias:
         bias_spec = pl.BlockSpec(
             (1, group, block_q, block_k),
@@ -560,7 +602,8 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                        do_ref, lse_ref, delta_ref, bias_ref, acc_ref,
                        q_start, k_start, off, *,
                        causal, use_segments, window, group, block_q, block_k,
-                       fp8, use_bias, dropout_rate=0.0):
+                       fp8, use_bias, dropout_rate=0.0,
+                       score_mod=None, scale=1.0, prog_bh=None):
     """dQ contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dq kernels. Returns the natural-
     domain ds block (== dBias, reference cuDNN bwd dBias output)."""
@@ -581,6 +624,15 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
         preferred_element_type=jnp.float32)
     if fp8:
         s = s * scales_ref[0]
+    mod_vjp = None
+    if score_mod is not None:
+        # q arrives UNscaled in score-mod mode; replay the mod and keep
+        # its vjp so ds can be pulled back through it below.
+        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
+                                       block_q, block_k, prog_bh)
+        s, mod_vjp = jax.vjp(
+            lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
+        s = s * LOG2E
     if use_bias:
         s = s + bias_ref[0].reshape(rows, block_k).astype(
             jnp.float32) * LOG2E
@@ -600,6 +652,8 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                              dropout_rate)
         dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta)
+    if mod_vjp is not None:
+        ds = mod_vjp(ds)[0]
     acc_ref[...] += jax.lax.dot_general(
         ds.astype(jnp.bfloat16 if fp8 else k.dtype), k,
         (((1,), (0,)), ((), ())),
@@ -612,8 +666,9 @@ def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                    delta_ref, bias_ref, dq_ref, dbias_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
                    group, block_q, block_k, num_k_blocks, fp8, use_bias,
-                   dropout_rate):
+                   dropout_rate, score_mod=None):
     iq, ik = pl.program_id(2), pl.program_id(3)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
 
     @pl.when(ik == 0)
     def _init():
@@ -643,7 +698,7 @@ def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
             causal=causal, use_segments=use_segments,
             window=window, group=group,
             block_q=block_q, block_k=block_k, fp8=fp8, use_bias=use_bias,
-            dropout_rate=dropout_rate)
+            dropout_rate=dropout_rate, score_mod=score_mod, scale=scale, prog_bh=prog_bh)
         if use_bias:
             dbias_ref[0] = ds.astype(dbias_ref.dtype).reshape(
                 group, block_q, block_k)
@@ -661,12 +716,14 @@ def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                          k_ref, v_ref,
                          do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *,
                          scale, causal, use_segments, window, offset,
-                         group, block_q, block_k, fp8, dropout_rate):
+                         group, block_q, block_k, fp8, dropout_rate,
+                         score_mod=None):
     # (biased bwd uses the dense grid so every dbias block is written)
     """Enumerated-steps dQ: grid (b, hkv, T), step t -> block pair
     (steps[0,t], steps[1,t]); flags [2]/[3] mark each iq's first/last
     k block. Branchless body — only reachable blocks are enumerated."""
     t = pl.program_id(2)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
     ik = steps_ref[1, t]
 
@@ -681,7 +738,8 @@ def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                        causal=causal, use_segments=use_segments,
                        window=window, group=group,
                        block_q=block_q, block_k=block_k, fp8=fp8,
-                       use_bias=False, dropout_rate=dropout_rate)
+                       use_bias=False, dropout_rate=dropout_rate,
+                       score_mod=score_mod, scale=scale, prog_bh=prog_bh)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -696,7 +754,8 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         do_ref, lse_ref, delta_ref, bias_ref, dk_acc, dv_acc,
                         q_start, k_start, off, *,
                         causal, use_segments, window, group,
-                        block_q, block_k, fp8, use_bias, dropout_rate=0.0):
+                        block_q, block_k, fp8, use_bias, dropout_rate=0.0,
+                        score_mod=None, scale=1.0, prog_bh=None):
     """dK/dV contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dkv kernels."""
     rows = group * block_q
@@ -713,6 +772,13 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
         preferred_element_type=jnp.float32)
     if fp8:
         s = s * scales_ref[0]
+    mod_vjp = None
+    if score_mod is not None:
+        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
+                                       block_q, block_k, prog_bh)
+        s, mod_vjp = jax.vjp(
+            lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
+        s = s * LOG2E
     if use_bias:
         s = s + bias_ref[0].reshape(rows, block_k).astype(
             jnp.float32) * LOG2E
@@ -740,9 +806,11 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
         dp = dp * scales_ref[1]
     if dropout_rate > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
-    ds = (p * (dp - delta)).astype(cdt)
+    ds = p * (dp - delta)
+    if mod_vjp is not None:
+        ds = mod_vjp(ds)[0]
     dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds.astype(cdt), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -751,12 +819,13 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                     delta_ref, bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     scale, causal, use_segments, window, offset,
                     group, block_q, block_k, num_q_blocks, fp8, use_bias,
-                    dropout_rate):
+                    dropout_rate, score_mod=None):
     """dK/dV over grid (b, hkv, ik, iq). With GQA packing the `group`
     query heads sharing this KV head are stacked into the contraction
     rows, so dk/dv come out already summed over the group — no per-head
     (b, hq, skv, d) materialization + reduce pass."""
     ik, iq = pl.program_id(2), pl.program_id(3)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
     rows = group * block_q
 
     @pl.when(iq == 0)
@@ -784,14 +853,17 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                             causal=causal, use_segments=use_segments,
                             window=window, group=group,
                             block_q=block_q, block_k=block_k, fp8=fp8,
-                            use_bias=use_bias, dropout_rate=dropout_rate)
+                            use_bias=use_bias, dropout_rate=dropout_rate,
+                            score_mod=score_mod, scale=scale, prog_bh=prog_bh)
 
     @pl.when(iq == num_q_blocks - 1)
     def _epilogue():
         # dk_acc = sum ds_raw^T (scale*LOG2E*q_true); dk_true =
         # scale * sum ds_raw^T q_true = dk_acc / LOG2E = dk_acc * LN2.
         # fp8: q is a payload, dk_true = scale*sq_inv*dk_acc (scales[2]).
-        dk_mult = scales_ref[2] if fp8 else LN2
+        # score-mod: q is unscaled, dk_true = scale * dk_acc.
+        dk_mult = (scales_ref[2] if fp8
+                   else (scale if score_mod is not None else LN2))
         dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
@@ -802,10 +874,12 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                           dk_acc, dv_acc, *,
                           scale, causal, use_segments, window, offset,
-                          group, block_q, block_k, fp8, dropout_rate):
+                          group, block_q, block_k, fp8, dropout_rate,
+                          score_mod=None):
     """Enumerated-steps dK/dV: grid (b, hkv, T), ik-major enumeration
     (order='kq') so flags [2]/[3] delimit each ik's q sweep."""
     t = pl.program_id(2)
+    prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
     ik = steps_ref[1, t]
 
@@ -821,11 +895,13 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                         causal=causal, use_segments=use_segments,
                         window=window, group=group,
                         block_q=block_q, block_k=block_k, fp8=fp8,
-                        use_bias=False, dropout_rate=dropout_rate)
+                        use_bias=False, dropout_rate=dropout_rate,
+                        score_mod=score_mod, scale=scale, prog_bh=prog_bh)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
-        dk_mult = scales_ref[2] if fp8 else LN2
+        dk_mult = (scales_ref[2] if fp8
+                   else (scale if score_mod is not None else LN2))
         dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
@@ -833,7 +909,7 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
 def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
                causal, window, offset, block_q, block_k, static_pos=False,
                scale_invs=None, grad_dtype=None,
-               dropout_rate=0.0, dropout_seed=None):
+               dropout_rate=0.0, dropout_seed=None, score_mod=None):
     """Returns (dq, dk, dv, dbias). dbias is None unless ``bias`` is
     given, in which case it is the per-batch (B, Hq, Sq, Skv) bias
     gradient (caller reduces over batch for broadcast bias; reference:
@@ -860,9 +936,13 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
                                scale * scale_invs[1]]).astype(jnp.float32)
         dkv_scales = jnp.stack([smult, scale_invs[2],
                                 scale * scale_invs[0]]).astype(jnp.float32)
-    else:
+    elif score_mod is None:
         # exp2-domain kernels: q carries scale*LOG2E, lse converted to log2.
         q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        dq_scales = dkv_scales = jnp.ones((3,), jnp.float32)
+    else:
+        # score-mod mode: q unscaled, kernels replay the mod in natural
+        # domain (scale applied in-kernel pre-mod).
         dq_scales = dkv_scales = jnp.ones((3,), jnp.float32)
     g_dtype = grad_dtype if grad_dtype is not None else q.dtype
     lse_b = jnp.broadcast_to((lse * LOG2E)[..., None], (*lse.shape, 8))
@@ -897,7 +977,7 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
     common = dict(scale=scale, causal=causal, use_segments=use_segments,
                   window=window, offset=offset, group=group,
                   block_q=block_q, block_k=block_k, fp8=fp8,
-                  dropout_rate=dropout_rate)
+                  dropout_rate=dropout_rate, score_mod=score_mod)
     rows = group * block_q
     seed = (dropout_seed if dropout_seed is not None
             else jnp.zeros((2,), jnp.int32))
@@ -1119,31 +1199,33 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
 # custom_vjp wrapper (BSHD user layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash_core(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal, window,
-                offset, blocks):
+                offset, blocks, score_mod=None):
     o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale,
-                           causal, window, offset, blocks)
+                           causal, window, offset, blocks, score_mod)
     return o
 
 
 def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal,
-                    window, offset, blocks):
+                    window, offset, blocks, score_mod=None):
     o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, bias, scale=scale,
                         causal=causal, window=window, offset=offset,
                         block_q=blocks[0], block_k=blocks[1],
                         static_pos=blocks[2], dropout_rate=blocks[3],
-                        dropout_seed=seed)
+                        dropout_seed=seed, score_mod=score_mod)
     return o, (q, k, v, o, lse, qseg, kseg, qoff, bias, seed)
 
 
-def _flash_core_bwd(scale, causal, window, offset, blocks, res, do):
+def _flash_core_bwd(scale, causal, window, offset, blocks, score_mod, res,
+                    do):
     q, k, v, o, lse, qseg, kseg, qoff, bias, seed = res
     dq, dk, dv, dbias = _flash_bwd(
         q, k, v, o, lse, do, qseg, kseg, qoff, bias, scale=scale,
         causal=causal, window=window, offset=offset,
         block_q=blocks[0], block_k=blocks[1],
-        static_pos=blocks[2], dropout_rate=blocks[3], dropout_seed=seed)
+        static_pos=blocks[2], dropout_rate=blocks[3], dropout_seed=seed,
+        score_mod=score_mod)
     if dbias is not None:
         if bias.shape[0] == 1:       # broadcast batch: reduce
             dbias = jnp.sum(dbias, axis=0, keepdims=True)
@@ -1231,6 +1313,8 @@ def flash_attention(
     qkv_quantizers=None,
     dropout_probability: float = 0.0,
     dropout_seed=None,     # PRNG key or (2,) int32; required if rate > 0
+    score_mod=None,        # score_mod(s, b, h, q_idx, kv_idx) traced
+                           # into the kernel (arithmetic-only: no gathers)
 ) -> jax.Array:
     """Flash attention over BSHD inputs. Masking comes from
     ``attn_mask_type`` (+ optional seqlens / segment ids in
@@ -1307,6 +1391,12 @@ def flash_attention(
     else:
         seed = jnp.zeros((2,), jnp.int32)
     blocks = (block_q, block_k, q_position_offset is None, rate)
+    if score_mod is not None:
+        assert qkv_quantizers is None, (
+            "score_mod is not supported on the FP8 flash path")
+        assert bias is None, (
+            "score_mod and bias are mutually exclusive; fold the bias "
+            "into the mod or use the bias argument alone")
     if qkv_quantizers is not None:
         assert bias is None, "FP8 flash attention does not take a bias"
         for qz in qkv_quantizers:
@@ -1317,7 +1407,8 @@ def flash_attention(
                       seed, float(scale), causal, window, offset, blocks)
     else:
         o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, seed,
-                        float(scale), causal, window, offset, blocks)
+                        float(scale), causal, window, offset, blocks,
+                        score_mod)
     o = o.transpose(0, 2, 1, 3)
     if sq_p != sq:
         o = o[:, :sq]

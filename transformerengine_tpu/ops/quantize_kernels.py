@@ -123,32 +123,54 @@ def cast_transpose(
 # MXFP8 fused dual-orientation quantize
 # ---------------------------------------------------------------------------
 
+def _e8m0_exp(amax, emax_elem):
+    """Shared E8M0 exponent rule (bit-matches qmath): floor-log2 of the
+    block amax minus the element emax, clipped to the E8M0 range."""
+    bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(amax, jnp.float32(2.0 ** -126)), jnp.int32)
+    exp = jnp.clip((bits >> 23) - 127 - emax_elem, -E8M0_BIAS, E8M0_BIAS)
+    return jnp.where(amax > 0, exp, 0)
+
+
+def _mxfp8_pair(v, vt, q_dtype, emax_elem):
+    """Payload of ``v`` (R, C) quantized along 32-wide lane blocks, plus
+    the TRANSPOSED scale grid (C//32, R) computed from ``vt`` == v.T.
+
+    Mosaic has no 2D->3D vector reshape, so blocks are walked with
+    static lane slices; and the transposed grid comes from sublane
+    slices of ``vt`` directly (amax of the same 32 values — bit-equal)
+    rather than transposing an (R, C//32) vector."""
+    r, c = v.shape
+    q_max = dtype_max(q_dtype)
+    ys, es = [], []
+    for ib in range(c // 32):
+        p = v[:, ib * 32:(ib + 1) * 32]
+        amax = jnp.max(jnp.abs(p), axis=1, keepdims=True)       # (R, 1)
+        s_inv = jnp.exp2(-_e8m0_exp(amax, emax_elem).astype(jnp.float32))
+        ys.append(jnp.clip(p * s_inv, -q_max, q_max))
+        pt = vt[ib * 32:(ib + 1) * 32, :]
+        amax_t = jnp.max(jnp.abs(pt), axis=0, keepdims=True)    # (1, R)
+        es.append(_e8m0_exp(amax_t, emax_elem) + E8M0_BIAS)
+    y = jnp.concatenate(ys, axis=1).astype(q_dtype)
+    st = jnp.concatenate(es, axis=0)                            # (C//32, R)
+    return y, st
+
+
 def _mxfp8_kernel(x_ref, row_ref, col_ref, srow_ref, scol_ref, *,
                   q_dtype, emax_elem: int):
+    # Scale grids leave the kernel TRANSPOSED as int32: a (tm, tn//32)
+    # uint8 block has an 8-lane minor dim, which Mosaic rejects (lane dim
+    # must be a 128-multiple); the transposed int32 block (tn//32, tm) is
+    # (8, 256) — natively tileable. The caller transposes back (scale
+    # grids are 32x smaller than payloads, so the extra pass is ~3%).
     x = x_ref[...].astype(jnp.float32)
-    tm, tn = x.shape
-
-    def block_quant(v, axis_len):
-        # v: (R, C) with 32-blocks along the last axis
-        r, c = v.shape
-        vb = jnp.abs(v).reshape(r, c // 32, 32)
-        amax = vb.max(axis=2)
-        bits = jax.lax.bitcast_convert_type(
-            jnp.maximum(amax, jnp.float32(2.0 ** -126)), jnp.int32)
-        exp = jnp.clip((bits >> 23) - 127 - emax_elem, -E8M0_BIAS, E8M0_BIAS)
-        exp = jnp.where(amax > 0, exp, 0)
-        s_inv = jnp.exp2(-exp.astype(jnp.float32))
-        q_max = dtype_max(q_dtype)
-        y = jnp.clip(v.reshape(r, c // 32, 32) * s_inv[:, :, None],
-                     -q_max, q_max)
-        return y.reshape(r, c).astype(q_dtype), (exp + E8M0_BIAS).astype(jnp.uint8)
-
-    yr, sr = block_quant(x, tn)
-    row_ref[...] = yr
-    srow_ref[...] = sr
-    yc, sc = block_quant(x.T, tm)
-    col_ref[...] = yc
-    scol_ref[...] = sc
+    xt = x.T
+    row, srow_t = _mxfp8_pair(x, xt, q_dtype, emax_elem)
+    row_ref[...] = row
+    srow_ref[...] = srow_t
+    col, scol_t = _mxfp8_pair(xt, x, q_dtype, emax_elem)
+    col_ref[...] = col
+    scol_ref[...] = scol_t
 
 
 # ---------------------------------------------------------------------------
@@ -204,12 +226,20 @@ def _fp4_grid_round_sr(y, ubits):
     return jnp.sign(y) * mag
 
 
-def _rht_rotate(v, rht):
-    """Apply the 16x16 RHT along the last axis of a 2D tile (precision
-    matches quantize/hadamard.apply_rht for bit-exactness)."""
-    r, c = v.shape
-    return jnp.matmul(v.reshape(r, c // 16, 16), rht,
-                      precision="highest").reshape(r, c)
+def _rht_rotate(v, rht_bd):
+    """Apply the 16x16 RHT along the last axis of a 2D tile.
+
+    On TPU: one block-diagonal (C, C) MXU matmul (Mosaic has no 2D->3D
+    vector reshape). In interpret mode: the (., 16) @ (16, 16) form,
+    whose f32 summation order bit-matches quantize/hadamard.apply_rht —
+    the CPU bit-exactness tests rely on that (on real TPU the MXU's f32
+    rounding differs from CPU regardless of form)."""
+    if _interpret():
+        r, c = v.shape
+        rht16 = rht_bd[:16, :16]
+        return jnp.matmul(v.reshape(r, c // 16, 16), rht16,
+                          precision="highest").reshape(r, c)
+    return jnp.matmul(v, rht_bd, precision="highest")
 
 
 def _nvfp4_amax_kernel(rht_ref, x_ref, arow_ref, acol_ref, *, with_rht):
@@ -234,12 +264,15 @@ def nvfp4_amax_2x(x2d: jax.Array, rht_matrix,
     m, n = x2d.shape
     tm, tn = tile
     with_rht = rht_matrix is not None
-    rht_in = jnp.asarray(rht_matrix if with_rht else jnp.eye(16),
-                         jnp.float32)
+    # Block-diagonal kron(I, rht) sized to the rotated axis (tm): the
+    # in-kernel RHT is then one 2D MXU matmul (no 3D vector reshape).
+    rht_in = jnp.kron(
+        jnp.eye(tm // 16, dtype=jnp.float32),
+        jnp.asarray(rht_matrix if with_rht else jnp.eye(16), jnp.float32))
     arow, acol = pl.pallas_call(
         functools.partial(_nvfp4_amax_kernel, with_rht=with_rht),
         grid=(m // tm, n // tn),
-        in_specs=[pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+        in_specs=[pl.BlockSpec((tm, tm), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)],
@@ -256,20 +289,28 @@ def nvfp4_amax_2x(x2d: jax.Array, rht_matrix,
 
 def _nvfp4_quantize_block(v, ts, key_bits):
     """Two-level NVFP4 quantize of a 2D tile along (1,16) blocks given
-    the per-tensor scale ``ts``; mirrors qmath.nvfp4_quantize.encode."""
+    the per-tensor scale ``ts``; mirrors qmath.nvfp4_quantize.encode.
+    Blocks are walked with static lane slices (Mosaic has no 2D->3D
+    vector reshape). Returns (payload (R,C), scales (R, C//16) f32 —
+    values already on the E4M3 grid)."""
     r, c = v.shape
-    bamax = jnp.abs(v).reshape(r, c // 16, 16).max(axis=2)
-    s_dec = bamax / 6.0
-    s_e4m3 = jnp.clip(s_dec / ts, -448.0, 448.0).astype(float8_e4m3)
-    s_eff = s_e4m3.astype(jnp.float32) * ts
-    inv = jnp.where(s_eff > 0, 1.0 / jnp.maximum(s_eff, _F32_TINY), 0.0)
-    y = v.reshape(r, c // 16, 16) * inv[:, :, None]
-    y = y.reshape(r, c)
+    ys, ss = [], []
+    for ib in range(c // 16):
+        p = v[:, ib * 16:(ib + 1) * 16]
+        bamax = jnp.max(jnp.abs(p), axis=1, keepdims=True)      # (R, 1)
+        s_dec = bamax / 6.0
+        s_e4m3 = jnp.clip(s_dec / ts, -448.0, 448.0).astype(float8_e4m3)
+        s_eff = s_e4m3.astype(jnp.float32) * ts
+        inv = jnp.where(s_eff > 0, 1.0 / jnp.maximum(s_eff, _F32_TINY),
+                        0.0)
+        ys.append(p * inv)
+        ss.append(s_e4m3.astype(jnp.float32))
+    y = jnp.concatenate(ys, axis=1)
     if key_bits is None:
         data = _fp4_grid_round(y)
     else:
         data = _fp4_grid_round_sr(y, key_bits)
-    return data.astype(FP4_STORAGE_DTYPE), s_e4m3
+    return data.astype(FP4_STORAGE_DTYPE), jnp.concatenate(ss, axis=1)
 
 
 def _nvfp4_cast_kernel(ts_ref, seed_ref, rht_ref, x_ref, row_ref, srow_ref,
@@ -282,15 +323,20 @@ def _nvfp4_cast_kernel(ts_ref, seed_ref, rht_ref, x_ref, row_ref, srow_ref,
         cb = pltpu.prng_random_bits((x.shape[1], x.shape[0])).astype(jnp.uint32)
     else:
         rb = cb = None
+    # Scale grids leave the kernel TRANSPOSED as f32 — a (tm, tn//16)
+    # fp8 block has a 16-lane minor dim (Mosaic needs 128-multiples);
+    # the transposed f32 block (tn//16, tm) tiles natively. The caller
+    # transposes back and re-narrows to E4M3 (exact: values are already
+    # on the E4M3 grid).
     row, srow = _nvfp4_quantize_block(x, ts_ref[0], rb)
     row_ref[...] = row
-    srow_ref[...] = srow
+    srow_ref[...] = srow.T
     xt = x.T
     if with_rht:
         xt = _rht_rotate(xt, rht_ref[...])
     col, scol = _nvfp4_quantize_block(xt, ts_ref[1], cb)
     col_ref[...] = col
-    scol_ref[...] = scol
+    scol_ref[...] = scol.T
 
 
 def nvfp4_quantize_2x(
@@ -317,8 +363,9 @@ def nvfp4_quantize_2x(
     seed_arr = (jnp.zeros((1,), jnp.uint32) if seed is None
                 else jnp.asarray(seed, jnp.uint32).reshape(1))
     with_rht = rht_matrix is not None
-    rht_in = jnp.asarray(rht_matrix if with_rht else jnp.eye(16),
-                         jnp.float32)
+    rht_in = jnp.kron(
+        jnp.eye(tm // 16, dtype=jnp.float32),
+        jnp.asarray(rht_matrix if with_rht else jnp.eye(16), jnp.float32))
     row, srow, col, scol = pl.pallas_call(
         functools.partial(_nvfp4_cast_kernel, with_rht=with_rht,
                           stochastic=seed is not None),
@@ -326,7 +373,7 @@ def nvfp4_quantize_2x(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+            pl.BlockSpec((tm, tm), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -334,22 +381,23 @@ def nvfp4_quantize_2x(
         out_specs=[
             pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tn // 16), lambda i, j: (i, j),
+            pl.BlockSpec((tn // 16, tm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, tm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tm // 16), lambda i, j: (j, i),
+            pl.BlockSpec((tm // 16, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m, n), FP4_STORAGE_DTYPE),
-            jax.ShapeDtypeStruct((m, n // 16), float8_e4m3),
+            jax.ShapeDtypeStruct((n // 16, m), jnp.float32),
             jax.ShapeDtypeStruct((n, m), FP4_STORAGE_DTYPE),
-            jax.ShapeDtypeStruct((n, m // 16), float8_e4m3),
+            jax.ShapeDtypeStruct((m // 16, n), jnp.float32),
         ],
         interpret=_interpret(),
     )(ts, seed_arr, rht_in, x2d)
-    return row, srow, col, scol
+    return (row, srow.T.astype(float8_e4m3),
+            col, scol.T.astype(float8_e4m3))
 
 
 def mxfp8_quantize_2x(
@@ -378,17 +426,18 @@ def mxfp8_quantize_2x(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, tm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tn // 32), lambda i, j: (i, j),
+            pl.BlockSpec((tn // 32, tm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tm // 32), lambda i, j: (j, i),
+            pl.BlockSpec((tm // 32, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m, n), q_dtype),
             jax.ShapeDtypeStruct((n, m), q_dtype),
-            jax.ShapeDtypeStruct((m, n // 32), jnp.uint8),
-            jax.ShapeDtypeStruct((n, m // 32), jnp.uint8),
+            jax.ShapeDtypeStruct((n // 32, m), jnp.int32),
+            jax.ShapeDtypeStruct((m // 32, n), jnp.int32),
         ],
         interpret=_interpret(),
     )(x2d)
-    return row, col, srow, scol
+    return (row, col,
+            srow.T.astype(jnp.uint8), scol.T.astype(jnp.uint8))

@@ -39,10 +39,23 @@ def _kernel(post_ref, lhs_ref, lhs_s_ref, rhs_ref, rhs_s_ref, out_ref,
     b = rhs_ref[...].astype(jnp.float32)
     tm, tk = a.shape
     tn = b.shape[0]
-    sa = lhs_s_ref[...]                      # (TM, TK//bs) f32
-    sb = rhs_s_ref[...]                      # (TN, TK//bs) f32
-    a = (a.reshape(tm, tk // bs, bs) * sa[:, :, None]).reshape(tm, tk)
-    b = (b.reshape(tn, tk // bs, bs) * sb[:, :, None]).reshape(tn, tk)
+    # Scale refs arrive TRANSPOSED as (TK//bs, TM)/(TK//bs, TN) blocks —
+    # the natural (TM, TK//bs) block has a sub-128 lane dim Mosaic
+    # rejects (and in-kernel ref lane-slicing is equally unsupported);
+    # BlockSpec DMA slices the K tile along sublanes instead. One small
+    # vector transpose re-orients them, and the per-32-block dequant
+    # walks static lane slices (Mosaic has no 2D->3D vector reshape).
+    ks = tk // bs
+    sa = lhs_s_ref[...].T                        # (TM, TK//bs) f32
+    sb = rhs_s_ref[...].T                        # (TN, TK//bs) f32
+
+    def dequant(v, s):
+        parts = [v[:, ib * bs:(ib + 1) * bs] * s[:, ib:ib + 1]
+                 for ib in range(ks)]
+        return jnp.concatenate(parts, axis=1)
+
+    a = dequant(a, sa)
+    b = dequant(b, sb)
     acc_ref[...] += jax.lax.dot_general(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -74,6 +87,11 @@ def scaled_tn_matmul(
     grid = (m // tm, n // tn, k // tk)
     post = (post_scale if post_scale is not None
             else jnp.ones((1,), jnp.float32)).reshape(1).astype(jnp.float32)
+    # Transposed (K//bs, M)/(K//bs, N) f32 scale layout for sublane-side
+    # K-tile blocking (see _kernel); the transpose is 1/bs of payload
+    # traffic.
+    lhs_s_t = lhs_scales.astype(jnp.float32).T
+    rhs_s_t = rhs_scales.astype(jnp.float32).T
 
     return pl.pallas_call(
         functools.partial(_kernel, bs=bs, nk=grid[2]),
@@ -82,11 +100,11 @@ def scaled_tn_matmul(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk // bs), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((tk // bs, tm), lambda i, j, kk: (kk, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, tk), lambda i, j, kk: (j, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tk // bs), lambda i, j, kk: (j, kk),
+            pl.BlockSpec((tk // bs, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
@@ -100,4 +118,4 @@ def scaled_tn_matmul(
             bytes_accessed=m * k + n * k + 4 * m * n,
             transcendentals=0),
         interpret=_interpret(),
-    )(post, lhs, lhs_scales, rhs, rhs_scales)
+    )(post, lhs, lhs_s_t, rhs, rhs_s_t)
