@@ -382,11 +382,13 @@ def fused_attn(
             return all_gather_attn(
                 q, k, v, context_parallel_axis,
                 causal=attn_mask_type.is_causal,
-                scaling_factor=scaling_factor, window_size=window_size)
+                scaling_factor=scaling_factor, window_size=window_size,
+                sequence_descriptor=sequence_descriptor)
         return ulysses_attn(
             q, k, v, context_parallel_axis,
             causal=attn_mask_type.is_causal,
-            scaling_factor=scaling_factor, window_size=window_size)
+            scaling_factor=scaling_factor, window_size=window_size,
+            sequence_descriptor=sequence_descriptor)
 
     chosen = backend
     if chosen is AttnBackend.AUTO:

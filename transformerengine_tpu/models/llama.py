@@ -36,6 +36,11 @@ class LlamaConfig:
     # Remat ("gradient/activation checkpointing") per layer; the TPU analog
     # of the reference's te.distributed.checkpoint (distributed.py:657).
     remat: bool = False
+    # Remat policy name: "nothing_saveable" (recompute all), "dots"
+    # (save matmul outputs), or "offload_dots" (save matmul outputs to
+    # HOST memory — the TPU analog of the reference's CPU activation
+    # offload, pytorch/cpu_offload.py; XLA overlaps the d2h/h2d DMAs).
+    remat_policy: str = "nothing_saveable"
     scan_layers: bool = False
     context_parallel_axis: str = ""
 
@@ -50,6 +55,17 @@ LLAMA_1B = LlamaConfig(vocab_size=32000, hidden_size=2048,
 LLAMA_8B = LlamaConfig(vocab_size=128256, hidden_size=4096,
                        intermediate_size=14336, num_layers=32,
                        num_attention_heads=32, num_kv_heads=8)
+
+
+def _remat_policy(name: str):
+    from .. import checkpoint_policies as cp
+    if name == "nothing_saveable":
+        return cp.nothing_saveable
+    if name == "dots":
+        return cp.dots_with_no_batch_dims_saveable
+    if name == "offload_dots":
+        return cp.offload_dot_with_no_batch_dims()
+    raise ValueError(f"unknown remat_policy {name!r}")
 
 
 class _ScanBlock(TransformerLayer):
@@ -118,7 +134,7 @@ class LlamaModel(nn.Module):
             if cfg.remat:
                 block = nn.remat(
                     _ScanBlock, static_argnums=(4, 5),
-                    policy=jax.checkpoint_policies.nothing_saveable)
+                    policy=_remat_policy(cfg.remat_policy))
             scanned = nn.scan(
                 block,
                 variable_axes={"params": 0, "quantize_meta": 0, "cache": 0},
@@ -138,7 +154,7 @@ class LlamaModel(nn.Module):
                 layer_cls = nn.remat(
                     TransformerLayer,
                     static_argnums=(4, 5),
-                    policy=jax.checkpoint_policies.nothing_saveable)
+                    policy=_remat_policy(cfg.remat_policy))
             for i in range(cfg.num_layers):
                 x = layer_cls(**layer_kwargs, name=f"layer_{i}")(
                     x, None, sequence_descriptor, positions,

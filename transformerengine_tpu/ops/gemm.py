@@ -36,7 +36,11 @@ def _use_pallas_matmul() -> bool:
         return False
     if env == "1":
         return True
-    return jax.default_backend() == "tpu"
+    # Default OFF (v5e, 2026-08-17): the in-VMEM dequant kernel measured
+    # 247 ms vs 58 ms for XLA dequant+dot on the MXFP8 TransformerLayer
+    # rung — XLA's materialized-dequant + near-peak matmul wins until the
+    # Pallas kernel is tuned. Opt back in with TE_TPU_SCALED_MATMUL=1.
+    return False
 
 
 def _block_scale_grid(t: ScaledTensor1x, rows: int, cols: int):

@@ -27,8 +27,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(post_ref, lhs_ref, lhs_s_ref, rhs_ref, rhs_s_ref, out_ref,
-            acc_ref, *, bs: int, nk: int):
+def _kernel(post_ref, expand_ref, lhs_ref, lhs_s_ref, rhs_ref, rhs_s_ref,
+            out_ref, acc_ref, *, bs: int, nk: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -37,27 +37,24 @@ def _kernel(post_ref, lhs_ref, lhs_s_ref, rhs_ref, rhs_s_ref, out_ref,
 
     a = lhs_ref[...].astype(jnp.float32)
     b = rhs_ref[...].astype(jnp.float32)
-    tm, tk = a.shape
-    tn = b.shape[0]
     # Scale refs arrive TRANSPOSED as (TK//bs, TM)/(TK//bs, TN) blocks —
     # the natural (TM, TK//bs) block has a sub-128 lane dim Mosaic
     # rejects (and in-kernel ref lane-slicing is equally unsupported);
-    # BlockSpec DMA slices the K tile along sublanes instead. One small
-    # vector transpose re-orients them, and the per-32-block dequant
-    # walks static lane slices (Mosaic has no 2D->3D vector reshape).
-    ks = tk // bs
-    sa = lhs_s_ref[...].T                        # (TM, TK//bs) f32
-    sb = rhs_s_ref[...].T                        # (TN, TK//bs) f32
-
-    def dequant(v, s):
-        parts = [v[:, ib * bs:(ib + 1) * bs] * s[:, ib:ib + 1]
-                 for ib in range(ks)]
-        return jnp.concatenate(parts, axis=1)
-
-    a = dequant(a, sa)
-    b = dequant(b, sb)
+    # BlockSpec DMA slices the K tile along sublanes instead.
+    # Dequant = one small MXU matmul against a constant 0/1 expansion
+    # (TK//bs, TK) to stretch each scale across its 32 lanes, then one
+    # elementwise multiply. (The static-slice/concat formulation was
+    # measured 6x slower than even the XLA fallback — Mosaic lowers the
+    # 16-way concat as serial relayouts.)
+    expand = expand_ref[...]                     # (TK//bs, TK) f32
+    sexp_a = jax.lax.dot_general(
+        lhs_s_ref[...].T, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (TM, TK)
+    sexp_b = jax.lax.dot_general(
+        rhs_s_ref[...].T, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (TN, TK)
     acc_ref[...] += jax.lax.dot_general(
-        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (a * sexp_a).astype(jnp.bfloat16), (b * sexp_b).astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
@@ -92,12 +89,16 @@ def scaled_tn_matmul(
     # traffic.
     lhs_s_t = lhs_scales.astype(jnp.float32).T
     rhs_s_t = rhs_scales.astype(jnp.float32).T
+    # 0/1 block-expansion matrix: expand[ib, ib*bs + t] = 1.
+    expand = jnp.repeat(jnp.eye(tk // bs, dtype=jnp.float32), bs, axis=1)
 
     return pl.pallas_call(
         functools.partial(_kernel, bs=bs, nk=grid[2]),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tk // bs, tk), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // bs, tm), lambda i, j, kk: (kk, i),
@@ -118,4 +119,4 @@ def scaled_tn_matmul(
             bytes_accessed=m * k + n * k + 4 * m * n,
             transcendentals=0),
         interpret=_interpret(),
-    )(post, lhs, lhs_s_t, rhs, rhs_s_t)
+    )(post, expand, lhs, lhs_s_t, rhs, rhs_s_t)

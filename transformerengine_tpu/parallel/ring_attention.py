@@ -34,6 +34,34 @@ def _bhsd(x):
     return x.transpose(0, 2, 1, 3)
 
 
+def _local_segments(sequence_descriptor, axis_name, L, *,
+                    allow_seqlens=True):
+    """(qseg, kseg) (B, L) int32 for the LOCAL shard, or (None, None).
+    Segment ids are used as-is; seqlens are interpreted as GLOBAL
+    lengths under contiguous sharding (rank idx keeps positions
+    idx*L..idx*L+L-1)."""
+    if sequence_descriptor is None:
+        return None, None
+    sd = sequence_descriptor
+    if sd.q_segment_ids is not None:
+        qseg = sd.q_segment_ids.astype(jnp.int32)
+        kseg = (sd.kv_segment_ids if sd.kv_segment_ids is not None
+                else sd.q_segment_ids).astype(jnp.int32)
+        return qseg, kseg
+    if sd.q_seqlens is not None:
+        assert allow_seqlens, (
+            "this CP strategy needs segment ids (positions are "
+            "interleaved)")
+        idx = jax.lax.axis_index(axis_name)
+        pos = idx * L + jnp.arange(L)
+        qlens = sd.q_seqlens
+        klens = sd.kv_seqlens if sd.kv_seqlens is not None else qlens
+        qseg = (pos[None, :] < qlens[:, None]).astype(jnp.int32)
+        kseg = (pos[None, :] < klens[:, None]).astype(jnp.int32)
+        return qseg, kseg
+    return None, None
+
+
 # ---------------------------------------------------------------------------
 # All-gather strategy
 # ---------------------------------------------------------------------------
@@ -47,17 +75,28 @@ def all_gather_attn(
     causal: bool = True,
     scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
+    sequence_descriptor=None,
 ) -> jax.Array:
-    """(reference: AttnFuncWithCPAndKVAllGather, context_parallel.py:3018)"""
-    from ..attention import AttnMaskType
+    """(reference: AttnFuncWithCPAndKVAllGather, context_parallel.py:3018)
+
+    ``sequence_descriptor`` describes the LOCAL shard; the kv segment
+    ids ride the same all-gather as K/V so ragged/packed batches mask
+    correctly against the full gathered sequence."""
+    from ..attention import AttnMaskType, SequenceDescriptor
     from ..ops.flash_attention import flash_attention
 
     idx = jax.lax.axis_index(axis_name)
     L = q.shape[1]
     k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    qseg, kseg = _local_segments(sequence_descriptor, axis_name, L)
+    sd = None
+    if qseg is not None:
+        kseg_full = jax.lax.all_gather(kseg, axis_name, axis=1, tiled=True)
+        sd = SequenceDescriptor(q_segment_ids=qseg,
+                                kv_segment_ids=kseg_full)
     return flash_attention(
-        q, k_full, v_full, None,
+        q, k_full, v_full, sd,
         attn_mask_type=(AttnMaskType.CAUSAL if causal
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor,
@@ -205,24 +244,8 @@ def ring_attn_under_shard_map(
         assert window == (-1, -1), (
             "striped ring attention supports causal masks only (no "
             "sliding window): window positions do not survive striping")
-    qseg = kseg = None
-    if sequence_descriptor is not None:
-        sd = sequence_descriptor
-        if sd.q_segment_ids is not None:
-            qseg = sd.q_segment_ids.astype(jnp.int32)
-            kseg = (sd.kv_segment_ids if sd.kv_segment_ids is not None
-                    else sd.q_segment_ids).astype(jnp.int32)
-        elif sd.q_seqlens is not None:
-            assert not striped, (
-                "striped ring with seqlens needs segment ids (positions "
-                "are interleaved)")
-            idx = jax.lax.axis_index(axis_name)
-            L = q.shape[1]
-            pos = idx * L + jnp.arange(L)
-            qlens = sd.q_seqlens
-            klens = sd.kv_seqlens if sd.kv_seqlens is not None else qlens
-            qseg = (pos[None, :] < qlens[:, None]).astype(jnp.int32)
-            kseg = (pos[None, :] < klens[:, None]).astype(jnp.int32)
+    qseg, kseg = _local_segments(sequence_descriptor, axis_name,
+                                 q.shape[1], allow_seqlens=not striped)
     return ring_attn(q, k, v, qseg, kseg, axis_name, causal, float(scale),
                      window, striped)
 
@@ -240,13 +263,19 @@ def ulysses_attn(
     causal: bool = True,
     scaling_factor=None,
     window_size=None,
+    sequence_descriptor=None,
 ) -> jax.Array:
     """Ulysses-style context parallelism: all-to-all reshards
     heads<->sequence so each device runs full-sequence attention on a
     head slice (reference: AttnFuncWithCPAndQKVOA2A,
     context_parallel.py:3877, flash_attn_a2a_communicate :438).
-    Differentiable through the all-to-alls (AD reverses them)."""
-    from ..attention import AttnMaskType
+    Differentiable through the all-to-alls (AD reverses them).
+
+    ``sequence_descriptor`` describes the LOCAL shard; segment ids are
+    all-gathered to full length alongside the a2a (the gather order
+    matches the a2a's tiled sequence concatenation), so padded/packed
+    batches no longer silently attend to padding."""
+    from ..attention import AttnMaskType, SequenceDescriptor
     from ..ops.flash_attention import flash_attention
 
     p = jax.lax.axis_size(axis_name)
@@ -264,9 +293,17 @@ def ulysses_attn(
         return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
                                   tiled=True)
 
+    qseg, kseg = _local_segments(sequence_descriptor, axis_name, l)
+    sd = None
+    if qseg is not None:
+        sd = SequenceDescriptor(
+            q_segment_ids=jax.lax.all_gather(qseg, axis_name, axis=1,
+                                             tiled=True),
+            kv_segment_ids=jax.lax.all_gather(kseg, axis_name, axis=1,
+                                              tiled=True))
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
     out = flash_attention(
-        qg, kg, vg, None,
+        qg, kg, vg, sd,
         attn_mask_type=(AttnMaskType.CAUSAL if causal
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor, window_size=window_size)
@@ -283,6 +320,7 @@ def hierarchical_attn(
     causal: bool = True,
     scaling_factor=None,
     window_size=None,
+    sequence_descriptor=None,
 ) -> jax.Array:
     """Hierarchical context parallelism: Ulysses A2A inside, ring P2P
     outside (reference: cp_comm_type="a2a+p2p",
@@ -304,7 +342,14 @@ def hierarchical_attn(
         return jax.lax.all_to_all(x, inner_axis, split_axis=1, concat_axis=2,
                                   tiled=True)
 
+    # Segment ids gathered to inner-full length ride the OUTER ring with
+    # their KV chunks inside ring_attn.
+    qseg, kseg = _local_segments(sequence_descriptor, inner_axis,
+                                 q.shape[1], allow_seqlens=False)
+    if qseg is not None:
+        qseg = jax.lax.all_gather(qseg, inner_axis, axis=1, tiled=True)
+        kseg = jax.lax.all_gather(kseg, inner_axis, axis=1, tiled=True)
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
-    out = ring_attn(qg, kg, vg, None, None, outer_axis, causal,
+    out = ring_attn(qg, kg, vg, qseg, kseg, outer_axis, causal,
                     float(scale), window)
     return head_to_seq(out)
