@@ -109,8 +109,8 @@ def bench_decode_and_ttft():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rungs", default="decode,linear,ln_mlp,flash,mxfp8",
-                    help="comma list: decode,linear,ln_mlp,flash,mxfp8")
+    ap.add_argument("--rungs", default="decode,linear,ln_mlp,flash,mxfp8,moe",
+                    help="comma list: decode,linear,ln_mlp,flash,mxfp8,moe")
     args = ap.parse_args()
     rungs = set(args.rungs.split(","))
 
@@ -123,8 +123,9 @@ def main():
         "ln_mlp": ladder.bench_ln_mlp,
         "flash": ladder.bench_flash_prefill,
         "mxfp8": ladder.bench_mxfp8_layer,
+        "moe": ladder.bench_moe_mlp,
     }
-    for name in ("decode", "linear", "ln_mlp", "flash", "mxfp8"):
+    for name in ("decode", "linear", "ln_mlp", "flash", "mxfp8", "moe"):
         if name not in rungs:
             continue
         try:

@@ -25,7 +25,7 @@ from .timing import (chain_carry, marginal_seconds_interleaved,
                      marginal_seconds_per_step)
 
 __all__ = ["bench_linear", "bench_ln_mlp", "bench_flash_prefill",
-           "bench_mxfp8_layer"]
+           "bench_mxfp8_layer", "bench_moe_mlp"]
 
 
 def _normal(seed, shape, dtype=jnp.bfloat16, scale=1.0):
@@ -128,6 +128,49 @@ def bench_flash_prefill(B=4, S=2048, Hq=32, Hkv=8, D=128):
             "ms": round(t["flash"] * 1e3, 3),
             "gemm_tflops": round(gemm_tflops, 1),
             "pct_of_gemm": round(100.0 * tflops / gemm_tflops, 1)}
+
+
+def bench_moe_mlp(B=2, S=2048, H=4096, F=7168, E=8, topk=2):
+    """Mixtral-geometry routed expert MLP (router -> dispatch -> grouped
+    gated MLP -> combine), fwd+bwd, MXFP8 block-scaled grouped GEMM vs
+    BF16 (the reference's Mixtral MXFP8 grouped-MLP headline,
+    BASELINE.md 4.56x row; jax/moe.py + cublaslt_grouped_gemm.cu).
+    F is half of 8x7B's 14336: full-size expert weights + grads for BOTH
+    interleaved variants + the MXFP8 dequant temps exceed one chip's
+    16 GB HBM."""
+    from transformerengine_tpu.moe import moe
+
+    router = _normal(31, (H, E), jnp.float32, scale=0.02)
+    w_up = _normal(32, (E, H, 2 * F), scale=0.02)
+    w_down = _normal(33, (E, F, H), scale=0.02)
+    T = B * S
+    # Dispatched rows = T*topk; gated up (H -> 2F) + down (F -> H),
+    # fwd + dgrad + wgrad per GEMM => 3x forward FLOPs.
+    flops = 3 * (2.0 * T * topk * H * 2 * F + 2.0 * T * topk * F * H)
+
+    def make_step(qsets):
+        def step(c, params):
+            w_up, w_down = params
+
+            def loss(x, wu, wd):
+                y, aux = moe(x, router, wu, wd, topk=topk,
+                             activation_type="swiglu",
+                             quantizer_sets=qsets)
+                return jnp.sum(y.astype(jnp.float32)) + aux
+            grads = jax.grad(loss, argnums=(0, 1, 2))(c, w_up, w_down)
+            return chain_carry(c, grads)
+        return step
+
+    mk = te.QuantizerFactory.create_set
+    t = marginal_seconds_interleaved(
+        {"mxfp8": (make_step((mk(te.MXFP8BlockScaling()),
+                              mk(te.MXFP8BlockScaling()))), (w_up, w_down)),
+         "bf16": (make_step((mk(None), mk(None))), (w_up, w_down))},
+        lambda s: _normal(s, (T, H)), n_short=2, n_long=6)
+    return {"mxfp8_step_ms": round(t["mxfp8"] * 1e3, 3),
+            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
+            "mxfp8_tflops": round(flops / t["mxfp8"] / 1e12, 1),
+            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
 
 
 def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):

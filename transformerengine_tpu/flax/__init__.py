@@ -2,6 +2,7 @@
 from .module import (
     DenseGeneral, LayerNorm, LayerNormDenseGeneral, LayerNormMLP,
     TransformerEngineBase, update_quantize_meta, QUANTIZE_META)
+from .moe import MoELayerNormMLP
 from .transformer import (
-    DotProductAttention, MultiHeadAttention, RotaryPositionEmbedding,
-    TransformerLayer)
+    DotProductAttention, MultiHeadAttention, RelativePositionBiases,
+    RotaryPositionEmbedding, TransformerLayer)

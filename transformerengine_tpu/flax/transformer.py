@@ -403,6 +403,15 @@ class TransformerLayer(TransformerEngineBase):
     output_layernorm: bool = False
     drop_path: float = 0.0
     context_parallel_axis: str = ""
+    # MoE: >0 replaces the dense MLP with a top-k routed expert MLP
+    # (MoELayerNormMLP); aux loss is sown into "intermediates".
+    num_moe_experts: int = 0
+    moe_topk: int = 2
+    moe_score_function: str = "softmax"
+    moe_aux_loss_coeff: float = 1e-2
+    moe_ep_axis: str = ""            # set when running under shard_map EP
+    moe_dropless: bool = True
+    moe_capacity_factor: float = 2.0
     enable_relative_embedding: bool = False
     relative_embedding_buckets: int = 32
     relative_embedding_max_distance: int = 128
@@ -500,21 +509,39 @@ class TransformerLayer(TransformerEngineBase):
                     cross, deterministic=deterministic)
             x = x + cross
 
-        mlp_out = LayerNormMLP(
-            intermediate_dim=self.mlp_hidden_size,
-            epsilon=self.layernorm_epsilon,
-            norm_type=self.norm_type,
-            zero_centered_gamma=self.zero_centered_gamma,
-            use_bias=self.use_bias,
-            activations=self.mlp_activations,
-            input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES),
-            intermediate_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.JOINED_AXES,
-                               sh.HIDDEN_TP_AXES),
-            enable_low_rank_adaptation=self.enable_low_rank_adaptation,
-            low_rank_adaptation_dim=self.low_rank_adaptation_dim,
-            low_rank_adaptation_alpha=self.low_rank_adaptation_alpha,
-            dtype=self.dtype,
-            name="mlp")(x, deterministic=deterministic)
+        if self.num_moe_experts > 0:
+            from .moe import MoELayerNormMLP
+            mlp_out = MoELayerNormMLP(
+                num_experts=self.num_moe_experts,
+                topk=self.moe_topk,
+                intermediate_dim=self.mlp_hidden_size,
+                epsilon=self.layernorm_epsilon,
+                norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                activations=self.mlp_activations,
+                score_function=self.moe_score_function,
+                aux_loss_coeff=self.moe_aux_loss_coeff,
+                ep_axis=self.moe_ep_axis,
+                dropless=self.moe_dropless,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype,
+                name="mlp")(x, deterministic=deterministic)
+        else:
+            mlp_out = LayerNormMLP(
+                intermediate_dim=self.mlp_hidden_size,
+                epsilon=self.layernorm_epsilon,
+                norm_type=self.norm_type,
+                zero_centered_gamma=self.zero_centered_gamma,
+                use_bias=self.use_bias,
+                activations=self.mlp_activations,
+                input_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES),
+                intermediate_axes=(sh.BATCH_AXES, sh.SEQLEN_AXES,
+                                   sh.JOINED_AXES, sh.HIDDEN_TP_AXES),
+                enable_low_rank_adaptation=self.enable_low_rank_adaptation,
+                low_rank_adaptation_dim=self.low_rank_adaptation_dim,
+                low_rank_adaptation_alpha=self.low_rank_adaptation_alpha,
+                dtype=self.dtype,
+                name="mlp")(x, deterministic=deterministic)
         if self.hidden_dropout > 0.0 and not deterministic:
             mlp_out = nn.Dropout(rate=self.hidden_dropout)(
                 mlp_out, deterministic=deterministic)
