@@ -45,6 +45,38 @@ class TestMXFP8Fused:
                                ref_c.astype(jnp.float32))
         assert jnp.array_equal(scol, ref_sc)
 
+    def test_1x_matches_2x_halves(self):
+        from transformerengine_tpu.ops.quantize_kernels import (
+            mxfp8_quantize_1x)
+        x = jax.random.normal(jax.random.PRNGKey(2), (128, 256),
+                              jnp.float32) * 5
+        row2, col2, srow2, scol2 = mxfp8_quantize_2x(x)
+        row1, srow1 = mxfp8_quantize_1x(x, colwise=False)
+        col1, scol1 = mxfp8_quantize_1x(x, colwise=True)
+        assert jnp.array_equal(row1.astype(jnp.float32),
+                               row2.astype(jnp.float32))
+        assert jnp.array_equal(srow1, srow2)
+        assert jnp.array_equal(col1.astype(jnp.float32),
+                               col2.astype(jnp.float32))
+        assert jnp.array_equal(scol1, scol2)
+
+    def test_quantizer_single_layout_uses_fused_and_matches(self):
+        """quantize(layout=ROWWISE/COLWISE) must equal the corresponding
+        half of the 2x path (the fused 1x kernel's contract)."""
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        qset = QuantizerFactory.create_set(te.MXFP8BlockScaling())
+        x = jax.random.normal(jax.random.PRNGKey(3), (128, 256),
+                              jnp.float32) * 3
+        both = qset.x.quantize(x)
+        rw = qset.x.quantize(x, layout=QuantizeLayout.ROWWISE)
+        cw = qset.x.quantize(x, layout=QuantizeLayout.COLWISE)
+        assert jnp.array_equal(rw.data.astype(jnp.float32),
+                               both.rowwise.data.astype(jnp.float32))
+        assert jnp.array_equal(rw.scale_inv, both.rowwise.scale_inv)
+        assert jnp.array_equal(cw.data.astype(jnp.float32),
+                               both.colwise.data.astype(jnp.float32))
+        assert jnp.array_equal(cw.scale_inv, both.colwise.scale_inv)
+
 
 class TestScaledMatmul:
     def _check_mode(self, recipe, atol=0.0):

@@ -40,11 +40,14 @@ def _amax_of(t):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set):
-    out, _ = _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set)
+    # Primal (no grad): single-orientation quantizes only (see dense.py).
+    out, _ = _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
+                           inference=True)
     return out
 
 
-def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
+def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
+                  inference=False):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
     if not isinstance(kernel, PrequantizedKernel):
@@ -82,6 +85,12 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set):
         qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.ROWWISE)
         out2d = q_dot(qx, qk, 1, 0)
         res_q = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"))
+    elif inference:
+        k2d = kernel.reshape(k, n)
+        qx = quantizer_set.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.COLWISE)
+        out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
+        res_q = (None, None, None, None)
     else:
         k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d)

@@ -54,12 +54,14 @@ def _update(qset, amax_x, amax_k, amax_g):
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _layernorm_mlp(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2,
                    qsets):
+    # Primal (no grad): single-orientation quantizes only (see dense.py).
     out, _ = _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2,
-                         qsets)
+                         qsets, inference=True)
     return out
 
 
-def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
+def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
+                inference=False):
     (norm_type, zcg, eps, acts, axes) = cfg
     input_axes, dot1_kernel_axes, dot2_kernel_axes, intermediate_axes = axes
     qset1, qset2 = qsets
@@ -102,6 +104,12 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
         qk1 = qset1.kernel.quantize(k1, layout=QuantizeLayout.ROWWISE)
         z2d = q_dot(qx, qk1, 1, 0)
         res1 = (qx, qk1, _amax_of(qx), _amax_of(qk1), Static("1x"))
+    elif inference:
+        k1 = kernel1.reshape(hidden, n_act * ffn)
+        qx = qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qk1 = qset1.kernel.quantize(k1, layout=QuantizeLayout.COLWISE)
+        z2d = tn_dot(get_rowwise(qx), get_colwise(qk1))
+        res1 = (None, None, None, None)
     else:
         k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d)
@@ -135,6 +143,12 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets):
         qk2 = qset2.kernel.quantize(k2, layout=QuantizeLayout.ROWWISE)
         out2d = q_dot(qa, qk2, 1, 0)
         res2 = (qa, qk2, _amax_of(qa), _amax_of(qk2), Static("1x"))
+    elif inference:
+        k2 = kernel2.reshape(ffn, hidden)
+        qa = qset2.x.quantize(a2d, layout=QuantizeLayout.ROWWISE)
+        qk2 = qset2.kernel.quantize(k2, layout=QuantizeLayout.COLWISE)
+        out2d = tn_dot(get_rowwise(qa), get_colwise(qk2))
+        res2 = (None, None, None, None)
     else:
         k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d)

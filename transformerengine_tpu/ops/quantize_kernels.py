@@ -400,6 +400,74 @@ def nvfp4_quantize_2x(
             col, scol.T.astype(float8_e4m3))
 
 
+def _mxfp8_1x_kernel(x_ref, out_ref, s_ref, *, q_dtype, emax_elem: int,
+                     colwise: bool):
+    x = x_ref[...].astype(jnp.float32)
+    xt = x.T
+    if colwise:
+        col, scol_t = _mxfp8_pair(xt, x, q_dtype, emax_elem)
+        out_ref[...] = col
+        s_ref[...] = scol_t
+    else:
+        row, srow_t = _mxfp8_pair(x, xt, q_dtype, emax_elem)
+        out_ref[...] = row
+        s_ref[...] = srow_t
+
+
+def mxfp8_quantize_1x(
+    x2d: jax.Array,             # (M, N), M and N multiples of 32
+    q_dtype=float8_e4m3,
+    *,
+    colwise: bool = False,
+    tile: Tuple[int, int] = (256, 256),
+):
+    """Fused single-orientation MXFP8 quantize. The colwise variant
+    transposes IN VMEM (the input is the untransposed (M, N) array), so
+    no bf16 transpose is ever materialized in HBM — the win over the
+    generic qmath path, which quantizes an HBM-materialized x.T.
+    Bit-matches the corresponding half of :func:`mxfp8_quantize_2x`."""
+    m, n = x2d.shape
+    assert m % 32 == 0 and n % 32 == 0, x2d.shape
+    tm = min(tile[0], m)
+    tn = min(tile[1], n)
+    assert m % tm == 0 and n % tn == 0, (x2d.shape, (tm, tn))
+    grid = (m // tm, n // tn)
+    emax = 8  # e4m3
+    if colwise:
+        out_specs = [
+            pl.BlockSpec((tn, tm), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm // 32, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, m), q_dtype),
+            jax.ShapeDtypeStruct((m // 32, n), jnp.int32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn // 32, tm), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((m, n), q_dtype),
+            jax.ShapeDtypeStruct((n // 32, m), jnp.int32),
+        ]
+    data, s_t = pl.pallas_call(
+        functools.partial(_mxfp8_1x_kernel, q_dtype=q_dtype, emax_elem=emax,
+                          colwise=colwise),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x2d)
+    return data, s_t.T.astype(jnp.uint8)
+
+
 def mxfp8_quantize_2x(
     x2d: jax.Array,             # (M, N), M and N multiples of 32
     q_dtype=float8_e4m3,

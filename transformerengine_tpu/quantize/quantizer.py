@@ -71,6 +71,13 @@ class Quantizer:
         to `_quantize_2d` (tests enforce this)."""
         return None
 
+    def _fused_1x(self, x2d, key, is_colwise):
+        """Optional single-orientation kernel taking the UNTRANSPOSED 2D
+        view (colwise variants transpose in VMEM). Returns
+        (data_in_stored_layout, scale_inv, ts_inv, amax) or None. Must be
+        bit-identical to `_quantize_2d` (tests enforce this)."""
+        return None
+
     # ---- public API -------------------------------------------------------
     def quantize(
         self,
@@ -101,8 +108,24 @@ class Quantizer:
 
         kr, kc = (jax.random.split(key) if key is not None else (None, None))
         if q_layout is QuantizeLayout.ROWWISE:
+            f = self._fused_1x(x2d, kr, False)
+            if f is not None:
+                data, s_inv, ts_inv, amax = f
+                return make_scaled_tensor(
+                    data.reshape(x.shape), s_inv,
+                    scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+                    amax=amax, tensor_scale_inv=ts_inv, layout="N",
+                    flatten_axis=fa)
             return build(x2d, x.shape, "N", fa, kr)
         if q_layout is QuantizeLayout.COLWISE:
+            f = self._fused_1x(x2d, kc, True)
+            if f is not None:
+                data, s_inv, ts_inv, amax = f
+                return make_scaled_tensor(
+                    data.reshape(t_shape), s_inv,
+                    scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+                    amax=amax, tensor_scale_inv=ts_inv, layout="T",
+                    flatten_axis=x.ndim - fa)
             return build(x2d_t, t_shape, "T", x.ndim - fa, kc)
         fused = self._fused_2x(x2d, key)
         if fused is not None:
@@ -243,6 +266,21 @@ class BlockScaleQuantizer(Quantizer):
         row, col, srow, scol = mxfp8_quantize_2x(
             x2d, self.q_dtype, tile=(tm, tn))
         return row, srow, col, scol, None, None
+
+    def _fused_1x(self, x2d, key, is_colwise):
+        if self.scaling_mode is not ScalingMode.MXFP8_1D_SCALING:
+            return None
+        from ..ops.quantize_kernels import (
+            _fused_enabled, mxfp8_quantize_1x, pick_tile)
+        m, n = x2d.shape
+        if key is not None or not _fused_enabled() or m % 32 or n % 32:
+            return None
+        tm, tn = pick_tile(m, align=32), pick_tile(n, align=128)
+        if tm is None or tn is None or tm % 32 or tn % 32:
+            return None
+        data, scale = mxfp8_quantize_1x(
+            x2d, self.q_dtype, colwise=is_colwise, tile=(tm, tn))
+        return data, scale, None, None
 
 
 @jax.tree_util.register_dataclass
