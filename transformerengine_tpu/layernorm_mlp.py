@@ -118,12 +118,30 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         res1 = (get_colwise(qx), get_rowwise(qk1), _amax_of(qx), _amax_of(qk1))
     if bias1 is not None:
         z2d = z2d + bias1.reshape(1, n_act * ffn).astype(jnp.float32)
-    z = z2d.reshape(*x.shape[:-1], n_act, ffn).astype(x.dtype)
-    z = with_sharding_constraint_by_logical_axes(z, intermediate_axes)
+    from .ops.activation import _ACT
+    plain_acts = (not isinstance(acts, str)
+                  and all(a in _ACT for a in acts))
+    if inference and plain_acts:
+        # 2D activation fast path: the (..., n_act, ffn) reshape splits
+        # an axis XLA then re-tiles — two ~235 MB relayout copies per
+        # layer on the MXFP8 rung. Slicing the flat GEMM output at the
+        # ffn boundary stays in the native layout. (z is a bwd residual
+        # only, so the training branch keeps the 4D form; special
+        # activations like clamped_swiglu also take the 4D path.)
+        z2d = z2d.astype(x.dtype)
+        if n_act == 2:
+            a2d = (_ACT[acts[0]](z2d[:, :ffn]) * _ACT[acts[1]](z2d[:, ffn:])
+                   ).astype(x.dtype)
+        else:
+            a2d = _ACT[acts[0]](z2d).astype(x.dtype)
+        z = None
+    else:
+        z = z2d.reshape(*x.shape[:-1], n_act, ffn).astype(x.dtype)
+        z = with_sharding_constraint_by_logical_axes(z, intermediate_axes)
 
-    # --- activation ---
-    a = act_lu(z if n_act == 2 else z[..., 0, :], acts)
-    a2d = a.reshape(m, ffn)
+        # --- activation ---
+        a = act_lu(z if n_act == 2 else z[..., 0, :], acts)
+        a2d = a.reshape(m, ffn)
 
     # --- GEMM2 ---
     if isinstance(kernel2, PrequantizedKernel):

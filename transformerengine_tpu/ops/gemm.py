@@ -88,13 +88,35 @@ def _pallas_block_dot(lhs: ScaledTensor1x, rhs: ScaledTensor1x):
 
 def _dq_block_to_bf16(t: ScaledTensor1x) -> jax.Array:
     rows, cols = t._2d_shape()
-    x = t.data.reshape(rows, cols).astype(jnp.float32)
     br, bc = t.scaling_mode.block_shape
     s = t.scaling_mode.decode_scale_inv(t.scale_inv)
     gr, gc = -(-rows // br), -(-cols // bc)
     s = s[:gr, :gc]
-    s = jnp.repeat(jnp.repeat(s, br, axis=0), bc, axis=1)[:rows, :cols]
-    return (x * s).astype(jnp.bfloat16).reshape(t.data.shape)
+    if br > 1:
+        s = jnp.repeat(s, br, axis=0)[:rows]
+    x = t.data.reshape(rows, cols)
+    if gc * bc != cols:
+        # Ragged trailing block: fall back to the materialized expansion.
+        sf = jnp.repeat(s, bc, axis=1)[:, :cols]
+        return (x.astype(jnp.float32) * sf).astype(jnp.bfloat16).reshape(
+            t.data.shape)
+    # (rows, gc, bc) * (rows, gc, 1) keeps the scale expansion a
+    # BROADCAST that fuses into the convert chain. A jnp.repeat along
+    # the scaled axis materializes a full-size f32 operand instead —
+    # profiled at ~1.4 ms per 470 MB relayout copy on the MXFP8
+    # TransformerLayer rung.
+    #
+    # MXFP8 (power-of-two scales) and NVFP4 (e4m3 scales): the bf16
+    # multiply is EXACT — payload significands are <=4 bits and scale
+    # significands <=4 bits, so every product fits bf16's 8-bit
+    # significand — and the all-bf16 chain halves the broadcast traffic
+    # the compiler materializes. FP8-block (arbitrary f32 scales) keeps
+    # the f32 multiply.
+    exact_bf16 = t.scaling_mode.name.startswith(("MXFP8", "NVFP4"))
+    mul_t = jnp.bfloat16 if exact_bf16 else jnp.float32
+    x3 = x.astype(mul_t).reshape(rows, gc, bc)
+    out = (x3 * s.astype(mul_t)[:, :, None]).astype(jnp.bfloat16)
+    return out.reshape(t.data.shape)
 
 
 def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:

@@ -24,7 +24,12 @@ def _dq(t):
     if t.scaling_mode.is_tensor_scaling:
         return (t.data.astype(jnp.bfloat16),
                 t.scale_inv.astype(jnp.float32).reshape(()))
-    return t.dequantize().astype(jnp.bfloat16), jnp.float32(1.0)
+    # Barrier: without it XLA fuses the dequant INTO the ragged dot as a
+    # "convolution_select_fusion" that re-dequantizes the operand for
+    # every output tile — profiled at 22 TF/s vs ~70 for the same dot
+    # reading a materialized bf16 operand (MoE MXFP8 rung).
+    out = t.dequantize().astype(jnp.bfloat16)
+    return jax.lax.optimization_barrier(out), jnp.float32(1.0)
 
 
 def grouped_gemm(
@@ -50,16 +55,19 @@ def grouped_gemm_tn(
     block scales run along the stored last axis == the contraction axis
     for BOTH operands (the repo's TN invariant; reference MXFP8 grouped
     GEMM quantizes the kernel along K the same way,
-    common/gemm/cublaslt_grouped_gemm.cu)."""
+    common/gemm/cublaslt_grouped_gemm.cu).
+
+    The dequantized kernel is transposed back to (E, K, M) and fed to
+    the STANDARD ragged_dot form: the (((1,),(2,))) ragged_dot_general
+    spelling looks equivalent but XLA has no custom-call lowering for
+    it and falls back to a dense all-experts convolution + mask — 8x
+    the FLOPs at E=8 (profiled 43 ms vs ~6 for the same GEMM through
+    the megablox custom call). The transpose is one bf16 relayout copy,
+    ~2 orders of magnitude cheaper."""
     xb, sx = _dq(x)
     kb, sk = _dq(kernels_t)
-    dims = jax.lax.RaggedDotDimensionNumbers(
-        dot_dimension_numbers=(((1,), (2,)), ((), ())),
-        lhs_ragged_dimensions=[0],
-        rhs_group_dimensions=[0],
-    )
-    out = jax.lax.ragged_dot_general(
-        xb, kb, group_sizes.astype(jnp.int32), dims,
+    out = jax.lax.ragged_dot(
+        xb, jnp.swapaxes(kb, 1, 2), group_sizes.astype(jnp.int32),
         preferred_element_type=jnp.float32)
     return out * (sx * sk)
 
