@@ -132,32 +132,36 @@ def _e8m0_exp(amax, emax_elem):
     return jnp.where(amax > 0, exp, 0)
 
 
-def _mxfp8_pair(v, vt, q_dtype, emax_elem):
+def _mxfp8_pair(v, vt, expand, q_dtype, emax_elem):
     """Payload of ``v`` (R, C) quantized along 32-wide lane blocks, plus
-    the TRANSPOSED scale grid (C//32, R) computed from ``vt`` == v.T.
+    the TRANSPOSED scale grid (C//32, R).
 
-    Mosaic has no 2D->3D vector reshape, so blocks are walked with
-    static lane slices; and the transposed grid comes from sublane
-    slices of ``vt`` directly (amax of the same 32 values — bit-equal)
-    rather than transposing an (R, C//32) vector."""
-    r, c = v.shape
+    Mosaic has no 2D->3D vector reshape, so the block amaxes come from
+    static SUBLANE slices of ``vt`` == v.T (amax of the same 32 values —
+    bit-equal either way). The payload is then one multiply against the
+    scale grid stretched across its 32 lanes by a tiny 0/1 MXU matmul
+    (``expand``, (C//32, C)) — exact, since each output is a single
+    s*1 product. The previous formulation concatenated 16 lane-sliced
+    payload pieces per tile, which Mosaic lowered as serial relayouts
+    (measured 146 -> 280 GB/s on an (8192, 14336) quantize)."""
     q_max = dtype_max(q_dtype)
-    ys, es = [], []
+    c = v.shape[1]
+    es = []
     for ib in range(c // 32):
-        p = v[:, ib * 32:(ib + 1) * 32]
-        amax = jnp.max(jnp.abs(p), axis=1, keepdims=True)       # (R, 1)
-        s_inv = jnp.exp2(-_e8m0_exp(amax, emax_elem).astype(jnp.float32))
-        ys.append(jnp.clip(p * s_inv, -q_max, q_max))
         pt = vt[ib * 32:(ib + 1) * 32, :]
         amax_t = jnp.max(jnp.abs(pt), axis=0, keepdims=True)    # (1, R)
-        es.append(_e8m0_exp(amax_t, emax_elem) + E8M0_BIAS)
-    y = jnp.concatenate(ys, axis=1).astype(q_dtype)
-    st = jnp.concatenate(es, axis=0)                            # (C//32, R)
-    return y, st
+        es.append(_e8m0_exp(amax_t, emax_elem))
+    e_t = jnp.concatenate(es, axis=0)                           # (C//32, R)
+    s_inv_t = jnp.exp2(-e_t.astype(jnp.float32))
+    sexp = jax.lax.dot_general(
+        s_inv_t.T, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (R, C)
+    y = jnp.clip(v * sexp, -q_max, q_max).astype(q_dtype)
+    return y, e_t + E8M0_BIAS
 
 
-def _mxfp8_kernel(x_ref, row_ref, col_ref, srow_ref, scol_ref, *,
-                  q_dtype, emax_elem: int):
+def _mxfp8_kernel(expand_n_ref, expand_m_ref, x_ref, row_ref, col_ref,
+                  srow_ref, scol_ref, *, q_dtype, emax_elem: int):
     # Scale grids leave the kernel TRANSPOSED as int32: a (tm, tn//32)
     # uint8 block has an 8-lane minor dim, which Mosaic rejects (lane dim
     # must be a 128-multiple); the transposed int32 block (tn//32, tm) is
@@ -165,12 +169,17 @@ def _mxfp8_kernel(x_ref, row_ref, col_ref, srow_ref, scol_ref, *,
     # grids are 32x smaller than payloads, so the extra pass is ~3%).
     x = x_ref[...].astype(jnp.float32)
     xt = x.T
-    row, srow_t = _mxfp8_pair(x, xt, q_dtype, emax_elem)
+    row, srow_t = _mxfp8_pair(x, xt, expand_n_ref[...], q_dtype, emax_elem)
     row_ref[...] = row
     srow_ref[...] = srow_t
-    col, scol_t = _mxfp8_pair(xt, x, q_dtype, emax_elem)
+    col, scol_t = _mxfp8_pair(xt, x, expand_m_ref[...], q_dtype, emax_elem)
     col_ref[...] = col
     scol_ref[...] = scol_t
+
+
+def _expand_mat(blocks: int, bs: int = 32):
+    """0/1 lane-stretch matrix: expand[ib, ib*bs + t] = 1."""
+    return jnp.repeat(jnp.eye(blocks, dtype=jnp.float32), bs, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -400,16 +409,18 @@ def nvfp4_quantize_2x(
             col, scol.T.astype(float8_e4m3))
 
 
-def _mxfp8_1x_kernel(x_ref, out_ref, s_ref, *, q_dtype, emax_elem: int,
-                     colwise: bool):
+def _mxfp8_1x_kernel(expand_ref, x_ref, out_ref, s_ref, *, q_dtype,
+                     emax_elem: int, colwise: bool):
     x = x_ref[...].astype(jnp.float32)
     xt = x.T
     if colwise:
-        col, scol_t = _mxfp8_pair(xt, x, q_dtype, emax_elem)
+        col, scol_t = _mxfp8_pair(xt, x, expand_ref[...], q_dtype,
+                                  emax_elem)
         out_ref[...] = col
         s_ref[...] = scol_t
     else:
-        row, srow_t = _mxfp8_pair(x, xt, q_dtype, emax_elem)
+        row, srow_t = _mxfp8_pair(x, xt, expand_ref[...], q_dtype,
+                                  emax_elem)
         out_ref[...] = row
         s_ref[...] = srow_t
 
@@ -455,16 +466,23 @@ def mxfp8_quantize_1x(
             jax.ShapeDtypeStruct((m, n), q_dtype),
             jax.ShapeDtypeStruct((n // 32, m), jnp.int32),
         ]
+    # The colwise payload's scaled axis is M: its expand matrix
+    # stretches tm//32 blocks.
+    expand = _expand_mat((tm if colwise else tn) // 32)
     data, s_t = pl.pallas_call(
         functools.partial(_mxfp8_1x_kernel, q_dtype=q_dtype, emax_elem=emax,
                           colwise=colwise),
         grid=grid,
-        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(expand.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(x2d)
+    )(expand, x2d)
     return data, s_t.T.astype(jnp.uint8)
 
 
@@ -484,11 +502,19 @@ def mxfp8_quantize_2x(
     assert m % tm == 0 and n % tn == 0, (x2d.shape, (tm, tn))
     grid = (m // tm, n // tn)
     emax = 8  # e4m3
+    expand_n = _expand_mat(tn // 32)
+    expand_m = _expand_mat(tm // 32)
     row, col, srow, scol = pl.pallas_call(
         functools.partial(_mxfp8_kernel, q_dtype=q_dtype, emax_elem=emax),
         grid=grid,
-        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(expand_n.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(expand_m.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -506,6 +532,6 @@ def mxfp8_quantize_2x(
             jax.ShapeDtypeStruct((m // 32, n), jnp.int32),
         ],
         interpret=_interpret(),
-    )(x2d)
+    )(expand_n, expand_m, x2d)
     return (row, col,
             srow.T.astype(jnp.uint8), scol.T.astype(jnp.uint8))
