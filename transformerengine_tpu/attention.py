@@ -370,6 +370,12 @@ def fused_attn(
             all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
         if context_parallel_strategy in (CPStrategy.RING,
                                          CPStrategy.RING_STRIPED):
+            # FP8 ring payloads under an fp8_dpa recipe (reference: FP8
+            # context parallelism — quantized P2P KV exchange).
+            from .quantize.helper import get_quantize_config
+            qcfg = get_quantize_config()
+            fp8_ring = bool(qcfg.enabled
+                            and getattr(qcfg.recipe, "fp8_dpa", False))
             return ring_attn_under_shard_map(
                 q, k, v, sequence_descriptor,
                 axis_name=context_parallel_axis,
@@ -377,7 +383,8 @@ def fused_attn(
                 scaling_factor=scaling_factor,
                 window_size=window_size,
                 striped=(context_parallel_strategy
-                         is CPStrategy.RING_STRIPED))
+                         is CPStrategy.RING_STRIPED),
+                fp8_kv=fp8_ring)
         if context_parallel_strategy is CPStrategy.ALL_GATHER:
             return all_gather_attn(
                 q, k, v, context_parallel_axis,

@@ -129,20 +129,43 @@ def _ring_qoff(idx, j, L, striped):
     return ((idx - j) * L).reshape(1).astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _kv_q(t):
+    """Per-tensor current-scale e4m3 quantize of a local KV chunk
+    (reference: fp8 context parallelism — quantized P2P payloads,
+    common/fused_attn fp8 CP). Returns (payload, scale_inv scalar)."""
+    from ..quantize.dtypes import float8_e4m3
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)))
+    scale_inv = jnp.where(amax > 0, amax / 448.0, 1.0)
+    payload = (t.astype(jnp.float32) / scale_inv).astype(
+        jnp.dtype(float8_e4m3))
+    return payload, scale_inv.astype(jnp.float32)
+
+
+def _kv_dq(payload, scale_inv, dtype):
+    return (payload.astype(jnp.bfloat16)
+            * scale_inv.astype(jnp.bfloat16)).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def ring_attn(q, k, v, qseg, kseg, axis_name: str, causal: bool,
-              scale: float, window: Tuple[int, int], striped: bool = False):
+              scale: float, window: Tuple[int, int], striped: bool = False,
+              fp8_kv: bool = False):
     """``qseg``/``kseg``: optional (B, L) int32 segment ids of the LOCAL
     shard (0 = padding); kseg rotates around the ring with its KV chunk,
     so packed/ragged (THD-style) batches work under ring CP (reference:
-    nvte_cp_thd_* helpers, common/fused_attn/context_parallel.cu)."""
+    nvte_cp_thd_* helpers, common/fused_attn/context_parallel.cu).
+
+    ``fp8_kv``: rotate K/V around the ring as e4m3 payloads with one
+    per-chunk scale each — halves the P2P bytes (the reference's FP8
+    context parallelism). The local flash step runs on the dequantized
+    bf16 chunk."""
     out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale,
-                            window, striped)
+                            window, striped, fp8_kv)
     return out
 
 
 def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
-                   striped):
+                   striped, fp8_kv=False):
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
@@ -153,13 +176,20 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
     num = jnp.zeros((b, hq, L, d), jnp.float32)
     den = jnp.zeros((b, hq, L), jnp.float32)
     m_run = jnp.full((b, hq, L), NEG_INF, jnp.float32)
-    k_cur, v_cur = kt, vt
+    if fp8_kv:
+        k_cur, ks_cur = _kv_q(kt)
+        v_cur, vs_cur = _kv_q(vt)
+    else:
+        k_cur, v_cur = kt, vt
+        ks_cur = vs_cur = jnp.float32(1.0)
     kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp                       # chunk resident this step
         qoff = _ring_qoff(idx, j, L, striped)
+        k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
+        v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         o_s, lse_s = _flash_fwd(
-            qt, k_cur, v_cur,
+            qt, k_use, v_use,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
             qoff, scale=scale, causal=causal,
@@ -173,8 +203,14 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
         den = den * alpha + w
         m_run = m_new
         if s != cp - 1:
-            k_cur, v_cur, kseg_cur = jax.lax.ppermute(
-                (k_cur, v_cur, kseg_cur), axis_name, perm=_ring_perm(cp))
+            if fp8_kv:
+                k_cur, v_cur, kseg_cur, ks_cur, vs_cur = jax.lax.ppermute(
+                    (k_cur, v_cur, kseg_cur, ks_cur, vs_cur), axis_name,
+                    perm=_ring_perm(cp))
+            else:
+                k_cur, v_cur, kseg_cur = jax.lax.ppermute(
+                    (k_cur, v_cur, kseg_cur), axis_name,
+                    perm=_ring_perm(cp))
 
     den_safe = jnp.where(den > 0, den, 1.0)
     o = (num / den_safe[..., None]).astype(q.dtype)
@@ -183,7 +219,8 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
     return out, (q, k, v, qseg, kseg, o, lse_tot)
 
 
-def _ring_attn_bwd(axis_name, causal, scale, window, striped, res, dout):
+def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
+                   dout):
     q, k, v, qseg, kseg, o, lse = res
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -195,13 +232,22 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, res, dout):
     dq = jnp.zeros_like(qt, jnp.float32)
     dk_acc = jnp.zeros_like(kt, jnp.float32)
     dv_acc = jnp.zeros_like(vt, jnp.float32)
-    k_cur, v_cur = kt, vt
+    if fp8_kv:
+        # Same quantization as fwd: the local flash bwd differentiates
+        # the exact fwd computation (which saw dequantized chunks).
+        k_cur, ks_cur = _kv_q(kt)
+        v_cur, vs_cur = _kv_q(vt)
+    else:
+        k_cur, v_cur = kt, vt
+        ks_cur = vs_cur = jnp.float32(1.0)
     kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp
         qoff = _ring_qoff(idx, j, L, striped)
+        k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
+        v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         dq_s, dk_s, dv_s, _ = _flash_bwd(
-            qt, k_cur, v_cur, o, lse, dot,
+            qt, k_use, v_use, o, lse, dot,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
             qoff, scale=scale,
@@ -211,9 +257,15 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, res, dout):
         dv_acc = dv_acc + dv_s.astype(jnp.float32)
         # Rotate the KV chunk together with its gradient accumulator; after
         # the final rotation (cp total) both are back at the owner.
-        k_cur, v_cur, kseg_cur, dk_acc, dv_acc = jax.lax.ppermute(
-            (k_cur, v_cur, kseg_cur, dk_acc, dv_acc), axis_name,
-            perm=_ring_perm(cp))
+        if fp8_kv:
+            (k_cur, v_cur, kseg_cur, ks_cur, vs_cur, dk_acc,
+             dv_acc) = jax.lax.ppermute(
+                (k_cur, v_cur, kseg_cur, ks_cur, vs_cur, dk_acc, dv_acc),
+                axis_name, perm=_ring_perm(cp))
+        else:
+            k_cur, v_cur, kseg_cur, dk_acc, dv_acc = jax.lax.ppermute(
+                (k_cur, v_cur, kseg_cur, dk_acc, dv_acc), axis_name,
+                perm=_ring_perm(cp))
 
     return (dq.transpose(0, 2, 1, 3).astype(q.dtype),
             dk_acc.transpose(0, 2, 1, 3).astype(k.dtype),
@@ -229,12 +281,14 @@ def ring_attn_under_shard_map(
     attn_mask_type=None, scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
     striped: bool = False,
+    fp8_kv: bool = False,
 ):
     """Entry used by attention.fused_attn for CPStrategy.RING /
     RING_STRIPED. ``sequence_descriptor`` describes the LOCAL shard:
     segment ids are used as-is; seqlens are interpreted as GLOBAL
     lengths under contiguous sharding (each rank keeps positions
-    idx*L..idx*L+L-1)."""
+    idx*L..idx*L+L-1). ``fp8_kv`` rotates e4m3 KV payloads (half the
+    ring bytes)."""
     from ..attention import AttnMaskType
     causal = attn_mask_type.is_causal if attn_mask_type else False
     scale = scaling_factor if scaling_factor is not None \
@@ -247,7 +301,7 @@ def ring_attn_under_shard_map(
     qseg, kseg = _local_segments(sequence_descriptor, axis_name,
                                  q.shape[1], allow_seqlens=not striped)
     return ring_attn(q, k, v, qseg, kseg, axis_name, causal, float(scale),
-                     window, striped)
+                     window, striped, fp8_kv)
 
 
 # ---------------------------------------------------------------------------
