@@ -99,6 +99,37 @@ class TestGenerate:
             ref_new = seqs[i][int(lengths[i]):]
             assert jnp.array_equal(got[i], ref_new), (i, got[i], ref_new)
 
+    def test_paged_matches_nonpaged_greedy(self):
+        """Flax-MHA paged-cache collection path (reference:
+        PagedKVCacheManager): same greedy tokens as the dense cache."""
+        model = LlamaModel(config=LLAMA_TINY)
+        b, sp = 2, 16
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (b, sp), 1, 256)
+        lengths = jnp.array([16, 11], jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        n_new = 6
+        ref = generate(model, variables, tokens, lengths, n_new)
+        ip = InferenceParams(max_batch_size=b,
+                             max_sequence_length=sp + n_new,
+                             is_paged=True, page_size=8)
+        got = generate(model, variables, tokens, lengths, n_new,
+                       inference_params=ip)
+        assert jnp.array_equal(got, ref), (got, ref)
+
+    def test_paged_fp8_generation_runs(self):
+        model = LlamaModel(config=LLAMA_TINY)
+        b, sp = 2, 8
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (b, sp), 1, 256)
+        lengths = jnp.full((b,), sp, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        ip = InferenceParams(max_batch_size=b, max_sequence_length=16,
+                             kv_cache_dtype=jnp.dtype(float8_e4m3),
+                             is_paged=True, page_size=8)
+        out = generate(model, variables, tokens, lengths, 4,
+                       inference_params=ip)
+        assert out.shape == (b, 4)
+        assert jnp.all((out >= 0) & (out < 256))
+
     def test_fp8_cache_generation_runs(self):
         model = LlamaModel(config=LLAMA_TINY)
         b, sp = 1, 8

@@ -329,6 +329,9 @@ class MultiHeadAttention(TransformerEngineBase):
             f"batch {b} != InferenceParams.max_batch_size "
             f"{ip.max_batch_size}")
         cache_dtype = ip.kv_cache_dtype
+        if ip.is_paged:
+            return self._paged_cached_attention(
+                q, k, v, ip, sequence_descriptor)
         # (B, Hkv, S, D) layout — what the decode kernel reads, so no
         # per-step transpose copies; 128-aligned S lets the kernel pick a
         # divisor block and skip the whole-cache pad copy.
@@ -374,6 +377,70 @@ class MultiHeadAttention(TransformerEngineBase):
                 kv_scale=dq_scale,
                 window_left=window[0] if window is not None else -1,
                 kv_layout="BHSD")
+        bq, sq, hq, dd = out.shape
+        return out.reshape(bq, sq, hq * dd)
+
+    def _paged_cached_attention(self, q, k, v, ip, sequence_descriptor):
+        """Paged-cache collection path (reference: PagedKVCacheManager,
+        pytorch/attention/inference.py:591): the page pool, page table,
+        lengths, and free-list all live in the "cache" collection, and
+        decode reads pages through the scalar-prefetch Pallas kernel."""
+        from ..inference.kv_cache import (
+            PagedKVState, calibrate_kv_scale, paged_append_prompt,
+            paged_append_token)
+        from ..ops.flash_attention import flash_attention
+        from ..ops.paged_attention import paged_decode_attention
+
+        b, s, hkv, d = k.shape
+        page = ip.page_size
+        mpps = -(-ip.max_sequence_length // page)     # pages per sequence
+        num_pages = b * mpps
+        cache_dtype = ip.kv_cache_dtype
+        pk = self.variable("cache", "pages_k", jnp.zeros,
+                           (num_pages, page, hkv, d), cache_dtype)
+        pv = self.variable("cache", "pages_v", jnp.zeros,
+                           (num_pages, page, hkv, d), cache_dtype)
+        pt = self.variable("cache", "page_table",
+                           lambda: jnp.full((b, mpps), -1, jnp.int32))
+        clen = self.variable("cache", "cache_length", jnp.zeros, (b,),
+                             jnp.int32)
+        free = self.variable("cache", "free_head", jnp.zeros, (),
+                             jnp.int32)
+        kv_scale = self.variable("cache", "kv_scale", jnp.ones, (1,),
+                                 jnp.float32)
+
+        is_prefill = s > 1
+        if is_prefill and ip.is_fp8:
+            kv_scale.value = calibrate_kv_scale(k, v)
+        qscale = kv_scale.value if ip.is_fp8 else None
+        state = PagedKVState(pages_k=pk.value, pages_v=pv.value,
+                             page_table=pt.value, lengths=clen.value,
+                             free_head=free.value)
+        if is_prefill:
+            state = paged_append_prompt(state, k, v, qscale)
+        else:
+            state = paged_append_token(state, k, v, qscale)
+        pk.value, pv.value = state.pages_k, state.pages_v
+        pt.value, clen.value = state.page_table, state.lengths
+        free.value = state.free_head
+
+        if is_prefill:
+            seqlens = (sequence_descriptor.q_seqlens
+                       if sequence_descriptor is not None
+                       and sequence_descriptor.q_seqlens is not None
+                       else None)
+            desc = (SequenceDescriptor.from_seqlens(seqlens)
+                    if seqlens is not None else None)
+            out = flash_attention(
+                q, k, v, desc,
+                attn_mask_type=(AttnMaskType.PADDING_CAUSAL
+                                if desc is not None else
+                                AttnMaskType.CAUSAL))
+        else:
+            dq_scale = (1.0 / kv_scale.value) if ip.is_fp8 else None
+            out = paged_decode_attention(
+                q, state.pages_k, state.pages_v, state.page_table,
+                state.lengths, kv_scale=dq_scale)
         bq, sq, hq, dd = out.shape
         return out.reshape(bq, sq, hq * dd)
 

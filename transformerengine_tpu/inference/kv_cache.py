@@ -161,6 +161,39 @@ def paged_append_token(state: PagedKVState, k_new: jax.Array, v_new: jax.Array,
         free_head=state.free_head + needs_page.sum().astype(jnp.int32))
 
 
+def paged_append_prompt(state: PagedKVState, k_new: jax.Array,
+                        v_new: jax.Array,
+                        kv_scale: Optional[jax.Array] = None,
+                        ) -> PagedKVState:
+    """Append a full prompt (B, S, Hkv, D) into an EMPTY paged cache
+    (prefill). Pages are allocated contiguously per sequence —
+    sequence b gets physical pages [free_head + b*npp, ...) — so the
+    write is one reshape + scatter (reference: PagedKVCacheManager
+    prefill allocation, inference.py:591)."""
+    b, s, hkv, d = k_new.shape
+    page = state.pages_k.shape[1]
+    dtype = state.pages_k.dtype
+    scale = kv_scale if kv_scale is not None else jnp.ones((1,), jnp.float32)
+    npp = -(-s // page)                        # pages per sequence
+    pad = npp * page - s
+
+    def chunks(x):
+        xq = quantize_for_cache(x, scale, dtype)
+        xq = jnp.pad(xq, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return xq.reshape(b * npp, page, hkv, d)
+
+    phys = (state.free_head
+            + jnp.arange(b * npp, dtype=jnp.int32))      # (b*npp,)
+    pages_k = state.pages_k.at[phys].set(chunks(k_new))
+    pages_v = state.pages_v.at[phys].set(chunks(v_new))
+    table = state.page_table.at[:, :npp].set(
+        phys.reshape(b, npp))
+    return PagedKVState(
+        pages_k=pages_k, pages_v=pages_v, page_table=table,
+        lengths=state.lengths + s,
+        free_head=state.free_head + b * npp)
+
+
 def paged_gather_kv(state: PagedKVState) -> Tuple[jax.Array, jax.Array]:
     """Materialize (B, S_max, Hkv, D) views from pages (gather path; the
     Pallas paged decode kernel replaces this on the hot path)."""
