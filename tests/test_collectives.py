@@ -277,7 +277,11 @@ class TestCommOverlapEvidence:
                                     quantizer_set=qs)
 
             def loss(x, w1, w2):
-                return jnp.sum(inner(x, w1, w2).astype(jnp.float32))
+                # Quadratic: with sum(y) the cotangent is constant ones
+                # and XLA folds the backward all-gather/reduce-scatter
+                # away entirely (the counts would drop to 1+1).
+                y = inner(x, w1, w2).astype(jnp.float32)
+                return jnp.sum(y * y)
 
             return jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
 
@@ -287,11 +291,15 @@ class TestCommOverlapEvidence:
                            out_specs=(P("tp", None), P(None, "tp"),
                                       P("tp", None)),
                            check_vma=False)
-        return jax.jit(fn).lower(x, w1, w2).compile().as_text()
+        lowered = jax.jit(fn).lower(x, w1, w2)
+        # (optimized HLO, pre-optimization StableHLO) — wire-dtype
+        # assertions use the latter: XLA:CPU legalizes f8 collectives to
+        # f16 in the optimized module, TPU keeps them f8.
+        return lowered.compile().as_text(), lowered.as_text()
 
     def test_sp_pipeline_collective_counts(self):
         from transformerengine_tpu.utils.hlo_checks import count_collectives
-        hlo = self._pipeline_hlo(fp8=False)
+        hlo, _ = self._pipeline_hlo(fp8=False)
         counts = count_collectives(hlo)
         # fwd: AG (column) + RS (row); bwd: AG (row bwd) + RS (column
         # bwd). XLA may merge/split, but both kinds must be present and
@@ -301,12 +309,11 @@ class TestCommOverlapEvidence:
         assert counts.get("all-reduce", 0) == 0, counts
 
     def test_sp_fp8_payload_rides_wire_quantized(self):
-        hlo = self._pipeline_hlo(fp8=True)
+        _, stablehlo = self._pipeline_hlo(fp8=True)
         import re
-        ags = [l for l in hlo.splitlines()
-               if re.search(r"= \S* ?all-gather(-start)?\(", l)]
-        assert ags, "no all-gather in fp8 SP pipeline HLO"
-        quantized = [l for l in ags if "f8e" in l or "u8" in l or "s8" in l]
+        ags = [l for l in stablehlo.splitlines() if "all_gather" in l]
+        assert ags, "no all-gather in fp8 SP pipeline"
+        quantized = [l for l in ags if "f8E" in l or "f8e" in l]
         assert quantized, (
-            "fp8 SP pipeline all-gathers bf16 — payload must be "
-            "quantized before the collective:\n" + "\n".join(ags))
+            "fp8 SP pipeline all-gathers bf16 — the graph must request "
+            "a quantized payload on the wire:\n" + "\n".join(ags))

@@ -34,6 +34,19 @@ def _prod(xs):
     return reduce(operator.mul, xs, 1)
 
 
+def prequant_x_quantize() -> bool:
+    """Quantize activations when the kernel is FP8-resident?
+
+    On TPU generations without an FP8 MXU the activation quantize buys
+    no compute (the GEMM upcasts to bf16 either way) and costs an extra
+    pass over the activations per GEMM — bf16 activations against the
+    raw fp8 weight payload are both faster AND more accurate there.
+    (Reference analog: fp8 weights + fp8 activations is only a win when
+    the MMA unit takes fp8 operands.) TE_TPU_PREQUANT_X_QUANT=0|1."""
+    import os
+    return os.environ.get("TE_TPU_PREQUANT_X_QUANT", "1") == "1"
+
+
 def _amax_of(t):
     rw = get_rowwise(t)
     a = getattr(rw, "amax", None)
@@ -86,7 +99,7 @@ def _dense_fwd(cfg, x, kernel, bias, quantizer_set, inference=False):
 
     if prequant:
         # FP8-resident weight (quantize/prequant.py): fwd-only fast path.
-        if quantizer_set.x is not None:
+        if quantizer_set.x is not None and prequant_x_quantize():
             qx = quantizer_set.x.quantize(x2d)
             out2d = tn_dot(get_rowwise(qx), kernel.colwise)
         else:

@@ -68,7 +68,8 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
     ln2d = ln_out.reshape(m, k)
 
     if isinstance(kernel, PrequantizedKernel):
-        if quantizer_set.x is not None:
+        from .dense import prequant_x_quantize
+        if quantizer_set.x is not None and prequant_x_quantize():
             qx = quantizer_set.x.quantize(ln2d)
             out2d = tn_dot(get_rowwise(qx), kernel.colwise)
         else:

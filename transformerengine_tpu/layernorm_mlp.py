@@ -87,7 +87,8 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
 
     # --- GEMM1 ---
     if isinstance(kernel1, PrequantizedKernel):
-        if qset1.x is not None:
+        from .dense import prequant_x_quantize
+        if qset1.x is not None and prequant_x_quantize():
             qx = qset1.x.quantize(ln2d)
             z2d = tn_dot(get_rowwise(qx), kernel1.colwise)
         else:
@@ -145,7 +146,7 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
 
     # --- GEMM2 ---
     if isinstance(kernel2, PrequantizedKernel):
-        if qset2.x is not None:
+        if qset2.x is not None and prequant_x_quantize():
             qa = qset2.x.quantize(a2d)
             out2d = tn_dot(get_rowwise(qa), kernel2.colwise)
         else:
