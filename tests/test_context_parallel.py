@@ -265,6 +265,69 @@ def test_ring_striped_grads_match_single_device():
         assert float(jnp.abs(a - b).max()) < 5e-4
 
 
+@pytest.mark.parametrize("window", [(64, 0), (37, 0)])
+def test_ring_striped_sliding_window_matches_single_device(window):
+    """Striped ring + sliding window: the per-chunk local window bounds
+    are traced (they depend on the rank index) and ride the flash
+    kernels' dynamic-window SMEM path (reference:
+    cpp_extensions/attention.py:2991 SWA positional adjustment)."""
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    q, k, v = _data()
+    ref = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                     window_size=window, backend=AttnBackend.UNFUSED)
+
+    qs = reorder_causal_striped(q, CP)
+    ks = reorder_causal_striped(k, CP)
+    vs = reorder_causal_striped(v, CP)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v):
+        return ring_attn(q, k, v, None, None, "cp", True,
+                         q.shape[-1] ** -0.5, window, True)
+
+    out_s = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False)(qs, ks, vs)
+    out = inverse_reorder_causal_striped(out_s, CP)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-5
+
+
+def test_ring_striped_sliding_window_grads_match_single_device():
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    window = (40, 0)
+    q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=32)
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def striped_loss(q, k, v):
+        qs = reorder_causal_striped(q, CP)
+        ks = reorder_causal_striped(k, CP)
+        vs = reorder_causal_striped(v, CP)
+
+        def local_fn(q, k, v):
+            return ring_attn(q, k, v, None, None, "cp", True,
+                             q.shape[-1] ** -0.5, window, True)
+
+        out_s = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False)(qs, ks, vs)
+        out = inverse_reorder_causal_striped(out_s, CP)
+        return jnp.sum(out ** 2)
+
+    def ref_loss(q, k, v):
+        out = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                         window_size=window, backend=AttnBackend.UNFUSED)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(striped_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert float(jnp.abs(a - b).max()) < 5e-4
+
+
 def test_striped_load_balance_flop_parity():
     """Striping balances causal work: per-rank unmasked score counts are
     equal to within one stripe diagonal (contiguous sharding is ~2x

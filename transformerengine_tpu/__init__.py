@@ -41,4 +41,48 @@ from .graph import make_graphed_callables
 from .quantize.prequant import PrequantizedKernel, prequantize_kernels
 from . import checkpoint_policies
 
+# Subpackages surfaced the way the reference surfaces them
+# (reference: jax/__init__.py exports `flax`, `quantize`; pytorch
+# exports `ops`, `optimizers`). Imported last to avoid cycles.
+from . import flax          # noqa: E402  (te.flax.DenseGeneral, ...)
+from . import quantize      # noqa: E402
+from . import ops           # noqa: E402  (te.ops.Sequential fuser API)
+from . import optimizers    # noqa: E402
+from . import inference     # noqa: E402
+from . import models        # noqa: E402
+from .flax.module import (  # noqa: E402
+    QUANTIZE_META as NVTE_FP8_COLLECTION_NAME,
+    update_quantize_meta,
+    update_quantize_meta as update_collections,  # reference name
+)
+
 __version__ = "0.1.0"
+
+__all__ = [
+    # recipes
+    "recipe", "Recipe", "DelayedScaling", "Float8CurrentScaling",
+    "MXFP8BlockScaling", "Float8BlockScaling", "NVFP4BlockScaling",
+    "CustomRecipe", "Format", "E4M3", "E5M2", "HYBRID", "QParams",
+    "MMParams",
+    # quantization state
+    "autocast", "fp8_autocast", "get_quantize_config",
+    "is_quantize_enabled", "QuantizeConfig", "QuantizerFactory",
+    "Quantizer", "QuantizerSet", "QuantizeLayout",
+    "CurrentScaleQuantizer", "DelayedScaleQuantizer",
+    "BlockScaleQuantizer", "NVFP4Quantizer", "noop_quantizer_set",
+    "ScalingMode", "ScaledTensor1x", "ScaledTensor2x",
+    "NVTE_FP8_COLLECTION_NAME", "update_collections",
+    "update_quantize_meta", "PrequantizedKernel", "prequantize_kernels",
+    # sharding
+    "MeshResource", "global_shard_guard", "global_mesh_resource",
+    # functional layers
+    "dense", "dense_and_state", "layernorm", "rmsnorm",
+    "layernorm_dense", "layernorm_mlp", "grouped_dense",
+    "grouped_dense_gq", "moe", "softmax", "SoftmaxType",
+    "fused_attn", "flex_attention", "AttnBiasType", "AttnMaskType",
+    "QKVLayout", "SequenceDescriptor",
+    "moe_permute", "moe_unpermute", "token_combine", "token_dispatch",
+    "make_graphed_callables", "checkpoint_policies",
+    # subpackages
+    "flax", "quantize", "ops", "optimizers", "inference", "models",
+]

@@ -60,6 +60,21 @@ def _effective_blocks(sq: int, skv: int, group: int,
     return block_q, block_k
 
 
+def _win_active(window) -> Tuple[bool, bool]:
+    """Static activity of each sliding-window side. A side is active
+    when it is a non-negative Python int, or a traced value (ring CP
+    passes traced per-chunk window bounds under striped layout)."""
+    return tuple((not isinstance(w, (int, np.integer))) or w >= 0
+                 for w in window)
+
+
+def _win_dynamic(window) -> bool:
+    """True when any window side is a traced value rather than a static
+    int — the kernels then read the bounds from the scalar-prefetch
+    operand instead of baking them into the code."""
+    return any(not isinstance(w, (int, np.integer)) for w in window)
+
+
 def _positions(q_start, k_start, off, rows, block_k, group, block_q):
     """(qpos, kpos) int32 grids of shape (rows, block_k) for the packed
     score block (row r of the packed block is query position
@@ -88,7 +103,8 @@ def _mod_args(q_start, k_start, off, group, block_q, block_k, prog_bh):
 
 
 def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
-                 causal, window, use_segments, group, block_q, block_k):
+                 causal, window, use_segments, group, block_q, block_k,
+                 window_active=None):
     """Fill masked score entries with MASKED, unconditionally on every
     run block. (Profiled on v5e: the iota/compare/select chain costs ~4%
     of block time; gating it behind a scalar `lax.cond` costs ~60%
@@ -98,7 +114,8 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
     With GQA group packing (group > 1) the score block stacks the
     `group` query heads sharing one KV head: row r of the packed block
     is query position q_start + (r % block_q)."""
-    any_mask = causal or window[0] >= 0 or window[1] >= 0 or use_segments
+    wa = window_active if window_active is not None else _win_active(window)
+    any_mask = causal or wa[0] or wa[1] or use_segments
     if not any_mask:
         return s
     rows = group * block_q
@@ -107,9 +124,9 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
     mask = jnp.ones((rows, block_k), jnp.bool_)
     if causal:
         mask = jnp.logical_and(mask, kpos <= qpos)
-    if window[0] >= 0:
+    if wa[0]:
         mask = jnp.logical_and(mask, qpos - kpos <= window[0])
-    if window[1] >= 0:
+    if wa[1]:
         mask = jnp.logical_and(mask, kpos - qpos <= window[1])
     if use_segments:
         qs = qseg_ref[0, :, :1]   # (block_q, 1), sublane rows
@@ -167,7 +184,8 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
                     q_start, k_start, off, *,
                     causal, use_segments, use_bias, window, group,
                     block_q, block_k, fp8, dropout_rate=0.0,
-                    score_mod=None, scale=1.0, prog_bh=None):
+                    score_mod=None, scale=1.0, prog_bh=None,
+                    window_active=None):
     """One online-softmax update for a (packed-q, k) block pair. Shared
     by the dense-grid kernel and the enumerated-steps kernel.
 
@@ -203,7 +221,8 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
     s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                      causal=causal, window=window,
                      use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k)
+                     group=group, block_q=block_q, block_k=block_k,
+                     window_active=window_active)
 
     m_prev = m_ref[...]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -255,14 +274,23 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                 use_bias: bool, fp8: bool, dropout_rate: float,
                 window: Tuple[int, int], offset: int,
                 group: int, block_q: int, block_k: int, num_k_blocks: int,
-                score_mod=None, scale=1.0):
+                score_mod=None, scale=1.0, dynamic_window: bool = False):
     """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
     are stacked into one (group*block_q, d) operand so each K/V block is
     DMA'd and matmul'd once per group instead of once per query head
     (measured +15% on v5e GQA-4 prefill, and it quadruples the MXU work
-    per K/V byte moved)."""
+    per K/V byte moved).
+
+    ``dynamic_window``: window bounds are runtime scalars riding the
+    qoff SMEM operand (qoff_ref[1]/[2]) rather than compile-time ints —
+    used by striped ring CP, whose per-chunk local bounds depend on the
+    traced rank index (reference cpp_extensions/attention.py:2991
+    sliding-window CP adjustment)."""
     iq, ik = pl.program_id(2), pl.program_id(3)
     prog_bh = (pl.program_id(0), pl.program_id(1))
+    wa = _win_active(window)
+    if dynamic_window:
+        window = tuple(qoff_ref[1 + i] if wa[i] else -1 for i in range(2))
 
     @pl.when(ik == 0)
     def _init():
@@ -277,10 +305,10 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     run = jnp.full((), True)
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
-    if window[0] >= 0:
+    if wa[0]:
         run = jnp.logical_and(
             run, k_start + block_k - 1 >= q_start + off - window[0])
-    if window[1] >= 0 and not causal:
+    if wa[1] and not causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off + window[1])
 
     @pl.when(run)
@@ -293,7 +321,8 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         use_bias=use_bias, window=window, group=group,
                         block_q=block_q, block_k=block_k, fp8=fp8,
                         dropout_rate=dropout_rate,
-                        score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+                        score_mod=score_mod, scale=scale, prog_bh=prog_bh,
+                        window_active=wa)
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
@@ -413,12 +442,26 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             else jnp.zeros((2,), jnp.int32))
     block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
+    # Dynamic (traced) window bounds — striped ring CP passes per-chunk
+    # bounds that depend on the rank index. They ride the qoff SMEM
+    # operand; the kernel partial gets a static placeholder that only
+    # encodes which sides are active. Forces the dense grid (the
+    # enumerated grid bakes the bounds into the step list).
+    wa = _win_active(window)
+    dyn_win = _win_dynamic(window)
+    if dyn_win:
+        qoff = jnp.concatenate([
+            qoff.reshape(1)] + [
+            jnp.asarray(w if a else 0, jnp.int32).reshape(1)
+            for w, a in zip(window, wa)])
+        window = tuple(0 if a else -1 for a in wa)
     # Enumerated-steps grid: when positions are static (no dynamic
     # q-offset) and a causal/window structure masks out whole blocks,
     # enumerate only the reachable block pairs instead of skipping
     # inside a dense grid (skipped grid steps still pay K/V DMA and
     # branch latency — measured 72.9 -> see docs/PARITY.md).
-    use_steps = static_pos and (causal or window[0] >= 0 or window[1] >= 0)
+    use_steps = (static_pos and not dyn_win
+                 and (causal or wa[0] or wa[1]))
     use_segments = qseg is not None
     # Segment ids are pre-broadcast outside the kernel so each read has the
     # right TPU orientation (q: sublane rows, kv: lanes) with no in-kernel
@@ -530,7 +573,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
         window=window, offset=offset, group=group,
         block_q=block_q, block_k=block_k,
-        num_k_blocks=nk, score_mod=score_mod, scale=scale)
+        num_k_blocks=nk, score_mod=score_mod, scale=scale,
+        dynamic_window=dyn_win)
     if use_bias:
         bias_spec = pl.BlockSpec(
             (1, group, block_q, block_k),
@@ -603,7 +647,8 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                        q_start, k_start, off, *,
                        causal, use_segments, window, group, block_q, block_k,
                        fp8, use_bias, dropout_rate=0.0,
-                       score_mod=None, scale=1.0, prog_bh=None):
+                       score_mod=None, scale=1.0, prog_bh=None,
+                       window_active=None):
     """dQ contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dq kernels. Returns the natural-
     domain ds block (== dBias, reference cuDNN bwd dBias output)."""
@@ -639,7 +684,8 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                      causal=causal, window=window,
                      use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k)
+                     group=group, block_q=block_q, block_k=block_k,
+                     window_active=window_active)
     # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
     p = jnp.exp2(s - lse2)
     dp = jax.lax.dot_general(
@@ -666,9 +712,12 @@ def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                    delta_ref, bias_ref, dq_ref, dbias_ref, acc_ref, *,
                    scale, causal, use_segments, window, offset,
                    group, block_q, block_k, num_k_blocks, fp8, use_bias,
-                   dropout_rate, score_mod=None):
+                   dropout_rate, score_mod=None, dynamic_window=False):
     iq, ik = pl.program_id(2), pl.program_id(3)
     prog_bh = (pl.program_id(0), pl.program_id(1))
+    wa = _win_active(window)
+    if dynamic_window:
+        window = tuple(qoff_ref[1 + i] if wa[i] else -1 for i in range(2))
 
     @pl.when(ik == 0)
     def _init():
@@ -680,7 +729,7 @@ def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
     run = jnp.full((), True)
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
-    if window[0] >= 0:
+    if wa[0]:
         run = jnp.logical_and(
             run, k_start + block_k - 1 >= q_start + off - window[0])
 
@@ -698,7 +747,8 @@ def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
             causal=causal, use_segments=use_segments,
             window=window, group=group,
             block_q=block_q, block_k=block_k, fp8=fp8, use_bias=use_bias,
-            dropout_rate=dropout_rate, score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+            dropout_rate=dropout_rate, score_mod=score_mod, scale=scale,
+            prog_bh=prog_bh, window_active=wa)
         if use_bias:
             dbias_ref[0] = ds.astype(dbias_ref.dtype).reshape(
                 group, block_q, block_k)
@@ -755,7 +805,8 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         q_start, k_start, off, *,
                         causal, use_segments, window, group,
                         block_q, block_k, fp8, use_bias, dropout_rate=0.0,
-                        score_mod=None, scale=1.0, prog_bh=None):
+                        score_mod=None, scale=1.0, prog_bh=None,
+                        window_active=None):
     """dK/dV contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dkv kernels."""
     rows = group * block_q
@@ -785,7 +836,8 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
                      causal=causal, window=window,
                      use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k)
+                     group=group, block_q=block_q, block_k=block_k,
+                     window_active=window_active)
     p = jnp.exp2(s - lse2)
     cdt = jnp.bfloat16 if fp8 else q.dtype
     if dropout_rate > 0.0:
@@ -819,7 +871,7 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                     delta_ref, bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     scale, causal, use_segments, window, offset,
                     group, block_q, block_k, num_q_blocks, fp8, use_bias,
-                    dropout_rate, score_mod=None):
+                    dropout_rate, score_mod=None, dynamic_window=False):
     """dK/dV over grid (b, hkv, ik, iq). With GQA packing the `group`
     query heads sharing this KV head are stacked into the contraction
     rows, so dk/dv come out already summed over the group — no per-head
@@ -827,6 +879,9 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
     ik, iq = pl.program_id(2), pl.program_id(3)
     prog_bh = (pl.program_id(0), pl.program_id(1))
     rows = group * block_q
+    wa = _win_active(window)
+    if dynamic_window:
+        window = tuple(qoff_ref[1 + i] if wa[i] else -1 for i in range(2))
 
     @pl.when(iq == 0)
     def _init():
@@ -839,7 +894,7 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
     run = jnp.full((), True)
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1 + off)
-    if window[0] >= 0:
+    if wa[0]:
         run = jnp.logical_and(
             run, k_start + block_k - 1 >= q_start + off - window[0])
 
@@ -854,7 +909,8 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                             window=window, group=group,
                             block_q=block_q, block_k=block_k, fp8=fp8,
                             use_bias=use_bias, dropout_rate=dropout_rate,
-                            score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+                            score_mod=score_mod, scale=scale,
+                            prog_bh=prog_bh, window_active=wa)
 
     @pl.when(iq == num_q_blocks - 1)
     def _epilogue():
@@ -920,6 +976,16 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
     group = hq // hkv
     block_q, block_k = _effective_blocks(sq, skv, group, block_q, block_k)
     nq, nk = pl.cdiv(sq, block_q), pl.cdiv(skv, block_k)
+    # Dynamic (traced) window bounds ride the qoff SMEM operand — see
+    # _flash_fwd. Forces the dense grids.
+    wa = _win_active(window)
+    dyn_win = _win_dynamic(window)
+    if dyn_win:
+        qoff = jnp.concatenate([
+            qoff.reshape(1)] + [
+            jnp.asarray(w if a else 0, jnp.int32).reshape(1)
+            for w, a in zip(window, wa)])
+        window = tuple(0 if a else -1 for a in wa)
     use_segments = qseg is not None
     if use_segments:
         qseg = jax.lax.broadcast_in_dim(qseg, (b, sq, 128), (0, 1))
@@ -984,8 +1050,8 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
 
     # Biased bwd needs the dense grid: every (iq, ik) dbias block must be
     # visited (skipped enumerated blocks would leave garbage).
-    use_steps = (static_pos and not use_bias
-                 and (causal or window[0] >= 0 or window[1] >= 0))
+    use_steps = (static_pos and not use_bias and not dyn_win
+                 and (causal or wa[0] or wa[1]))
     if use_steps:
         def steps_seg_spec(which):
             if not use_segments:
@@ -1096,7 +1162,7 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
 
     dq, dbias = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, num_k_blocks=nk, use_bias=use_bias,
-                          **common),
+                          dynamic_window=dyn_win, **common),
         grid=(b, hkv, nq, nk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1142,7 +1208,8 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
     # --- dK/dV: grid (b, hkv, ik, iq); group summed in-kernel ---
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
-                          use_bias=use_bias, **common),
+                          use_bias=use_bias, dynamic_window=dyn_win,
+                          **common),
         grid=(b, hkv, nk, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

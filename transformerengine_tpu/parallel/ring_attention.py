@@ -129,6 +129,25 @@ def _ring_qoff(idx, j, L, striped):
     return ((idx - j) * L).reshape(1).astype(jnp.int32)
 
 
+def _ring_striped_window(window, idx, j, cp, qoff0):
+    """Local-index sliding-window bounds for the striped layout
+    (reference: cpp_extensions/attention.py:2991 — SWA positional
+    adjustment under CP). Rank r's local token i sits at global
+    position r + i*cp, so against resident chunk j (delta = idx - j)
+    the global window (w0, w1) collapses to local-index bounds
+        iq - ik <= floor((w0 - delta)/cp)
+        ik - iq <= floor((w1 + delta)/cp).
+    The kernel masks on qpos = iq + qoff, so the striped causal qoff
+    ({0, -1}) is folded back into the bounds. The results are traced
+    (delta depends on axis_index); the flash kernels take them through
+    the dynamic-window SMEM path."""
+    delta = idx - j
+    w0, w1 = window
+    w0d = (jnp.floor_divide(w0 - delta, cp) + qoff0) if w0 >= 0 else -1
+    w1d = (jnp.floor_divide(w1 + delta, cp) - qoff0) if w1 >= 0 else -1
+    return (w0d, w1d)
+
+
 def _kv_q(t):
     """Per-tensor current-scale e4m3 quantize of a local KV chunk
     (reference: fp8 context parallelism — quantized P2P payloads,
@@ -186,6 +205,9 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
     for s in range(cp):
         j = (idx - s) % cp                       # chunk resident this step
         qoff = _ring_qoff(idx, j, L, striped)
+        win_s = window
+        if striped and (window[0] >= 0 or window[1] >= 0):
+            win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
         k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
         v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         o_s, lse_s = _flash_fwd(
@@ -193,7 +215,7 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
             qoff, scale=scale, causal=causal,
-            window=window, offset=0, block_q=512, block_k=512)
+            window=win_s, offset=0, block_q=512, block_k=512)
         m_new = jnp.maximum(m_run, lse_s)
         m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
         alpha = jnp.where(m_run <= NEG_INF / 2, 0.0,
@@ -244,6 +266,9 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
     for s in range(cp):
         j = (idx - s) % cp
         qoff = _ring_qoff(idx, j, L, striped)
+        win_s = window
+        if striped and (window[0] >= 0 or window[1] >= 0):
+            win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
         k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
         v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         dq_s, dk_s, dv_s, _ = _flash_bwd(
@@ -251,7 +276,7 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
             qoff, scale=scale,
-            causal=causal, window=window, offset=0, block_q=512, block_k=512)
+            causal=causal, window=win_s, offset=0, block_q=512, block_k=512)
         dq = dq + dq_s.astype(jnp.float32)
         dk_acc = dk_acc + dk_s.astype(jnp.float32)
         dv_acc = dv_acc + dv_s.astype(jnp.float32)
@@ -294,10 +319,6 @@ def ring_attn_under_shard_map(
     scale = scaling_factor if scaling_factor is not None \
         else 1.0 / q.shape[-1] ** 0.5
     window = tuple(window_size) if window_size is not None else (-1, -1)
-    if striped:
-        assert window == (-1, -1), (
-            "striped ring attention supports causal masks only (no "
-            "sliding window): window positions do not survive striping")
     qseg, kseg = _local_segments(sequence_descriptor, axis_name,
                                  q.shape[1], allow_seqlens=not striped)
     return ring_attn(q, k, v, qseg, kseg, axis_name, causal, float(scale),
