@@ -99,12 +99,26 @@ def bench_decode_and_ttft():
     fp8_vars = prequantize_kernels(variables, te.Float8CurrentScaling())
     t_fp8, ttft_fp8 = bench_variant(fp8_vars, float8_e4m3)
     t_bf16, ttft_bf16 = bench_variant(variables, jnp.bfloat16)
-    return {
+    out = {
         "decode_tokens_per_s": round(B / t_fp8, 1),
         "decode_fp8_vs_bf16": round(t_bf16 / t_fp8, 3),
         "ttft_p50_ms": round(ttft_fp8 * 1e3, 1),
         "ttft_p50_bf16_ms": round(ttft_bf16 * 1e3, 1),
     }
+    # Ladder #5 (single-chip slice): NVFP4-resident weights (RHT cast at
+    # load via prequantize_kernels) + FP8 KV cache. The multi-host part
+    # of the rung is covered by dryrun_multichip; this measures the
+    # NVFP4 numerics/perf on the one real chip, same timing window as
+    # the FP8/BF16 variants so the ratios survive tunnel drift.
+    try:
+        nv_vars = prequantize_kernels(variables, te.NVFP4BlockScaling())
+        t_nv, ttft_nv = bench_variant(nv_vars, float8_e4m3)
+        out["nvfp4_decode_tokens_per_s"] = round(B / t_nv, 1)
+        out["nvfp4_vs_bf16"] = round(t_bf16 / t_nv, 3)
+        out["nvfp4_ttft_p50_ms"] = round(ttft_nv * 1e3, 1)
+    except Exception as e:  # never let rung 5 sink the north star
+        out["nvfp4_error"] = str(e)[:200]
+    return out
 
 
 def main():
