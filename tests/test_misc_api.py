@@ -234,3 +234,73 @@ class TestExport:
         out = dequantize_pytree(tree)
         assert out["w"].dtype == jnp.bfloat16
         assert out["w"].shape == (16, 16)
+
+
+class TestAttentionHelpers:
+    """Reference-parity attention utilities (reference: jax/attention.py
+    make_swa_mask :236, canonicalize_attn_mask_type :295,
+    is_fused_attn_kernel_available :326, reorder_causal_load_balancing
+    :388)."""
+
+    def test_canonicalize_attn_mask_type(self):
+        from transformerengine_tpu.attention import (
+            canonicalize_attn_mask_type)
+        assert canonicalize_attn_mask_type("causal") is AttnMaskType.CAUSAL
+        assert (canonicalize_attn_mask_type("PADDING_CAUSAL")
+                is AttnMaskType.PADDING_CAUSAL)
+        assert (canonicalize_attn_mask_type("bottom_right_causal")
+                is AttnMaskType.CAUSAL_BOTTOM_RIGHT)
+        with pytest.raises(ValueError):
+            canonicalize_attn_mask_type("nope")
+
+    def test_make_swa_mask_matches_attention_mask(self):
+        from transformerengine_tpu.attention import (
+            make_attention_mask, make_swa_mask)
+        sq, skv, win = 16, 16, (5, 2)
+        pos = jnp.broadcast_to(jnp.arange(sq), (2, sq))
+        swa = make_swa_mask(pos, pos, win)
+        assert swa.shape == (2, 1, sq, skv)
+        full = make_attention_mask(None, AttnMaskType.NO_MASK, sq, skv, 2,
+                                   window_size=win)
+        assert jnp.array_equal(swa.astype(bool), full)
+        # negative bounds = unbounded
+        allow = make_swa_mask(pos, pos, (-1, -1))
+        assert bool(jnp.all(allow == 1.0))
+
+    def test_is_fused_attn_kernel_available(self):
+        from transformerengine_tpu.attention import (
+            AttnBiasType, is_fused_attn_kernel_available)
+        assert is_fused_attn_kernel_available(
+            attn_mask_type=AttnMaskType.CAUSAL, head_dim=128)
+        assert not is_fused_attn_kernel_available(
+            attn_bias_type=AttnBiasType.PRE_SCALE_BIAS)
+        assert not is_fused_attn_kernel_available(head_dim=100)
+
+    @pytest.mark.parametrize("strategy", ["dual", "striped", "striped4"])
+    def test_reorder_causal_load_balancing_roundtrip(self, strategy):
+        from transformerengine_tpu.attention import (
+            ReorderStrategy, inverse_reorder_causal_load_balancing,
+            reorder_causal_load_balancing)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3))
+        st = (ReorderStrategy.DUAL_CHUNK_SWAP if strategy == "dual"
+              else ReorderStrategy.STRIPED)
+        ss = 4 if strategy == "striped4" else None
+        y = reorder_causal_load_balancing(x, st, 4, 1, stripe_size=ss)
+        assert y.shape == x.shape
+        assert not jnp.array_equal(y, x)
+        back = inverse_reorder_causal_load_balancing(y, st, 4, 1,
+                                                     stripe_size=ss)
+        assert jnp.array_equal(back, x)
+
+    def test_striped_stripe_size_groups_tokens(self):
+        from transformerengine_tpu.parallel.cp_utils import (
+            reorder_causal_striped)
+        x = jnp.arange(16)[None, :, None]
+        y = reorder_causal_striped(x, 2, 1, stripe_size=2)[0, :, 0]
+        # rank0 stripes: [0,1], [4,5], [8,9], [12,13]
+        assert list(y[:8]) == [0, 1, 4, 5, 8, 9, 12, 13]
+
+    def test_qkv_format(self):
+        from transformerengine_tpu.attention import QKVFormat, QKVLayout
+        assert QKVLayout.BS3HD.get_qkv_format() is QKVFormat.BSHD
+        assert QKVLayout.THD_THD_THD.get_qkv_format() is QKVFormat.THD

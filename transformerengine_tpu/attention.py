@@ -84,6 +84,20 @@ class QKVLayout(enum.Enum):
         return self in (QKVLayout.T3HD, QKVLayout.THD_T2HD,
                         QKVLayout.THD_THD_THD)
 
+    def get_qkv_format(self) -> "QKVFormat":
+        """(reference: jax/attention.py QKVLayout.get_qkv_format)"""
+        return QKVFormat.THD if self.is_thd else QKVFormat.BSHD
+
+
+class QKVFormat(enum.Enum):
+    """Memory format family of a QKV layout (reference:
+    jax/attention.py:106 QKVFormat). SBHD inputs are not a supported
+    packing here — transpose to BSHD first (XLA fuses the transpose
+    into the producer)."""
+    SBHD = "sbhd"
+    BSHD = "bshd"
+    THD = "thd"
+
 
 class SoftmaxType(enum.Enum):
     """Softmax variants in fused attention (reference: fused_attn.h
@@ -91,6 +105,10 @@ class SoftmaxType(enum.Enum):
     VANILLA = "vanilla"
     OFF_BY_ONE = "off_by_one"      # +1 in the denominator (attention sink)
     LEARNABLE = "learnable"        # per-head learnable sink logit
+
+
+# Reference name (jax/attention.py:77 AttnSoftmaxType).
+AttnSoftmaxType = SoftmaxType
 
 
 class AttnBackend(enum.Enum):
@@ -224,6 +242,115 @@ def make_attention_mask(
             win = win & (diff >= -right)
         mask = mask & win[:, None]
     return mask
+
+
+def make_swa_mask(
+    segment_pos_q: jax.Array,
+    segment_pos_kv: jax.Array,
+    window_size: Optional[Tuple[int, int]] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Sliding-window mask (1 = attend, 0 = masked), shape
+    (..., 1, Sq, Skv). Query at position i attends to keys in
+    [i - window_size[0], i + window_size[1]] inclusive; a negative bound
+    means unbounded on that side (reference: jax/attention.py:236
+    make_swa_mask)."""
+    pos_q = segment_pos_q[..., :, None].astype(jnp.int32)
+    pos_kv = segment_pos_kv[..., None, :].astype(jnp.int32)
+    keep = jnp.ones(jnp.broadcast_shapes(pos_q.shape, pos_kv.shape),
+                    jnp.bool_)
+    if window_size is not None:
+        left, right = window_size
+        if left >= 0:
+            keep = keep & (pos_kv >= pos_q - left)
+        if right >= 0:
+            keep = keep & (pos_kv <= pos_q + right)
+    return keep[..., None, :, :].astype(dtype)
+
+
+def canonicalize_attn_mask_type(attn_mask_type: str) -> AttnMaskType:
+    """String → :class:`AttnMaskType` (reference: jax/attention.py:295).
+    Accepts the enum value strings plus the reference's aliases."""
+    aliases = {
+        "no_mask": AttnMaskType.NO_MASK,
+        "padding": AttnMaskType.PADDING,
+        "causal": AttnMaskType.CAUSAL,
+        "padding_causal": AttnMaskType.PADDING_CAUSAL,
+        "causal_padding": AttnMaskType.PADDING_CAUSAL,
+        "causal_bottom_right": AttnMaskType.CAUSAL_BOTTOM_RIGHT,
+        "bottom_right_causal": AttnMaskType.CAUSAL_BOTTOM_RIGHT,
+        "padding_causal_bottom_right":
+            AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT,
+        "bottom_right_padding_causal":
+            AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT,
+        "causal_padding_bottom_right":
+            AttnMaskType.PADDING_CAUSAL_BOTTOM_RIGHT,
+    }
+    key = str(attn_mask_type).strip().lower()
+    if key not in aliases:
+        raise ValueError(
+            f"Unsupported attn_mask_type {attn_mask_type!r}; expected one "
+            f"of {sorted(set(aliases))}")
+    return aliases[key]
+
+
+def is_fused_attn_kernel_available(
+    *,
+    attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS,
+    attn_mask_type: AttnMaskType = AttnMaskType.NO_MASK,
+    head_dim: int = 128,
+    dropout_probability: float = 0.0,
+    is_training: bool = True,
+    window_size: Optional[Tuple[int, int]] = None,
+    **_ignored,
+) -> bool:
+    """Whether the fused (Pallas flash) kernel serves this config
+    (reference: jax/attention.py:326). The unfused XLA path is always
+    available as fallback, so False never means unsupported — just
+    unfused."""
+    return get_attention_backend(
+        attn_bias_type=attn_bias_type, attn_mask_type=attn_mask_type,
+        head_dim=head_dim, dropout_probability=dropout_probability,
+        is_training=is_training,
+        window_size=window_size) is AttnBackend.FLASH
+
+
+class ReorderStrategy(enum.Enum):
+    """Causal-CP load-balance reorder (reference: jax/attention.py:214).
+    DUAL_CHUNK_SWAP pairs chunk i with chunk 2*cp-1-i per rank; STRIPED
+    deals (stripes of) tokens round-robin."""
+    DUAL_CHUNK_SWAP = 0
+    STRIPED = 1
+
+
+def reorder_causal_load_balancing(tensor, strategy: ReorderStrategy,
+                                  cp_size: int, seq_dim: int = 1,
+                                  stripe_size: Optional[int] = None):
+    """Reorder tokens for balanced causal CP work (reference:
+    jax/attention.py:388). Apply before sharding over the cp axis; the
+    inverse restores the output order."""
+    from .parallel import cp_utils
+    if strategy is ReorderStrategy.DUAL_CHUNK_SWAP:
+        if stripe_size is not None:
+            raise ValueError("stripe_size applies to STRIPED only")
+        return cp_utils.reorder_causal_dual_chunk_swap(
+            tensor, cp_size, seq_dim)
+    return cp_utils.reorder_causal_striped(
+        tensor, cp_size, seq_dim, stripe_size or 1)
+
+
+def inverse_reorder_causal_load_balancing(tensor, strategy: ReorderStrategy,
+                                          cp_size: int, seq_dim: int = 1,
+                                          stripe_size: Optional[int] = None):
+    """Inverse of :func:`reorder_causal_load_balancing`."""
+    from .parallel import cp_utils
+    if strategy is ReorderStrategy.DUAL_CHUNK_SWAP:
+        if stripe_size is not None:
+            raise ValueError("stripe_size applies to STRIPED only")
+        return cp_utils.inverse_reorder_causal_dual_chunk_swap(
+            tensor, cp_size, seq_dim)
+    return cp_utils.inverse_reorder_causal_striped(
+        tensor, cp_size, seq_dim, stripe_size or 1)
 
 
 # ---------------------------------------------------------------------------

@@ -50,19 +50,28 @@ def inverse_reorder_causal_dual_chunk_swap(x: jax.Array, cp_size: int,
 
 
 def reorder_causal_striped(x: jax.Array, cp_size: int,
-                           seq_dim: int = 1) -> jax.Array:
+                           seq_dim: int = 1,
+                           stripe_size: int = 1) -> jax.Array:
     """Stripe tokens across ranks: [t0, t_cp, t_2cp, ... | t1, ...]
-    (reference: cpp_extensions/attention.py:1293)."""
+    (reference: cpp_extensions/attention.py:1293). ``stripe_size`` > 1
+    deals contiguous groups of that many tokens round-robin instead of
+    single tokens (the reference recommends 128 for THD+SWA striping so
+    stripes stay aligned to kernel blocks)."""
     s = x.shape[seq_dim]
-    assert s % cp_size == 0
-    idx = jnp.arange(s).reshape(s // cp_size, cp_size).T.reshape(-1)
+    assert s % (cp_size * stripe_size) == 0, (s, cp_size, stripe_size)
+    idx = jnp.arange(s).reshape(
+        s // (cp_size * stripe_size), cp_size, stripe_size
+    ).transpose(1, 0, 2).reshape(-1)
     return jnp.take(x, idx, axis=seq_dim)
 
 
 def inverse_reorder_causal_striped(x: jax.Array, cp_size: int,
-                                   seq_dim: int = 1) -> jax.Array:
+                                   seq_dim: int = 1,
+                                   stripe_size: int = 1) -> jax.Array:
     s = x.shape[seq_dim]
-    idx = jnp.arange(s).reshape(cp_size, s // cp_size).T.reshape(-1)
+    idx = jnp.arange(s).reshape(
+        cp_size, s // (cp_size * stripe_size), stripe_size
+    ).transpose(1, 0, 2).reshape(-1)
     return jnp.take(x, idx, axis=seq_dim)
 
 
