@@ -282,3 +282,66 @@ class TestRelativePositionBiases:
             ** 2))(v["params"])
         emb_g = g["relpos_bias"]["rel_embedding"]
         assert jnp.any(emb_g != 0) and jnp.all(jnp.isfinite(emb_g))
+
+
+class TestSoftmaxModule:
+    """Flax Softmax module (reference: jax/flax/module.py:164)."""
+
+    def _logits(self):
+        return jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+
+    def test_vanilla_matches_jax(self):
+        from transformerengine_tpu.flax import Softmax
+        x = self._logits()
+        m = Softmax(scale_factor=0.5)
+        out = m.apply({}, x)
+        ref = jax.nn.softmax(x * 0.5, axis=-1)
+        assert jnp.allclose(out, ref, atol=1e-6)
+
+    def test_masked(self):
+        from transformerengine_tpu.flax import Softmax
+        from transformerengine_tpu.softmax import SoftmaxType as F
+        x = self._logits()
+        mask = jnp.zeros((2, 1, 8, 8), jnp.int32).at[..., -2:].set(1)
+        out = Softmax(softmax_fusion_type=F.SCALED_MASKED).apply(
+            {}, x, mask=mask)
+        assert jnp.allclose(out[..., -2:], 0.0, atol=1e-6)
+        assert jnp.allclose(out.sum(-1), 1.0, atol=1e-5)
+
+    def test_off_by_one_sink(self):
+        from transformerengine_tpu.attention import SoftmaxType as S
+        from transformerengine_tpu.flax import Softmax
+        x = self._logits()
+        out = Softmax(softmax_type=S.OFF_BY_ONE).apply({}, x)
+        s = out.sum(-1)
+        assert bool(jnp.all(s < 1.0))  # sink absorbed some mass
+        ref = jnp.exp(x) / (1.0 + jnp.exp(x).sum(-1, keepdims=True))
+        assert jnp.allclose(out, ref, atol=1e-5)
+
+    def test_learnable_sink_param(self):
+        from transformerengine_tpu.attention import SoftmaxType as S
+        from transformerengine_tpu.flax import Softmax
+        x = self._logits()
+        m = Softmax(softmax_type=S.LEARNABLE)
+        variables = m.init(jax.random.PRNGKey(1), x)
+        assert variables["params"]["softmax_offset"].shape == (4,)
+        out = m.apply(variables, x)
+        assert bool(jnp.all(out.sum(-1) < 1.0))
+
+
+def test_extend_logical_axis_rules():
+    """(reference: jax/flax/transformer.py:63)"""
+    import transformerengine_tpu as te
+    from transformerengine_tpu.flax import extend_logical_axis_rules
+    from transformerengine_tpu.parallel import sharding as sh
+    res = te.MeshResource(dp_resource="data", tp_resource="model")
+    with te.global_shard_guard(res):
+        rules = extend_logical_axis_rules((("embed", "model"),))
+    d = dict(rules)
+    assert d["embed"] == "model"            # user rule kept
+    assert d[sh.W_TP_AXES] == "model"
+    assert d[sh.BATCH_AXES] == ("data",)
+    # user override wins over the package rule
+    with te.global_shard_guard(res):
+        rules2 = extend_logical_axis_rules(((sh.W_TP_AXES, None),))
+    assert dict(rules2)[sh.W_TP_AXES] is None

@@ -149,6 +149,52 @@ class LayerNorm(nn.Module):
                             self.zero_centered_gamma, self.epsilon)
 
 
+class Softmax(nn.Module):
+    """Softmax over (B, H, Sq, Skv) attention logits with optional
+    scaling, mask fusion, and sink (off-by-one / learnable) variants
+    (reference: jax/flax/module.py:164 Softmax). ``mask`` follows the
+    reference convention: 1/True = masked out."""
+
+    scale_factor: float = 1.0
+    softmax_fusion_type: Any = None   # softmax.SoftmaxType; None = SCALED
+    softmax_type: Any = None          # attention sink type; None = VANILLA
+    offset_init: Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, mask: Optional[jax.Array] = None,
+                 bias: Optional[jax.Array] = None,
+                 softmax_offset: Optional[jax.Array] = None) -> jax.Array:
+        from ..attention import SoftmaxType as SinkType
+        from ..softmax import SoftmaxType as FusionType, softmax as softmax_fn
+        fusion = self.softmax_fusion_type or FusionType.SCALED
+        sink = self.softmax_type or SinkType.VANILLA
+
+        logits = inputs
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        if sink is SinkType.VANILLA:
+            return softmax_fn(logits, mask, fusion, self.scale_factor)
+
+        # Sink variants: one extra logit column absorbs probability mass
+        # and is dropped after normalization (reference: off-by-one /
+        # learnable softmax types).
+        heads = logits.shape[1]
+        if sink is SinkType.LEARNABLE and softmax_offset is None:
+            softmax_offset = self.param("softmax_offset", self.offset_init,
+                                        (heads,), jnp.float32)
+        x = logits.astype(jnp.float32) * self.scale_factor
+        if mask is not None:
+            x = jnp.where(mask.astype(jnp.bool_), jnp.float32(-1e30), x)
+        bshape = (*x.shape[:-1], 1)
+        if sink is SinkType.LEARNABLE:
+            off = softmax_offset.reshape(1, -1, 1, 1).astype(jnp.float32)
+            col = jnp.broadcast_to(off, bshape)
+        else:
+            col = jnp.zeros(bshape, jnp.float32)
+        aug = jnp.concatenate([x, col], axis=-1)
+        return jax.nn.softmax(aug, axis=-1)[..., :-1].astype(inputs.dtype)
+
+
 class DenseGeneral(TransformerEngineBase):
     """Quantized dense layer (reference: jax/flax/module.py:421)."""
 

@@ -95,6 +95,18 @@ def generate_sharding_rules(resource: Optional[MeshResource] = None):
     )
 
 
+def extend_logical_axis_rules(rules, resource: Optional[MeshResource] = None):
+    """Extend user Flax logical-axis rules with this package's rules
+    (reference: jax/flax/transformer.py:63 extend_logical_axis_rules).
+    User entries win on conflict; make sure the mesh resource is set
+    (via autocast / global_shard_guard) before calling."""
+    rules = tuple(rules)
+    seen = {key for key, _ in rules}
+    extra = tuple((k, v) for k, v in generate_sharding_rules(resource)
+                  if k not in seen)
+    return rules + extra
+
+
 # ---------------------------------------------------------------------------
 # Collective helpers for the quantization state machine
 # ---------------------------------------------------------------------------
