@@ -82,6 +82,22 @@ class TestFeatures:
         assert len(entries) == 1
         assert "amax" in entries[0][2]
 
+    def test_log_nvfp4_tensor_stats_records(self):
+        """(reference: debug/features/log_nvfp4_tensor_stats.py —
+        underflows% and mse of the NVFP4 round-trip)"""
+        initialize(self._config("LogNVFP4TensorStats", tensors=["x"],
+                                freq=1))
+        qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+        w = wrap_quantizer_set(qset, "nvfp4_mlp")
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 32))
+        w.x.quantize(x)
+        entries = get_state().stats.entries("nvfp4_mlp")
+        assert len(entries) == 1
+        stats = entries[0][2]
+        assert "mse" in stats and "underflows_pct" in stats
+        assert stats["mse"] > 0.0          # fp4 is lossy on gaussians
+        assert 0.0 <= stats["underflows_pct"] < 50.0
+
     def test_unknown_feature_raises(self):
         with pytest.raises(ValueError, match="unknown debug feature"):
             initialize(self._config("NotAFeature"))

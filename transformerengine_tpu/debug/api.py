@@ -38,7 +38,8 @@ _ROLES = ("x", "kernel", "dgrad")
 
 _FEATURES = ("DisableFP8GEMM", "DisableFP8Layer", "DisableQuantizationGEMM",
              "DisableQuantizationLayer", "FakeQuant", "LogTensorStats",
-             "LogFp8TensorStats", "DumpTensors", "PerTensorScaling")
+             "LogFp8TensorStats", "LogNVFP4TensorStats", "DumpTensors",
+             "PerTensorScaling")
 
 
 @dataclasses.dataclass
@@ -112,9 +113,10 @@ class DebugState:
 
     def stats_cfg(self, layer: str, role: str) -> Optional[dict]:
         for fname, fcfg in self._features_for(layer):
-            if fname in ("LogTensorStats", "LogFp8TensorStats") and \
+            if fname in ("LogTensorStats", "LogFp8TensorStats",
+                         "LogNVFP4TensorStats") and \
                     role in fcfg.get("tensors", _ROLES):
-                return fcfg
+                return {"_feature": fname, **fcfg}
         return None
 
     def dump_cfg(self, layer: str, role: str) -> bool:
@@ -165,7 +167,11 @@ class DebugQuantizer(Quantizer):
             cfg = st.stats_cfg(self.layer_name, self.role)
             freq = cfg.get("freq", 1)
             if st.step % max(freq, 1) == 0:
-                stats = compute_tensor_stats(x)
+                if cfg.get("_feature") == "LogNVFP4TensorStats":
+                    from .stats import compute_nvfp4_stats
+                    stats = compute_nvfp4_stats(x)
+                else:
+                    stats = compute_tensor_stats(x)
                 layer, role = self.layer_name, self.role
 
                 def record(**kw):

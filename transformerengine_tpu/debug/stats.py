@@ -54,6 +54,28 @@ def compute_blockwise_dynamic_range(x: jax.Array, block: int = 32) -> jax.Array:
     return jnp.sum(dr) / jnp.maximum(jnp.sum(ok), 1)
 
 
+def compute_nvfp4_stats(x: jax.Array,
+                        block_shape=(1, 16)) -> Dict[str, jax.Array]:
+    """NVFP4-specific numerics stats (reference:
+    debug/features/log_nvfp4_tensor_stats.py — underflows% and mse):
+    quantize through the qmath NVFP4 ground truth, dequantize, and
+    measure what the format did to the tensor."""
+    from ..quantize import qmath
+    xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    data, s_e4m3, tensor_scale, _ = qmath.nvfp4_quantize(
+        xf, block_shape=block_shape)
+    eff = s_e4m3.astype(jnp.float32) * tensor_scale
+    dq = data.astype(jnp.float32) * qmath._expand_scales(
+        eff, block_shape[0], block_shape[1], *xf.shape)
+    nonzero = jnp.abs(xf) > 0
+    n = xf.size
+    return dict(
+        underflows_pct=jnp.sum(nonzero & (data.astype(jnp.float32) == 0))
+        / n * 100.0,
+        mse=jnp.mean(jnp.square(dq - xf)),
+    )
+
+
 class StatsBuffer:
     """Host-side accumulation of per-layer stats across steps
     (reference: debug/features/utils/stats_buffer.py)."""
