@@ -132,6 +132,65 @@ class TestSoftmaxTypes:
         assert jnp.any(g != 0)
 
 
+class TestFlashSoftmaxSinks:
+    """Sink softmax runs IN the Pallas flash kernel (one virtual
+    no-value key joins the denominator at the epilogue; reference:
+    fused_attn.h NVTE_Softmax_Type in cuDNN fused attention)."""
+
+    def test_flash_off_by_one_matches_unfused(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        q, k, v = _make_qkv(2, 128, 128, 4, 2, 32)
+        ref = fused_attn((q, k, v), backend=AttnBackend.UNFUSED,
+                         attn_mask_type=AttnMaskType.CAUSAL,
+                         softmax_type=SoftmaxType.OFF_BY_ONE)
+        out = fused_attn((q, k, v), backend=AttnBackend.FLASH,
+                         attn_mask_type=AttnMaskType.CAUSAL,
+                         softmax_type=SoftmaxType.OFF_BY_ONE)
+        assert float(jnp.max(jnp.abs(out - ref))) < 2e-5
+
+    def test_flash_learnable_matches_unfused_with_grads(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        q, k, v = _make_qkv(1, 64, 64, 2, 2, 32)
+        off0 = jnp.array([0.5, -0.3])
+
+        def loss(backend):
+            def f(q, k, v, off):
+                out = fused_attn((q, k, v), backend=backend,
+                                 attn_mask_type=AttnMaskType.CAUSAL,
+                                 softmax_type=SoftmaxType.LEARNABLE,
+                                 softmax_offset=off)
+                return jnp.sum(out ** 2)
+            return f
+
+        lf, gf = jax.value_and_grad(
+            loss(AttnBackend.FLASH), argnums=(0, 1, 2, 3))(q, k, v, off0)
+        lu, gu = jax.value_and_grad(
+            loss(AttnBackend.UNFUSED), argnums=(0, 1, 2, 3))(q, k, v, off0)
+        assert abs(float(lf - lu)) < 1e-3
+        for a, b in zip(gf, gu):
+            assert float(jnp.max(jnp.abs(a - b))) < 5e-4, (a.shape)
+
+    def test_flash_sink_with_padding(self):
+        """Fully-masked rows must come out zero (the sink absorbs all
+        mass and carries no value)."""
+        from transformerengine_tpu.attention import (
+            SequenceDescriptor, SoftmaxType)
+        q, k, v = _make_qkv(2, 64, 64, 2, 2, 32)
+        lens = jnp.array([40, 16])
+        sd = SequenceDescriptor.from_seqlens(lens)
+        out = fused_attn((q, k, v), sequence_descriptor=sd,
+                         backend=AttnBackend.FLASH,
+                         attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+                         softmax_type=SoftmaxType.OFF_BY_ONE)
+        ref = fused_attn((q, k, v), sequence_descriptor=sd,
+                         backend=AttnBackend.UNFUSED,
+                         attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+                         softmax_type=SoftmaxType.OFF_BY_ONE)
+        valid = (jnp.arange(64)[None] < lens[:, None])[..., None, None]
+        assert float(jnp.abs(jnp.where(valid, out - ref, 0)).max()) < 2e-5
+        assert float(jnp.abs(jnp.where(valid, 0, out)).max()) == 0.0
+
+
 class TestFlashBias:
     def test_post_scale_bias_fwd_matches_unfused(self):
         from transformerengine_tpu.attention import AttnBiasType

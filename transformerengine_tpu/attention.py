@@ -531,8 +531,8 @@ def fused_attn(
             head_dim=q.shape[-1], dropout_probability=dropout_probability,
             is_training=is_training, has_explicit_mask=mask is not None,
             window_size=window_size)
-    if softmax_type is not SoftmaxType.VANILLA:
-        chosen = AttnBackend.UNFUSED   # sink softmax not in the Pallas kernel
+    if softmax_type is not SoftmaxType.VANILLA and qkv_quantizers is not None:
+        chosen = AttnBackend.UNFUSED   # sinks not on the FP8 flash path
 
     if chosen is AttnBackend.FLASH:
         from .ops.flash_attention import flash_attention
@@ -552,7 +552,11 @@ def fused_attn(
                             if qkv_quantizers is not None and bias is None
                             else None),
             dropout_probability=rate,
-            dropout_seed=seed)
+            dropout_seed=seed,
+            softmax_type=(softmax_type
+                          if softmax_type is not SoftmaxType.VANILLA
+                          else None),
+            softmax_offset=softmax_offset)
 
     full_mask = mask
     if full_mask is None and (

@@ -247,19 +247,34 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
 
-def _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                   group, block_q, fp8):
+def _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref, m_ref,
+                   l_ref, group, block_q, fp8, use_sink=False):
     rows = group * block_q
     l = l_ref[..., :1]
-    l_safe = jnp.where(l > 0, l, 1.0)
     d = o_ref.shape[-1]
     acc = acc_ref[...]
     if fp8:
         acc = acc * scales_ref[1]       # V's sv_inv, linear in acc
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype).reshape(
-        group, block_q, d)
     m = m_ref[..., :1]          # log2-domain running max
-    lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
+    if use_sink:
+        # Softmax sink (off-by-one / learnable; reference: fused_attn.h
+        # NVTE_Softmax_Type): one virtual key with per-head logit s0 and
+        # no value joins the denominator at the epilogue. sink_ref holds
+        # s0*LOG2E per (group) head, broadcast along lanes.
+        s0 = sink_ref[0][:, :1]                      # (group, 1)
+        s0 = jax.lax.broadcast_in_dim(
+            s0, (group, block_q, 1), (0, 2)).reshape(rows, 1)
+        m2 = jnp.maximum(m, s0)
+        alpha = jnp.exp2(m - m2)    # 0 for fully-masked rows (m at floor)
+        l2 = l * alpha + jnp.exp2(s0 - m2)           # >= exp2(s0-m2) > 0
+        o_ref[0] = ((acc * alpha) / l2).astype(o_ref.dtype).reshape(
+            group, block_q, d)
+        lse = m2 * LN2 + jnp.log(l2)
+    else:
+        l_safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype).reshape(
+            group, block_q, d)
+        lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
     # 8 lanes, not 128: lse is one value per row; a 128-lane broadcast
     # writes 16x the HBM bytes (134 MB/call at B4/H32/S2048) for nothing.
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 8)).reshape(
@@ -268,13 +283,14 @@ def _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
 
 def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                 k_ref, v_ref,
-                bias_ref, o_ref, lse_ref,
+                bias_ref, sink_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *,
                 causal: bool, use_segments: bool,
                 use_bias: bool, fp8: bool, dropout_rate: float,
                 window: Tuple[int, int], offset: int,
                 group: int, block_q: int, block_k: int, num_k_blocks: int,
-                score_mod=None, scale=1.0, dynamic_window: bool = False):
+                score_mod=None, scale=1.0, dynamic_window: bool = False,
+                use_sink: bool = False):
     """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
     are stacked into one (group*block_q, d) operand so each K/V block is
     DMA'd and matmul'd once per group instead of once per query head
@@ -326,19 +342,20 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
 
     @pl.when(ik == num_k_blocks - 1)
     def _epilogue():
-        _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                       group, block_q, fp8)
+        _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref,
+                       m_ref, l_ref, group, block_q, fp8,
+                       use_sink=use_sink)
 
 
 def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                       q_ref,
-                      k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                      k_ref, v_ref, bias_ref, sink_ref, o_ref, lse_ref,
                       acc_ref, m_ref, l_ref, *,
                       causal: bool, use_segments: bool, use_bias: bool,
                       fp8: bool, dropout_rate: float,
                       window: Tuple[int, int], offset: int,
                       group: int, block_q: int, block_k: int,
-                      score_mod=None, scale=1.0):
+                      score_mod=None, scale=1.0, use_sink: bool = False):
     """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
     block pair (steps[0,t], steps[1,t]) — ONLY reachable blocks are
     enumerated (lower triangle for causal, band for sliding window), so
@@ -369,8 +386,9 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
-        _fwd_write_out(scales_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                       group, block_q, fp8)
+        _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref,
+                       m_ref, l_ref, group, block_q, fp8,
+                       use_sink=use_sink)
 
 
 def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
@@ -414,7 +432,8 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                window, offset, block_q, block_k, static_pos=False,
                scale_invs=None, out_dtype=None,
-               dropout_rate=0.0, dropout_seed=None, score_mod=None):
+               dropout_rate=0.0, dropout_seed=None, score_mod=None,
+               softmax_sink=None):
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
@@ -481,6 +500,17 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
     else:
         bias = jnp.zeros((1, 1, 8, 128), jnp.float32)
         bias_b = 1
+    use_sink = softmax_sink is not None
+    if use_sink:
+        # Per-head sink logits, pre-converted to the exp2 domain and
+        # broadcast along lanes; block (1, group, 128) indexed by hkv.
+        sink = jnp.broadcast_to(
+            (softmax_sink.astype(jnp.float32) * LOG2E).reshape(
+                hkv, group, 1), (hkv, group, 128))
+        sink_block = (1, group, 128)
+    else:
+        sink = jnp.zeros((1, 1, 128), jnp.float32)
+        sink_block = (1, 1, 128)
 
     out_shape = [
         jax.ShapeDtypeStruct((b, hq, sq, d), o_dtype),
@@ -506,7 +536,12 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
             window=window, offset=offset,
             group=group, block_q=block_q, block_k=block_k,
-            score_mod=score_mod, scale=scale)
+            score_mod=score_mod, scale=scale, use_sink=use_sink)
+        sink_spec = pl.BlockSpec(
+            sink_block,
+            (lambda bi, hk, t, st: (hk, 0, 0)) if use_sink
+            else (lambda bi, hk, t, st: (0, 0, 0)),
+            memory_space=pltpu.VMEM)
         if use_bias:
             bias_spec = pl.BlockSpec(
                 (1, group, block_q, block_k),
@@ -548,6 +583,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                                  lambda bi, hk, t, st: (bi, hk, st[1, t], 0),
                                  memory_space=pltpu.VMEM),
                     bias_spec,
+                    sink_spec,
                 ],
                 out_specs=[
                     pl.BlockSpec((1, group, block_q, d),
@@ -564,7 +600,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             cost_estimate=cost,
             interpret=_interpret(),
-        )(jnp.asarray(steps), scales, seed, qseg, kseg, q, k, v, bias)
+        )(jnp.asarray(steps), scales, seed, qseg, kseg, q, k, v, bias, sink)
         return o, lse[..., 0]
 
     grid = (b, hkv, nq, nk)
@@ -574,7 +610,12 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         window=window, offset=offset, group=group,
         block_q=block_q, block_k=block_k,
         num_k_blocks=nk, score_mod=score_mod, scale=scale,
-        dynamic_window=dyn_win)
+        dynamic_window=dyn_win, use_sink=use_sink)
+    sink_spec = pl.BlockSpec(
+        sink_block,
+        (lambda bi, hk, iq, ik: (hk, 0, 0)) if use_sink
+        else (lambda bi, hk, iq, ik: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
     if use_bias:
         bias_spec = pl.BlockSpec(
             (1, group, block_q, block_k),
@@ -617,6 +658,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                          lambda bi, hk, iq, ik: (bi, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             bias_spec,
+            sink_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, group, block_q, d),
@@ -633,7 +675,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                                  "arbitrary")),
         cost_estimate=cost,
         interpret=_interpret(),
-    )(qoff, scales, seed, qseg, kseg, q, k, v, bias)
+    )(qoff, scales, seed, qseg, kseg, q, k, v, bias, sink)
     return o, lse[..., 0]
 
 
@@ -1266,38 +1308,48 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
 # custom_vjp wrapper (BSHD user layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def _flash_core(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal, window,
-                offset, blocks, score_mod=None):
-    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale,
-                           causal, window, offset, blocks, score_mod)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _flash_core(q, k, v, qseg, kseg, qoff, bias, sink, seed, scale, causal,
+                window, offset, blocks, score_mod=None):
+    o, _ = _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, sink, seed,
+                           scale, causal, window, offset, blocks, score_mod)
     return o
 
 
-def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, seed, scale, causal,
-                    window, offset, blocks, score_mod=None):
+def _flash_core_fwd(q, k, v, qseg, kseg, qoff, bias, sink, seed, scale,
+                    causal, window, offset, blocks, score_mod=None):
     o, lse = _flash_fwd(q, k, v, qseg, kseg, qoff, bias, scale=scale,
                         causal=causal, window=window, offset=offset,
                         block_q=blocks[0], block_k=blocks[1],
                         static_pos=blocks[2], dropout_rate=blocks[3],
-                        dropout_seed=seed, score_mod=score_mod)
-    return o, (q, k, v, o, lse, qseg, kseg, qoff, bias, seed)
+                        dropout_seed=seed, score_mod=score_mod,
+                        softmax_sink=sink)
+    return o, (q, k, v, o, lse, qseg, kseg, qoff, bias, sink, seed)
 
 
 def _flash_core_bwd(scale, causal, window, offset, blocks, score_mod, res,
                     do):
-    q, k, v, o, lse, qseg, kseg, qoff, bias, seed = res
+    q, k, v, o, lse, qseg, kseg, qoff, bias, sink, seed = res
     dq, dk, dv, dbias = _flash_bwd(
         q, k, v, o, lse, do, qseg, kseg, qoff, bias, scale=scale,
         causal=causal, window=window, offset=offset,
         block_q=blocks[0], block_k=blocks[1],
         static_pos=blocks[2], dropout_rate=blocks[3], dropout_seed=seed,
         score_mod=score_mod)
+    # The sink only enters the bwd kernels through lse, so dq/dk/dv need
+    # no kernel change; the sink's own grad is p_sink * (0 - delta)
+    # summed over (batch, query) — computable from the saved lse.
+    dsink = None
+    if sink is not None:
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1)
+        p_sink = jnp.exp(sink.astype(jnp.float32).reshape(
+            1, -1, 1) - lse)                       # (B, Hq, Sq)
+        dsink = -(p_sink * delta).sum(axis=(0, 2)).astype(sink.dtype)
     if dbias is not None:
         if bias.shape[0] == 1:       # broadcast batch: reduce
             dbias = jnp.sum(dbias, axis=0, keepdims=True)
         dbias = dbias.astype(bias.dtype)
-    return dq, dk, dv, None, None, None, dbias, None
+    return dq, dk, dv, None, None, None, dbias, dsink, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -1382,6 +1434,9 @@ def flash_attention(
     dropout_seed=None,     # PRNG key or (2,) int32; required if rate > 0
     score_mod=None,        # score_mod(s, b, h, q_idx, kv_idx) traced
                            # into the kernel (arithmetic-only: no gathers)
+    softmax_type=None,     # attention.SoftmaxType; sink types run
+                           # in-kernel (one virtual no-value key)
+    softmax_offset=None,   # (Hq,) learnable sink logits
 ) -> jax.Array:
     """Flash attention over BSHD inputs. Masking comes from
     ``attn_mask_type`` (+ optional seqlens / segment ids in
@@ -1458,6 +1513,15 @@ def flash_attention(
     else:
         seed = jnp.zeros((2,), jnp.int32)
     blocks = (block_q, block_k, q_position_offset is None, rate)
+    sink = None
+    if softmax_type is not None:
+        from ..attention import SoftmaxType as _ST
+        if softmax_type is _ST.OFF_BY_ONE:
+            sink = jnp.zeros((hq,), jnp.float32)
+        elif softmax_type is _ST.LEARNABLE:
+            assert softmax_offset is not None, (
+                "LEARNABLE softmax requires softmax_offset (Hq,)")
+            sink = jnp.asarray(softmax_offset).reshape(hq)
     if score_mod is not None:
         assert qkv_quantizers is None, (
             "score_mod is not supported on the FP8 flash path")
@@ -1466,6 +1530,8 @@ def flash_attention(
             "into the mod or use the bias argument alone")
     if qkv_quantizers is not None:
         assert bias is None, "FP8 flash attention does not take a bias"
+        assert sink is None, (
+            "softmax sink types are not supported on the FP8 flash path")
         for qz in qkv_quantizers:
             assert qz.scaling_mode.is_tensor_scaling, (
                 "FP8 flash attention requires per-tensor scaling "
@@ -1473,7 +1539,7 @@ def flash_attention(
         o = _fp8_core(qt, kt, vt, qseg, kseg, qoff, tuple(qkv_quantizers),
                       seed, float(scale), causal, window, offset, blocks)
     else:
-        o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, seed,
+        o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, sink, seed,
                         float(scale), causal, window, offset, blocks,
                         score_mod)
     o = o.transpose(0, 2, 1, 3)
