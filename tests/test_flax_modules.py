@@ -345,3 +345,28 @@ def test_extend_logical_axis_rules():
     with te.global_shard_guard(res):
         rules2 = extend_logical_axis_rules(((sh.W_TP_AXES, None),))
     assert dict(rules2)[sh.W_TP_AXES] is None
+
+
+def test_mha_learnable_sink_cached_prefill_matches_train_path():
+    """The learnable sink lives in MHA scope so the training (DPA) path
+    and the cached-inference path share one parameter; prefill through
+    the KV cache must reproduce the train-path forward."""
+    from transformerengine_tpu.attention import SoftmaxType
+    from transformerengine_tpu.flax import MultiHeadAttention
+    from transformerengine_tpu.inference import InferenceParams
+
+    mha = MultiHeadAttention(
+        hidden_size=64, num_attention_heads=4, num_gqa_groups=2,
+        softmax_type=SoftmaxType.LEARNABLE, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64), jnp.float32)
+    variables = mha.init(jax.random.PRNGKey(1), x)
+    params = variables["params"]
+    assert params["softmax_offset"].shape == (4,)
+    params = dict(params, softmax_offset=jnp.linspace(-1.0, 1.0, 4))
+    variables = dict(variables, params=params)
+
+    ref = mha.apply(variables, x)
+    ip = InferenceParams(max_batch_size=2, max_sequence_length=64)
+    out, _ = mha.apply(variables, x, inference_params=ip,
+                       mutable=["cache"])
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4

@@ -32,6 +32,31 @@ class TestDecodeAttention:
             backend=AttnBackend.UNFUSED)
         assert jnp.max(jnp.abs(out - ref)) < 2e-5
 
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_softmax_sink_matches_unfused(self, backend):
+        """Sink softmax in decode (both backends) vs the unfused sink
+        reference (reference: fused_attn.h NVTE_Softmax_Type; serving
+        GPT-OSS-style sink-attention models from the KV cache)."""
+        from transformerengine_tpu.attention import SoftmaxType
+        b, smax, hq, hkv, d = 2, 128, 4, 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+        kc = jax.random.normal(ks[1], (b, smax, hkv, d), jnp.float32)
+        vc = jax.random.normal(ks[2], (b, smax, hkv, d), jnp.float32)
+        sink = jax.random.normal(ks[3], (hq,), jnp.float32)
+        lengths = jnp.array([100, 37], jnp.int32)
+        out = decode_attention(q, kc, vc, lengths, softmax_sink=sink,
+                               backend=backend)
+        ref = fused_attn(
+            (q, kc, vc),
+            sequence_descriptor=SequenceDescriptor.from_seqlens(
+                jnp.ones((b,), jnp.int32), lengths),
+            attn_mask_type=AttnMaskType.PADDING,
+            softmax_type=SoftmaxType.LEARNABLE,
+            softmax_offset=sink,
+            backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
     def test_fp8_cache_close(self):
         b, smax, hq, hkv, d = 1, 64, 2, 2, 64
         ks = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -162,6 +187,33 @@ class TestPagedDecodeAttention:
         kc = jnp.concatenate(toks, axis=1)
         ref = decode_attention(q, kc, kc, state.lengths)
         assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
+    def test_paged_softmax_sink_matches_contiguous(self):
+        from transformerengine_tpu.attention import SoftmaxType
+        from transformerengine_tpu.inference.kv_cache import (
+            PagedKVState, paged_append_prompt)
+        from transformerengine_tpu.ops.paged_attention import (
+            paged_decode_attention)
+        b, s, hkv, hq, d, page = 2, 64, 2, 4, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+        kc = jax.random.normal(ks[1], (b, s, hkv, d), jnp.float32)
+        vc = jax.random.normal(ks[2], (b, s, hkv, d), jnp.float32)
+        sink = jax.random.normal(ks[3], (hq,), jnp.float32)
+        mpps = s // page
+        state = PagedKVState(
+            pages_k=jnp.zeros((b * mpps, page, hkv, d)),
+            pages_v=jnp.zeros((b * mpps, page, hkv, d)),
+            page_table=jnp.full((b, mpps), -1, jnp.int32),
+            lengths=jnp.zeros((b,), jnp.int32),
+            free_head=jnp.zeros((), jnp.int32))
+        state = paged_append_prompt(state, kc, vc, None)
+        out = paged_decode_attention(
+            q, state.pages_k, state.pages_v, state.page_table,
+            state.lengths, softmax_sink=sink)
+        ref = decode_attention(q, kc, vc, state.lengths,
+                               softmax_sink=sink)
+        assert float(jnp.max(jnp.abs(out - ref))) < 2e-5
 
     def test_fp8_pages(self):
         from transformerengine_tpu.inference import calibrate_kv_scale

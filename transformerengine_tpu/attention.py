@@ -493,6 +493,11 @@ def fused_attn(
     if context_parallel_axis and context_parallel_strategy in (
             CPStrategy.RING, CPStrategy.RING_STRIPED,
             CPStrategy.ALL_GATHER, CPStrategy.ULYSSES_A2A):
+        if softmax_type is not SoftmaxType.VANILLA:
+            raise NotImplementedError(
+                "softmax sink types are not wired through the CP "
+                "strategies (the sink joins once per query row, not per "
+                "KV chunk); run sinks without context parallelism")
         from .parallel.ring_attention import (
             all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
         if context_parallel_strategy in (CPStrategy.RING,

@@ -111,6 +111,7 @@ class DotProductAttention(nn.Module):
     window_size: Optional[Tuple[int, int]] = None
     scale_factor: Optional[float] = None
     context_parallel_axis: str = ""
+    softmax_type: Any = None             # attention.SoftmaxType (sinks)
 
     @nn.compact
     def __call__(
@@ -122,7 +123,14 @@ class DotProductAttention(nn.Module):
         bias: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        softmax_offset: Optional[jax.Array] = None,
     ) -> jax.Array:
+        from ..attention import SoftmaxType
+        stype = self.softmax_type or SoftmaxType.VANILLA
+        if stype is SoftmaxType.LEARNABLE and softmax_offset is None:
+            softmax_offset = self.param(
+                "softmax_offset", nn.initializers.zeros,
+                (self.num_attention_heads,), jnp.float32)
         dropout = 0.0 if deterministic else self.attention_dropout
         seed = None
         if dropout > 0.0:
@@ -137,6 +145,7 @@ class DotProductAttention(nn.Module):
         cfg = get_quantize_config()
         if (cfg.enabled and getattr(cfg.recipe, "fp8_dpa", False)
                 and bias is None and dropout == 0.0
+                and stype is SoftmaxType.VANILLA
                 and not self.context_parallel_axis):
             from ..quantize.dtypes import float8_e4m3
             from ..quantize.quantizer import (CurrentScaleQuantizer,
@@ -160,7 +169,9 @@ class DotProductAttention(nn.Module):
             window_size=self.window_size,
             context_parallel_strategy=cp,
             context_parallel_axis=self.context_parallel_axis,
-            qkv_quantizers=qkv_quantizers)
+            qkv_quantizers=qkv_quantizers,
+            softmax_type=stype,
+            softmax_offset=softmax_offset)
         b, s, h, d = out.shape
         return out.reshape(b, s, h * d)
 
@@ -182,6 +193,7 @@ class MultiHeadAttention(TransformerEngineBase):
     attn_bias_type: AttnBiasType = AttnBiasType.NO_BIAS
     attention_dropout: float = 0.0
     window_size: Optional[Tuple[int, int]] = None
+    softmax_type: Any = None         # attention.SoftmaxType (sink types)
     enable_rotary_pos_emb: bool = False
     rotary_pos_emb_base: float = 10000.0
     max_seq_len: int = 8192
@@ -215,6 +227,14 @@ class MultiHeadAttention(TransformerEngineBase):
         d = self.head_dim or self.hidden_size // self.num_attention_heads
         hq = self.num_attention_heads
         hkv = self.num_gqa_groups or hq
+        from ..attention import SoftmaxType
+        stype = self.softmax_type or SoftmaxType.VANILLA
+        # The learnable sink lives in MHA scope so training (DPA) and
+        # cached inference (flash prefill / decode kernel) share it.
+        soffset = None
+        if stype is SoftmaxType.LEARNABLE:
+            soffset = self.param("softmax_offset", nn.initializers.zeros,
+                                 (hq,), jnp.float32)
         is_self_attn = kv_source is None
         qkv_axes = (sh.W_FSDP_AXES, sh.W_TP_AXES)
         in_axes = (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HIDDEN_AXES)
@@ -278,7 +298,8 @@ class MultiHeadAttention(TransformerEngineBase):
 
         if inference_params is not None:
             out_ctx = self._cached_attention(
-                q, k, v, inference_params, sequence_descriptor)
+                q, k, v, inference_params, sequence_descriptor,
+                softmax_type=stype, softmax_offset=soffset)
             return DenseGeneral(
                 features=self.hidden_size, use_bias=self.use_bias,
                 kernel_init=self.kernel_init,
@@ -299,9 +320,10 @@ class MultiHeadAttention(TransformerEngineBase):
             attention_dropout=self.attention_dropout,
             window_size=self.window_size,
             context_parallel_axis=self.context_parallel_axis,
+            softmax_type=self.softmax_type,
             name="core_attention")(
                 q, k, v, sequence_descriptor, bias,
-                deterministic=deterministic)
+                deterministic=deterministic, softmax_offset=soffset)
 
         out = DenseGeneral(
             features=self.hidden_size,
@@ -315,9 +337,17 @@ class MultiHeadAttention(TransformerEngineBase):
         return out
 
     def _cached_attention(self, q, k, v, inference_params,
-                          sequence_descriptor):
+                          sequence_descriptor, softmax_type=None,
+                          softmax_offset=None):
         """Prefill/decode through the KV cache ("cache" collection;
         reference: pytorch/attention/inference.py KVCacheManager.step)."""
+        from ..attention import SoftmaxType
+        stype = softmax_type or SoftmaxType.VANILLA
+        sink = None
+        if stype is SoftmaxType.OFF_BY_ONE:
+            sink = jnp.zeros((q.shape[2],), jnp.float32)
+        elif stype is SoftmaxType.LEARNABLE:
+            sink = softmax_offset
         from ..inference.kv_cache import (
             cache_append_bhsd, calibrate_kv_scale)
         from ..ops.decode_attention import decode_attention
@@ -331,7 +361,7 @@ class MultiHeadAttention(TransformerEngineBase):
         cache_dtype = ip.kv_cache_dtype
         if ip.is_paged:
             return self._paged_cached_attention(
-                q, k, v, ip, sequence_descriptor)
+                q, k, v, ip, sequence_descriptor, stype, sink)
         # (B, Hkv, S, D) layout — what the decode kernel reads, so no
         # per-step transpose copies; 128-aligned S lets the kernel pick a
         # divisor block and skip the whole-cache pad copy.
@@ -369,22 +399,29 @@ class MultiHeadAttention(TransformerEngineBase):
                                 else AttnMaskType.CAUSAL),
                 scaling_factor=self.scale_factor if hasattr(self, "scale_factor")
                 else None,
-                window_size=window)
+                window_size=window,
+                softmax_type=(stype if stype is not SoftmaxType.VANILLA
+                              else None),
+                softmax_offset=sink)
         else:
             dq_scale = (1.0 / kv_scale.value) if ip.is_fp8 else None
             out = decode_attention(
                 q, ck.value, cv.value, clen.value,
                 kv_scale=dq_scale,
                 window_left=window[0] if window is not None else -1,
-                kv_layout="BHSD")
+                kv_layout="BHSD",
+                softmax_sink=sink)
         bq, sq, hq, dd = out.shape
         return out.reshape(bq, sq, hq * dd)
 
-    def _paged_cached_attention(self, q, k, v, ip, sequence_descriptor):
+    def _paged_cached_attention(self, q, k, v, ip, sequence_descriptor,
+                                stype=None, sink=None):
         """Paged-cache collection path (reference: PagedKVCacheManager,
         pytorch/attention/inference.py:591): the page pool, page table,
         lengths, and free-list all live in the "cache" collection, and
         decode reads pages through the scalar-prefetch Pallas kernel."""
+        from ..attention import SoftmaxType
+        stype = stype or SoftmaxType.VANILLA
         from ..inference.kv_cache import (
             PagedKVState, calibrate_kv_scale, paged_append_prompt,
             paged_append_token)
@@ -435,12 +472,15 @@ class MultiHeadAttention(TransformerEngineBase):
                 q, k, v, desc,
                 attn_mask_type=(AttnMaskType.PADDING_CAUSAL
                                 if desc is not None else
-                                AttnMaskType.CAUSAL))
+                                AttnMaskType.CAUSAL),
+                softmax_type=(stype if stype is not SoftmaxType.VANILLA
+                              else None),
+                softmax_offset=sink)
         else:
             dq_scale = (1.0 / kv_scale.value) if ip.is_fp8 else None
             out = paged_decode_attention(
                 q, state.pages_k, state.pages_v, state.page_table,
-                state.lengths, kv_scale=dq_scale)
+                state.lengths, kv_scale=dq_scale, softmax_sink=sink)
         bq, sq, hq, dd = out.shape
         return out.reshape(bq, sq, hq * dd)
 
@@ -463,6 +503,7 @@ class TransformerLayer(TransformerEngineBase):
     use_bias: bool = False
     self_attn_mask_type: AttnMaskType = AttnMaskType.CAUSAL
     window_size: Optional[Tuple[int, int]] = None
+    softmax_type: Any = None         # attention.SoftmaxType (sink types)
     layer_type: str = "encoder"      # "encoder" | "decoder" (adds cross-attn)
     enable_rotary_pos_emb: bool = False
     rotary_pos_emb_base: float = 10000.0
@@ -535,6 +576,7 @@ class TransformerLayer(TransformerEngineBase):
             attn_bias_type=attn_bias_type,
             attention_dropout=self.attention_dropout,
             window_size=self.window_size,
+            softmax_type=self.softmax_type,
             enable_rotary_pos_emb=self.enable_rotary_pos_emb,
             rotary_pos_emb_base=self.rotary_pos_emb_base,
             max_seq_len=self.max_seq_len,

@@ -34,10 +34,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
-                   acc_ref, m_ref, l_ref, *,
+def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, sink_ref,
+                   o_ref, acc_ref, m_ref, l_ref, *,
                    scale: float, block_s: int, num_s_blocks: int,
-                   window_left: int):
+                   window_left: int, use_sink: bool = False):
     bi, si = pl.program_id(0), pl.program_id(1)
 
     @pl.when(si == 0)
@@ -84,12 +84,23 @@ def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(si == num_s_blocks - 1)
     def _epilogue():
         l = l_ref[..., :1]
-        l_safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        if use_sink:
+            # Softmax sink: one virtual no-value key per head joins the
+            # denominator (same epilogue trick as the flash kernel).
+            m = m_ref[..., :1]
+            s0 = sink_ref[..., :1]                   # (Hkv, G, 1)
+            m2 = jnp.maximum(m, s0)
+            alpha = jnp.where(m2 <= NEG_INF / 2, 0.0, jnp.exp(m - m2))
+            l2 = l * alpha + jnp.exp(s0 - m2)
+            o_ref[0] = ((acc_ref[...] * alpha) / l2).astype(o_ref.dtype)
+        else:
+            l_safe = jnp.where(l > 0, l, 1.0)
+            o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
 
 
 def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
-                          scale, window_left, out_dtype, kv_layout):
+                          scale, window_left, out_dtype, kv_layout,
+                          softmax_sink=None):
     """Decode attention as two XLA batched matmuls with DIRECT fp8 cache
     operands. Measured faster than the Pallas kernel on v5e (105 vs 155
     us/layer at B=8, S=640): the op is 64 tiny matmuls and XLA's batched
@@ -115,7 +126,13 @@ def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
         mask = jnp.logical_and(
             mask, kpos >= (lengths[:, None, None, None] - 1 - window_left))
     s = jnp.where(mask, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    if softmax_sink is not None:
+        s0 = softmax_sink.astype(jnp.float32).reshape(1, hkv, g, 1)
+        aug = jnp.concatenate(
+            [s, jnp.broadcast_to(s0, (b, hkv, g, 1))], axis=-1)
+        p = jax.nn.softmax(aug, axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgs,bhsd->bhgd", p.astype(op_dtype), v_cache,
                    preferred_element_type=jnp.float32)
     o = o * kv_scale[0]
@@ -135,6 +152,7 @@ def decode_attention(
     out_dtype=None,
     kv_layout: str = "BSHD",   # "BHSD" = cache already (B, Hkv, S, D)
     backend: str = "auto",     # "auto" | "xla" | "pallas"
+    softmax_sink: Optional[jax.Array] = None,   # (Hq,) sink logits
 ) -> jax.Array:
     """Returns (B, 1, Hq, D) attention output of the newest token."""
     squeeze = False
@@ -161,7 +179,7 @@ def decode_attention(
         out = _xla_decode_attention(
             q, k_cache, v_cache, lengths, kv_scale=kv_scale,
             scale=float(scale), window_left=window_left, out_dtype=out_dtype,
-            kv_layout=kv_layout)
+            kv_layout=kv_layout, softmax_sink=softmax_sink)
         return out if not squeeze else out
 
     # Prefer the LARGEST block (up to 1024) dividing s_max exactly —
@@ -193,9 +211,16 @@ def decode_attention(
         kt = k_cache.transpose(0, 2, 1, 3)
         vt = v_cache.transpose(0, 2, 1, 3)
 
+    use_sink = softmax_sink is not None
+    if use_sink:
+        sink = jnp.broadcast_to(
+            softmax_sink.astype(jnp.float32).reshape(hkv, g, 1),
+            (hkv, g, 128))
+    else:
+        sink = jnp.zeros((1, 1, 128), jnp.float32)
     kernel = functools.partial(
         _decode_kernel, scale=float(scale), block_s=block_s, num_s_blocks=ns,
-        window_left=window_left)
+        window_left=window_left, use_sink=use_sink)
     out = pl.pallas_call(
         kernel,
         grid=(b, ns),
@@ -209,6 +234,8 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, block_s, d),
                          lambda bi, si: (bi, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sink.shape, lambda bi, si: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, si: (bi, 0, 0, 0),
@@ -226,6 +253,6 @@ def decode_attention(
             bytes_accessed=2 * b * hkv * s_max * d * k_cache.dtype.itemsize,
             transcendentals=b * hq * s_max),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), kv_scale, qg, kt, vt)
+    )(lengths.astype(jnp.int32), kv_scale, qg, kt, vt, sink)
     out = out.reshape(b, 1, hq, d)
     return out if not squeeze else out

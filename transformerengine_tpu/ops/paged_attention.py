@@ -29,8 +29,9 @@ def _interpret() -> bool:
 
 
 def _paged_kernel(table_ref, lengths_ref, scale_ref, q_ref, k_ref, v_ref,
-                  o_ref, acc_ref, m_ref, l_ref, *,
-                  page_size: int, pages_per_seq: int, sm_scale: float):
+                  sink_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  page_size: int, pages_per_seq: int, sm_scale: float,
+                  use_sink: bool = False):
     bi, hk, pi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(pi == 0)
@@ -69,8 +70,18 @@ def _paged_kernel(table_ref, lengths_ref, scale_ref, q_ref, k_ref, v_ref,
     @pl.when(pi == pages_per_seq - 1)
     def _epilogue():
         l = l_ref[..., :1]
-        l_safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        if use_sink:
+            # Softmax sink: same epilogue trick as the flash/decode
+            # kernels (one virtual no-value key per head).
+            m = m_ref[..., :1]
+            s0 = sink_ref[0][..., :1]                # (G, 1)
+            m2 = jnp.maximum(m, s0)
+            alpha = jnp.where(m2 <= NEG_INF / 2, 0.0, jnp.exp(m - m2))
+            l2 = l * alpha + jnp.exp(s0 - m2)
+            o_ref[0, 0] = ((acc_ref[...] * alpha) / l2).astype(o_ref.dtype)
+        else:
+            l_safe = jnp.where(l > 0, l, 1.0)
+            o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -83,6 +94,7 @@ def paged_decode_attention(
     kv_scale: Optional[jax.Array] = None,
     scaling_factor: Optional[float] = None,
     out_dtype=None,
+    softmax_sink: Optional[jax.Array] = None,   # (Hq,) sink logits
 ) -> jax.Array:
     """Decode attention straight over the paged cache."""
     if q.ndim == 3:
@@ -103,9 +115,22 @@ def paged_decode_attention(
     vt = pages_v.transpose(2, 0, 1, 3)
     table = jnp.clip(page_table, 0, num_pages - 1).astype(jnp.int32)
 
+    use_sink = softmax_sink is not None
+    if use_sink:
+        sink = jnp.broadcast_to(
+            softmax_sink.astype(jnp.float32).reshape(hkv, g, 1),
+            (hkv, g, 128))
+        sink_block = (1, g, 128)
+        sink_idx = lambda bi, hk, pi, tab, ln, sc: (hk, 0, 0)
+    else:
+        sink = jnp.zeros((1, 1, 128), jnp.float32)
+        sink_block = (1, 1, 128)
+        sink_idx = lambda bi, hk, pi, tab, ln, sc: (0, 0, 0)
+
     grid = (b, hkv, mpps)
     kernel = functools.partial(
-        _paged_kernel, page_size=page, pages_per_seq=mpps, sm_scale=scale)
+        _paged_kernel, page_size=page, pages_per_seq=mpps, sm_scale=scale,
+        use_sink=use_sink)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # table, lengths, scale
@@ -117,6 +142,7 @@ def paged_decode_attention(
                          (hk, tab[bi, pi], 0, 0)),
             pl.BlockSpec((1, 1, page, d), lambda bi, hk, pi, tab, ln, sc:
                          (hk, tab[bi, pi], 0, 0)),
+            pl.BlockSpec(sink_block, sink_idx),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hk, pi, tab, ln, sc:
                                (bi, hk, 0, 0)),
@@ -132,5 +158,5 @@ def paged_decode_attention(
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), out_dtype),
         interpret=_interpret(),
     )(table, lengths.astype(jnp.int32),
-      jnp.asarray(kv_scale, jnp.float32).reshape(1), qg, kt, vt)
+      jnp.asarray(kv_scale, jnp.float32).reshape(1), qg, kt, vt, sink)
     return out.reshape(b, 1, hq, d)
