@@ -281,3 +281,50 @@ class TestSampling:
                        tokens, jnp.full((1,), 8, jnp.int32), 4,
                        temperature=0.8, top_k=40, top_p=0.95)
         assert out.shape == (1, 4)
+
+
+class TestContinuousBatching:
+    """Slot-based continuous batching scheduler (reference serving
+    integration point: InferenceParams slot reuse, te_gemma tutorial).
+    More requests than slots; every request's output must equal the
+    standalone whole-batch generate() of the same prompt."""
+
+    def test_outputs_match_generate(self):
+        from transformerengine_tpu.inference import (
+            ContinuousBatchingEngine, generate)
+        model = LlamaModel(config=LLAMA_TINY)
+        P, NEW, B = 16, 6, 2
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, jnp.zeros((1, P), jnp.int32))
+        prompts = [
+            list(range(3, 3 + P)),
+            list(range(5, 5 + 10)),         # shorter than P
+            list(range(2, 2 + P)),
+            list(range(11, 11 + 7)),
+        ]
+        eng = ContinuousBatchingEngine(
+            model, variables, max_batch_size=B,
+            max_sequence_length=P + NEW + 8, prompt_len=P,
+            max_new_tokens=NEW, kv_cache_dtype=jnp.float32)
+        rids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        assert sorted(out) == sorted(rids)
+
+        for rid, prompt in zip(rids, prompts):
+            toks = jnp.zeros((1, P), jnp.int32).at[0, :len(prompt)].set(
+                jnp.asarray(prompt, jnp.int32))
+            ref = generate(model, variables, toks,
+                           jnp.asarray([len(prompt)], jnp.int32), NEW,
+                           kv_cache_dtype=jnp.float32)
+            assert out[rid] == [int(t) for t in ref[0]], (rid, out[rid])
+
+    def test_fp8_cache_rejected(self):
+        from transformerengine_tpu.inference import ContinuousBatchingEngine
+        model = LlamaModel(config=LLAMA_TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8), jnp.int32))
+        with pytest.raises(NotImplementedError, match="KV scale"):
+            ContinuousBatchingEngine(
+                model, variables, max_batch_size=2,
+                max_sequence_length=64, prompt_len=8, max_new_tokens=4,
+                kv_cache_dtype=float8_e4m3)
