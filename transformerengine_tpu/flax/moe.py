@@ -69,7 +69,9 @@ class MoELayerNormMLP(TransformerEngineBase):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         del deterministic  # no dropout inside the routed MLP
         acts = normalize_activation_type(self.activations)
-        n_act = len(acts)
+        # clamped_swiglu is gated (two FFN halves) despite the 1-tuple
+        # sentinel form.
+        n_act = 2 if acts == ("clamped_swiglu",) else len(acts)
         h = x.shape[-1]
         e, f = self.num_experts, self.intermediate_dim
 

@@ -28,7 +28,10 @@ def _expert_mlp(h, w_up, w_down, group_sizes, acts, qset1, qset2):
     n_act = len(acts)
     ffn = w_down.shape[1]
     z = grouped_dense(h, w_up, group_sizes, quantizer_set=qset1)
-    if n_act == 2:
+    if acts == ("clamped_swiglu",):
+        from .ops.activation import clamped_swiglu
+        a = clamped_swiglu(z.reshape(*z.shape[:-1], 2, ffn))
+    elif n_act == 2:
         z = z.reshape(*z.shape[:-1], 2, ffn)
         a = _ACT[acts[0]](z[..., 0, :]) * _ACT[acts[1]](z[..., 1, :])
     else:

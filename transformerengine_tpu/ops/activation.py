@@ -93,6 +93,10 @@ GATED_ALIASES = {
 
 def normalize_activation_type(
     activation_type: Union[str, Sequence[str]]) -> Tuple[str, ...]:
+    # clamped_swiglu is gated but not an act(x0)*x1 pair (the gate is
+    # clipped and offset) — it stays a sentinel handled where applied.
+    if activation_type in ("clamped_swiglu", ("clamped_swiglu",)):
+        return ("clamped_swiglu",)
     if isinstance(activation_type, str):
         acts = GATED_ALIASES.get(activation_type, (activation_type,))
     else:
@@ -106,7 +110,8 @@ def normalize_activation_type(
 
 
 def is_gated(activation_type: Union[str, Sequence[str]]) -> bool:
-    return len(normalize_activation_type(activation_type)) == 2
+    acts = normalize_activation_type(activation_type)
+    return len(acts) == 2 or acts == ("clamped_swiglu",)
 
 
 def act_lu(
