@@ -115,3 +115,21 @@ def test_quantize_op_fake_quant():
     # fake-quantized: close but not identical
     assert jnp.max(jnp.abs(y - x)) < 0.1
     assert not jnp.allclose(y, x)
+
+
+def test_grouped_linear_op():
+    """te.ops.GroupedLinear consumes a group-size extra input and runs
+    the grouped GEMM (reference: ops/basic/grouped_linear.py)."""
+    from transformerengine_tpu import ops
+    e, h, f = 3, 16, 8
+    seq = ops.Sequential(layer_ops=(ops.GroupedLinear(f, num_groups=e),),
+                         dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (12, h), jnp.float32)
+    gs = jnp.array([5, 3, 4], jnp.int32)
+    variables = seq.init(jax.random.PRNGKey(1), x, gs)
+    out = seq.apply(variables, x, gs)
+    assert out.shape == (12, f)
+    w = variables["params"]["op0_pointwise_0_kernel"]
+    ref = jnp.concatenate([
+        x[:5] @ w[0], x[5:8] @ w[1], x[8:] @ w[2]])
+    assert jnp.allclose(out, ref, atol=1e-5)

@@ -584,3 +584,15 @@ def fused_attn(
         is_training=is_training,
         softmax_type=softmax_type,
         softmax_offset=softmax_offset)
+
+
+def fused_attn_thd(qkv, bias=None, sequence_descriptor=None, seed=None,
+                   *, qkv_layout: QKVLayout = QKVLayout.THD_THD_THD,
+                   **kwargs) -> jax.Array:
+    """Legacy THD entry point (reference: jax/attention.py:1147
+    fused_attn_thd) — identical to :func:`fused_attn` with a THD layout
+    default; packed/ragged batches are described by segment ids (and
+    optional positions) in ``sequence_descriptor``."""
+    assert qkv_layout.is_thd, f"fused_attn_thd needs a THD layout, got {qkv_layout}"
+    return fused_attn(qkv, bias, sequence_descriptor, seed,
+                      qkv_layout=qkv_layout, **kwargs)

@@ -83,6 +83,17 @@ class Bias(Op):
 
 
 @dataclasses.dataclass(frozen=True)
+class GroupedLinear(Op):
+    """Grouped (multi-expert) linear over expert-contiguous rows;
+    consumes the next extra positional input as the (num_groups,)
+    group-size vector (reference: ops/basic/grouped_linear.py +
+    module/grouped_linear.py). Lowers to the block-scaled ragged
+    grouped GEMM."""
+    features: int = 0
+    num_groups: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class Activation(Op):
     """Pointwise or gated activation; ``name`` accepts everything
     ops/activation.py does ('gelu', 'silu', 'swiglu', 'geglu', ...)."""
@@ -316,6 +327,13 @@ class Sequential(nn.Module):
         if isinstance(op, ReduceScatter):
             return jax.lax.psum_scatter(x, op.axis, scatter_dimension=0,
                                         tiled=True)
+        if isinstance(op, GroupedLinear):
+            from .grouped_dense import grouped_dense
+            w = self.param(
+                f"{name}_kernel", nn.initializers.lecun_normal(),
+                (op.num_groups, x.shape[-1], op.features), self.dtype)
+            group_sizes = extra_in.pop(0)
+            return grouped_dense(x, w, group_sizes)
         if isinstance(op, AddExtraInput):
             return x + extra_in.pop(0)
         if isinstance(op, MakeExtraOutput):

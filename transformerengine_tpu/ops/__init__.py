@@ -15,6 +15,6 @@ from .router import (
 # same as the reference's `te.ops.Sequential`.
 from ..fuser import (  # noqa: E402
     Activation, AddExtraInput, AllGather, AllReduce, Bias, ConstantScale,
-    Dropout, GELU, GeGLU, Identity, L2Normalization, LayerNorm, Linear,
-    MakeExtraOutput, Op, Quantize, ReLU, ReduceScatter, Reshape, RMSNorm,
-    Sequential, SwiGLU)
+    Dropout, GELU, GeGLU, GroupedLinear, Identity, L2Normalization,
+    LayerNorm, Linear, MakeExtraOutput, Op, Quantize, ReLU, ReduceScatter,
+    Reshape, RMSNorm, Sequential, SwiGLU)
