@@ -370,3 +370,82 @@ def test_mha_learnable_sink_cached_prefill_matches_train_path():
     out, _ = mha.apply(variables, x, inference_params=ip,
                        mutable=["cache"])
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+class TestIntegrationShims:
+    """Explicit-recipe integration helpers (reference:
+    jax/flax/module.py wrap_function_in_te_state_module :1364,
+    make_dot_general_cls :1411, make_grouped_dense_cls :1455)."""
+
+    def test_make_dot_general_cls_in_nn_dense(self):
+        from flax import linen as nn
+        from transformerengine_tpu.flax import make_dot_general_cls
+        dg = make_dot_general_cls(te.Float8CurrentScaling())
+        dense = nn.Dense(16, use_bias=False, dot_general=dg())
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 32))
+        variables = dense.init(jax.random.PRNGKey(1), x)
+        out = dense.apply(variables, x)
+        ref = x @ variables["params"]["kernel"]
+        # fp8 quantization error, not exact
+        assert out.shape == (8, 16)
+        assert float(jnp.abs(out - ref).max()) < 0.35
+        assert float(jnp.abs(out - ref).max()) > 0.0   # actually quantized
+
+    def test_make_dot_general_cls_rejects_delayed(self):
+        from transformerengine_tpu.flax import make_dot_general_cls
+        with pytest.raises(NotImplementedError, match="DelayedScaling"):
+            make_dot_general_cls(te.DelayedScaling())
+
+    def test_wrap_function_in_te_state_module_delayed_state(self):
+        """The wrapper carries DelayedScaling state in quantize_meta and
+        updates it by overwrite-with-gradient."""
+        from transformerengine_tpu.flax import (
+            update_quantize_meta, wrap_function_in_te_state_module)
+
+        def my_gemm(generate_quantizer_set, x, w):
+            return te.dense(x, w, quantizer_set=generate_quantizer_set())
+
+        mod = wrap_function_in_te_state_module(
+            my_gemm, te.DelayedScaling(amax_history_len=4))()
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 32))
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16)) * 0.1
+        variables = mod.init(jax.random.PRNGKey(2), x, w)
+        assert "quantize_meta" in variables
+        hist = variables["quantize_meta"]["my_gemm_q0_x_amax_history"]
+        assert hist.shape == (4,)
+
+        def loss(qmeta, x, w):
+            out = mod.apply(
+                {"quantize_meta": qmeta}, x, w)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(variables["quantize_meta"], x, w)
+        # overwrite-with-gradient: the "grad" holds the rolled history
+        assert float(jnp.max(g["my_gemm_q0_x_amax_history"])) > 0.0
+        merged = update_quantize_meta(variables, {"quantize_meta": g})
+        assert (merged["quantize_meta"] is g)
+
+    def test_make_grouped_dense_cls(self):
+        from transformerengine_tpu.flax import make_grouped_dense_cls
+        mod = make_grouped_dense_cls(te.MXFP8BlockScaling())()
+        e, h, f = 2, 32, 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, h))
+        w = jax.random.normal(jax.random.PRNGKey(1), (e, h, f)) * 0.1
+        gs = jnp.array([5, 3], jnp.int32)
+        variables = mod.init(jax.random.PRNGKey(2), x, w, gs)
+        out = mod.apply(variables, x, w, gs)
+        ref = jnp.concatenate([x[:5] @ w[0], x[5:] @ w[1]])
+        assert float(jnp.abs(out - ref).max()) < 0.35
+
+    def test_transformer_layer_type_enum(self):
+        from transformerengine_tpu.flax import (
+            TransformerLayer, TransformerLayerType)
+        layer = TransformerLayer(
+            hidden_size=32, mlp_hidden_size=64, num_attention_heads=2,
+            layer_type=TransformerLayerType.DECODER, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+        enc = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+        variables = layer.init(jax.random.PRNGKey(2), x, enc)
+        assert "inter_attention" in variables["params"]
+        out = layer.apply(variables, x, enc)
+        assert out.shape == x.shape

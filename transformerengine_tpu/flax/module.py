@@ -75,14 +75,20 @@ class TransformerEngineBase(nn.Module):
             return self.get_variable("prequant", name)
         return self.param(name, _maybe_partition(init, axes), shape, dtype)
 
-    def quantizer_set(self, name: str) -> QuantizerSet:
+    def quantizer_set(self, name: str, recipe=None) -> QuantizerSet:
+        """QuantizerSet for one GEMM, with delayed-scaling state backed
+        by the quantize_meta collection. ``recipe`` overrides the
+        ambient autocast recipe (explicit-recipe integration shims)."""
         cfg = get_quantize_config()
         from ..debug.api import get_state, wrap_quantizer_set
         debug_on = get_state().enabled
-        if not cfg.enabled and not debug_on:
+        if recipe is None and not cfg.enabled and not debug_on:
             return noop_quantizer_set
-        qset = (QuantizerFactory.create_set(cfg.recipe) if cfg.enabled
-                else noop_quantizer_set)
+        if recipe is not None:
+            qset = QuantizerFactory.create_set(recipe)
+        else:
+            qset = (QuantizerFactory.create_set(cfg.recipe) if cfg.enabled
+                    else noop_quantizer_set)
         # Stateful (delayed-scaling) quantizers: back their arrays with
         # flax variables so state persists across steps.
         out = {}
@@ -107,6 +113,89 @@ class TransformerEngineBase(nn.Module):
                 layer_name = name
             result = wrap_quantizer_set(result, f"{layer_name}/{name}")
         return result
+
+
+def wrap_function_in_te_state_module(f, quantization_recipe,
+                                     name: Optional[str] = None,
+                                     quantization_checkpoint_name=None):
+    """Wrap function ``f`` in a linen module that supplies it a
+    ``generate_quantizer_set`` first argument (reference:
+    jax/flax/module.py:1364). The module holds no parameters; stateful
+    recipes (DelayedScaling) get their scale/amax-history variables in
+    the ``quantize_meta`` collection, same as every TE module. Intended
+    for dropping TE quantization into existing model code that manages
+    its own weights."""
+    del quantization_checkpoint_name   # checkpointing is orbax-native here
+    fname = name or getattr(f, "__name__", "te_wrapped_fn")
+
+    class _TEStateModule(TransformerEngineBase):
+        @nn.compact
+        def __call__(self, *args, **kwargs):
+            counter = [0]
+
+            def generate_quantizer_set(n_groups=None):
+                del n_groups   # grouped GEMMs share the per-set scales
+                idx = counter[0]
+                counter[0] += 1
+                return self.quantizer_set(f"{fname}_q{idx}",
+                                          recipe=quantization_recipe)
+
+            return f(generate_quantizer_set, *args, **kwargs)
+
+    _TEStateModule.__name__ = fname
+    return _TEStateModule
+
+
+def make_dot_general_cls(quantization_recipe):
+    """Drop-in ``dot_general`` replacement running TE's quantized GEMM
+    (reference: jax/flax/module.py:1411):
+
+        dense = nn.Dense(..., dot_general=make_dot_general_cls(recipe)())
+
+    Stateless recipes only (current scaling / MXFP8 / blockwise / NVFP4)
+    — a bare dot_general callable has no flax scope to hold
+    DelayedScaling's amax history; use DenseGeneral or
+    :func:`wrap_function_in_te_state_module` for that."""
+    from ..common.recipe import DelayedScaling
+    if isinstance(quantization_recipe, DelayedScaling):
+        raise NotImplementedError(
+            "make_dot_general_cls cannot hold DelayedScaling state in a "
+            "bare dot_general; use DenseGeneral or "
+            "wrap_function_in_te_state_module")
+
+    class TEDotGeneral:
+        def __call__(self, lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+            (lc, rc), (lb, rb) = dimension_numbers
+            assert not lb and not rb, (
+                "TE dot_general does not take batch dims")
+            assert tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,), (
+                f"TE dot_general expects (last, 0) contraction, got "
+                f"{dimension_numbers}")
+            from ..dense import dense
+            qset = QuantizerFactory.create_set(quantization_recipe)
+            return dense(lhs, rhs, quantizer_set=qset)
+
+    return TEDotGeneral
+
+
+def make_grouped_dense_cls(quantization_recipe,
+                           quantization_checkpoint_name=None):
+    """Grouped-GEMM analog of :func:`make_dot_general_cls`, packaged as
+    a TE state module (reference: jax/flax/module.py:1455). The wrapped
+    callable signature is (x, kernel, group_sizes)."""
+
+    def te_grouped_dot_general(generate_quantizer_set, x, kernel,
+                               group_sizes, **kwargs):
+        del kwargs
+        from ..grouped_dense import grouped_dense
+        qset = generate_quantizer_set(n_groups=group_sizes.shape[0])
+        return grouped_dense(x, kernel, group_sizes, quantizer_set=qset)
+
+    return wrap_function_in_te_state_module(
+        te_grouped_dot_general, quantization_recipe,
+        name="te_grouped_dense",
+        quantization_checkpoint_name=quantization_checkpoint_name)
 
 
 def update_quantize_meta(variables: dict, grads: dict) -> dict:

@@ -8,6 +8,7 @@ expressed through logical axes resolved by
 """
 from __future__ import annotations
 
+import enum
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -485,9 +486,16 @@ class MultiHeadAttention(TransformerEngineBase):
         return out.reshape(bq, sq, hq * dd)
 
 
+class TransformerLayerType(enum.Enum):
+    """(reference: jax/flax/transformer.py TransformerLayerType)"""
+    ENCODER = "encoder"
+    DECODER = "decoder"
+
+
 class TransformerLayer(TransformerEngineBase):
     """Encoder/decoder transformer layer (reference:
-    pytorch/transformer.py:70; jax/flax/transformer.py:1847)."""
+    pytorch/transformer.py:70; jax/flax/transformer.py:1847).
+    ``layer_type`` takes the string or :class:`TransformerLayerType`."""
 
     hidden_size: int = 512
     mlp_hidden_size: int = 2048
@@ -594,7 +602,8 @@ class TransformerLayer(TransformerEngineBase):
                 attn_out, deterministic=deterministic)
         x = x + self._drop_path(attn_out, deterministic)
 
-        if self.layer_type == "decoder" and encoded is not None:
+        layer_type = getattr(self.layer_type, "value", self.layer_type)
+        if layer_type == "decoder" and encoded is not None:
             cross = MultiHeadAttention(
                 hidden_size=self.hidden_size,
                 num_attention_heads=self.num_attention_heads,

@@ -28,6 +28,12 @@ class SoftmaxType(enum.Enum):
 _NEG_INF = -30000.0  # matches the reference's masked fill in f32-safe range
 
 
+# Reference name for the fusion-variant enum (jax/softmax.py
+# SoftmaxFusionType); the sink-variant enum lives in attention.py
+# (AttnSoftmaxType).
+SoftmaxFusionType = SoftmaxType
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def softmax(logits, mask, softmax_type: SoftmaxType = SoftmaxType.SCALED,
             scale_factor: float = 1.0):
