@@ -46,7 +46,7 @@ def test_cp_matches_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -67,7 +67,7 @@ def test_cp_grads_match_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -224,7 +224,7 @@ def test_ring_striped_matches_single_device():
     spec = P(None, "cp", None, None)
 
     def local_fn(q, k, v):
-        return ring_attn(q, k, v, None, None, "cp", True,
+        return ring_attn(q, k, v, None, None, None, "cp", True,
                          q.shape[-1] ** -0.5, (-1, -1), True)
 
     out_s = jax.shard_map(
@@ -247,7 +247,7 @@ def test_ring_striped_grads_match_single_device():
         vs = reorder_causal_striped(v, CP)
 
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1), True)
 
         out_s = jax.shard_map(
@@ -284,7 +284,7 @@ def test_ring_striped_sliding_window_matches_single_device(window):
     spec = P(None, "cp", None, None)
 
     def local_fn(q, k, v):
-        return ring_attn(q, k, v, None, None, "cp", True,
+        return ring_attn(q, k, v, None, None, None, "cp", True,
                          q.shape[-1] ** -0.5, window, True)
 
     out_s = jax.shard_map(
@@ -308,7 +308,7 @@ def test_ring_striped_sliding_window_grads_match_single_device():
         vs = reorder_causal_striped(v, CP)
 
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, window, True)
 
         out_s = jax.shard_map(
@@ -402,7 +402,7 @@ def test_fp8_kv_ring_close_to_bf16_ring(what):
 
     def mk(fp8):
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1), False, fp8)
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=(spec, spec, spec), out_specs=spec,
@@ -459,3 +459,68 @@ def test_segments_under_hierarchical_cp():
     valid = (seg != 0)[..., None, None]
     diff = jnp.where(valid, jnp.abs(out - ref), 0)
     assert float(diff.max()) < 5e-5
+
+
+class TestSinksUnderCP:
+    """Softmax sinks under CP: the sink joins once per query row — ring
+    merges it after the rotation, AG/Ulysses pass it into the local
+    flash call (reference: NVTE_Softmax_Type in fused attention,
+    composed with context parallelism)."""
+
+    def _ref(self, q, k, v, sink):
+        from transformerengine_tpu.attention import SoftmaxType
+        return fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                          softmax_type=SoftmaxType.LEARNABLE,
+                          softmax_offset=sink,
+                          backend=AttnBackend.UNFUSED)
+
+    @pytest.mark.parametrize("strategy", ["ring", "all_gather", "ulysses"])
+    def test_cp_sink_matches_single_device(self, strategy):
+        from transformerengine_tpu.attention import CPStrategy, SoftmaxType
+        hq = 8 if strategy == "ulysses" else 4
+        q, k, v = _data(b=1, s=256, hq=hq, hkv=4)
+        sink = jax.random.normal(jax.random.PRNGKey(9), (hq,))
+        ref = self._ref(q, k, v, sink)
+        strat = {"ring": CPStrategy.RING,
+                 "all_gather": CPStrategy.ALL_GATHER,
+                 "ulysses": CPStrategy.ULYSSES_A2A}[strategy]
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+
+        def local_fn(q, k, v):
+            return fused_attn((q, k, v),
+                              attn_mask_type=AttnMaskType.CAUSAL,
+                              softmax_type=SoftmaxType.LEARNABLE,
+                              softmax_offset=sink,
+                              context_parallel_strategy=strat,
+                              context_parallel_axis="cp")
+
+        out = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False)(q, k, v)
+        assert float(jnp.max(jnp.abs(out - ref))) < 5e-5, strategy
+
+    def test_ring_sink_grads_match_single_device(self):
+        from transformerengine_tpu.parallel.ring_attention import ring_attn
+        q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=32)
+        sink0 = jnp.array([0.4, -0.6])
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+
+        ring = jax.shard_map(
+            lambda q, k, v, s: ring_attn(
+                q, k, v, None, None, s, "cp", True,
+                q.shape[-1] ** -0.5, (-1, -1)),
+            mesh=mesh, in_specs=(spec, spec, spec, P()),
+            out_specs=spec, check_vma=False)
+
+        def loss_cp(q, k, v, s):
+            return jnp.sum(ring(q, k, v, s) ** 2)
+
+        def loss_ref(q, k, v, s):
+            return jnp.sum(self._ref(q, k, v, s) ** 2)
+
+        g = jax.grad(loss_cp, argnums=(0, 1, 2, 3))(q, k, v, sink0)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sink0)
+        for a, b in zip(g, gr):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-3, a.shape

@@ -493,11 +493,19 @@ def fused_attn(
     if context_parallel_axis and context_parallel_strategy in (
             CPStrategy.RING, CPStrategy.RING_STRIPED,
             CPStrategy.ALL_GATHER, CPStrategy.ULYSSES_A2A):
-        if softmax_type is not SoftmaxType.VANILLA:
-            raise NotImplementedError(
-                "softmax sink types are not wired through the CP "
-                "strategies (the sink joins once per query row, not per "
-                "KV chunk); run sinks without context parallelism")
+        # Softmax sinks under CP: the sink is one virtual key per query
+        # ROW, so ring merges it once after the rotation; AG/Ulysses
+        # pass it into their single local flash call (Ulysses slices
+        # the per-head vector after the a2a head reshard).
+        sink = None
+        if softmax_type is SoftmaxType.OFF_BY_ONE:
+            sink = jnp.zeros((q.shape[2],), jnp.float32)
+        elif softmax_type is SoftmaxType.LEARNABLE:
+            if softmax_offset is None:
+                raise ValueError("LEARNABLE softmax requires "
+                                 "softmax_offset (Hq,)")
+            sink = jnp.asarray(softmax_offset, jnp.float32).reshape(
+                q.shape[2])
         from .parallel.ring_attention import (
             all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
         if context_parallel_strategy in (CPStrategy.RING,
@@ -516,18 +524,21 @@ def fused_attn(
                 window_size=window_size,
                 striped=(context_parallel_strategy
                          is CPStrategy.RING_STRIPED),
-                fp8_kv=fp8_ring)
+                fp8_kv=fp8_ring,
+                softmax_sink=sink)
         if context_parallel_strategy is CPStrategy.ALL_GATHER:
             return all_gather_attn(
                 q, k, v, context_parallel_axis,
                 causal=attn_mask_type.is_causal,
                 scaling_factor=scaling_factor, window_size=window_size,
-                sequence_descriptor=sequence_descriptor)
+                sequence_descriptor=sequence_descriptor,
+                softmax_sink=sink)
         return ulysses_attn(
             q, k, v, context_parallel_axis,
             causal=attn_mask_type.is_causal,
             scaling_factor=scaling_factor, window_size=window_size,
-            sequence_descriptor=sequence_descriptor)
+            sequence_descriptor=sequence_descriptor,
+            softmax_sink=sink)
 
     chosen = backend
     if chosen is AttnBackend.AUTO:

@@ -76,13 +76,16 @@ def all_gather_attn(
     scaling_factor: Optional[float] = None,
     window_size: Optional[Tuple[int, int]] = None,
     sequence_descriptor=None,
+    softmax_sink=None,
 ) -> jax.Array:
     """(reference: AttnFuncWithCPAndKVAllGather, context_parallel.py:3018)
 
     ``sequence_descriptor`` describes the LOCAL shard; the kv segment
     ids ride the same all-gather as K/V so ragged/packed batches mask
-    correctly against the full gathered sequence."""
-    from ..attention import AttnMaskType, SequenceDescriptor
+    correctly against the full gathered sequence. ``softmax_sink``
+    passes straight into the local flash call (every rank holds all
+    heads and a full softmax row)."""
+    from ..attention import AttnMaskType, SequenceDescriptor, SoftmaxType
     from ..ops.flash_attention import flash_attention
 
     idx = jax.lax.axis_index(axis_name)
@@ -101,7 +104,10 @@ def all_gather_attn(
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor,
         window_size=window_size,
-        q_position_offset=idx * L)
+        q_position_offset=idx * L,
+        softmax_type=(SoftmaxType.LEARNABLE if softmax_sink is not None
+                      else None),
+        softmax_offset=softmax_sink)
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +171,8 @@ def _kv_dq(payload, scale_inv, dtype):
             * scale_inv.astype(jnp.bfloat16)).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def ring_attn(q, k, v, qseg, kseg, axis_name: str, causal: bool,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def ring_attn(q, k, v, qseg, kseg, sink, axis_name: str, causal: bool,
               scale: float, window: Tuple[int, int], striped: bool = False,
               fp8_kv: bool = False):
     """``qseg``/``kseg``: optional (B, L) int32 segment ids of the LOCAL
@@ -174,17 +180,22 @@ def ring_attn(q, k, v, qseg, kseg, axis_name: str, causal: bool,
     so packed/ragged (THD-style) batches work under ring CP (reference:
     nvte_cp_thd_* helpers, common/fused_attn/context_parallel.cu).
 
+    ``sink``: optional (Hq,) softmax sink logits — the sink is one
+    virtual no-value key PER QUERY ROW, so under ring CP it joins once
+    in the final LSE merge, not per chunk. Differentiable (its grad
+    comes from the merged lse).
+
     ``fp8_kv``: rotate K/V around the ring as e4m3 payloads with one
     per-chunk scale each — halves the P2P bytes (the reference's FP8
     context parallelism). The local flash step runs on the dequantized
     bf16 chunk."""
-    out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale,
-                            window, striped, fp8_kv)
+    out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal,
+                            scale, window, striped, fp8_kv)
     return out
 
 
-def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
-                   striped, fp8_kv=False):
+def _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal, scale,
+                   window, striped, fp8_kv=False):
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
@@ -234,16 +245,27 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, axis_name, causal, scale, window,
                     (k_cur, v_cur, kseg_cur), axis_name,
                     perm=_ring_perm(cp))
 
-    den_safe = jnp.where(den > 0, den, 1.0)
-    o = (num / den_safe[..., None]).astype(q.dtype)
-    lse_tot = jnp.where(den > 0, m_run + jnp.log(den_safe), NEG_INF)
+    if sink is not None:
+        # Sink merge: one virtual key per (head, row) with logit s0 and
+        # no value joins the TOTAL denominator (same epilogue math as
+        # the flash kernel's in-kernel sink).
+        s0 = sink.astype(jnp.float32).reshape(1, hq, 1)
+        m2 = jnp.maximum(m_run, jnp.broadcast_to(s0, m_run.shape))
+        alpha = jnp.where(m_run <= NEG_INF / 2, 0.0, jnp.exp(m_run - m2))
+        den2 = den * alpha + jnp.exp(s0 - m2)        # > 0 everywhere
+        o = ((num * alpha[..., None]) / den2[..., None]).astype(q.dtype)
+        lse_tot = m2 + jnp.log(den2)
+    else:
+        den_safe = jnp.where(den > 0, den, 1.0)
+        o = (num / den_safe[..., None]).astype(q.dtype)
+        lse_tot = jnp.where(den > 0, m_run + jnp.log(den_safe), NEG_INF)
     out = o.transpose(0, 2, 1, 3)
-    return out, (q, k, v, qseg, kseg, o, lse_tot)
+    return out, (q, k, v, qseg, kseg, sink, o, lse_tot)
 
 
 def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
                    dout):
-    q, k, v, qseg, kseg, o, lse = res
+    q, k, v, qseg, kseg, sink, o, lse = res
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
@@ -292,10 +314,19 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
                 (k_cur, v_cur, kseg_cur, dk_acc, dv_acc), axis_name,
                 perm=_ring_perm(cp))
 
+    dsink = None
+    if sink is not None:
+        # lse already includes the sink; its grad is -p_sink * delta
+        # summed over this rank's (batch, rows). NO psum here: the
+        # shard_map transpose of a replicated input already sums the
+        # per-rank cotangents (an inner psum would multiply by cp).
+        delta = jnp.sum(dot.astype(jnp.float32) * o.astype(jnp.float32), -1)
+        p_sink = jnp.exp(sink.astype(jnp.float32).reshape(1, -1, 1) - lse)
+        dsink = (-(p_sink * delta).sum(axis=(0, 2))).astype(sink.dtype)
     return (dq.transpose(0, 2, 1, 3).astype(q.dtype),
             dk_acc.transpose(0, 2, 1, 3).astype(k.dtype),
             dv_acc.transpose(0, 2, 1, 3).astype(v.dtype),
-            None, None)
+            None, None, dsink)
 
 
 ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
@@ -307,13 +338,15 @@ def ring_attn_under_shard_map(
     window_size: Optional[Tuple[int, int]] = None,
     striped: bool = False,
     fp8_kv: bool = False,
+    softmax_sink=None,
 ):
     """Entry used by attention.fused_attn for CPStrategy.RING /
     RING_STRIPED. ``sequence_descriptor`` describes the LOCAL shard:
     segment ids are used as-is; seqlens are interpreted as GLOBAL
     lengths under contiguous sharding (each rank keeps positions
     idx*L..idx*L+L-1). ``fp8_kv`` rotates e4m3 KV payloads (half the
-    ring bytes)."""
+    ring bytes). ``softmax_sink``: (Hq,) sink logits, merged once after
+    the ring."""
     from ..attention import AttnMaskType
     causal = attn_mask_type.is_causal if attn_mask_type else False
     scale = scaling_factor if scaling_factor is not None \
@@ -321,8 +354,8 @@ def ring_attn_under_shard_map(
     window = tuple(window_size) if window_size is not None else (-1, -1)
     qseg, kseg = _local_segments(sequence_descriptor, axis_name,
                                  q.shape[1], allow_seqlens=not striped)
-    return ring_attn(q, k, v, qseg, kseg, axis_name, causal, float(scale),
-                     window, striped, fp8_kv)
+    return ring_attn(q, k, v, qseg, kseg, softmax_sink, axis_name, causal,
+                     float(scale), window, striped, fp8_kv)
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +372,7 @@ def ulysses_attn(
     scaling_factor=None,
     window_size=None,
     sequence_descriptor=None,
+    softmax_sink=None,
 ) -> jax.Array:
     """Ulysses-style context parallelism: all-to-all reshards
     heads<->sequence so each device runs full-sequence attention on a
@@ -349,8 +383,11 @@ def ulysses_attn(
     ``sequence_descriptor`` describes the LOCAL shard; segment ids are
     all-gathered to full length alongside the a2a (the gather order
     matches the a2a's tiled sequence concatenation), so padded/packed
-    batches no longer silently attend to padding."""
-    from ..attention import AttnMaskType, SequenceDescriptor
+    batches no longer silently attend to padding.
+
+    ``softmax_sink``: (Hq,) global sink logits; each rank slices its
+    heads after the a2a reshard."""
+    from ..attention import AttnMaskType, SequenceDescriptor, SoftmaxType
     from ..ops.flash_attention import flash_attention
 
     p = jax.lax.axis_size(axis_name)
@@ -377,11 +414,20 @@ def ulysses_attn(
             kv_segment_ids=jax.lax.all_gather(kseg, axis_name, axis=1,
                                               tiled=True))
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    sink_local = None
+    if softmax_sink is not None:
+        idx = jax.lax.axis_index(axis_name)
+        sink_local = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(softmax_sink, jnp.float32), idx * (hq // p),
+            hq // p)
     out = flash_attention(
         qg, kg, vg, sd,
         attn_mask_type=(AttnMaskType.CAUSAL if causal
                         else AttnMaskType.NO_MASK),
-        scaling_factor=scaling_factor, window_size=window_size)
+        scaling_factor=scaling_factor, window_size=window_size,
+        softmax_type=(SoftmaxType.LEARNABLE if sink_local is not None
+                      else None),
+        softmax_offset=sink_local)
     return head_to_seq(out)
 
 
@@ -396,12 +442,14 @@ def hierarchical_attn(
     scaling_factor=None,
     window_size=None,
     sequence_descriptor=None,
+    softmax_sink=None,
 ) -> jax.Array:
     """Hierarchical context parallelism: Ulysses A2A inside, ring P2P
     outside (reference: cp_comm_type="a2a+p2p",
     context_parallel.py:4726-4741 — A2A within an NVLink node, ring
     across nodes; here: A2A within the fast ICI neighborhood, ring over
-    the long axis)."""
+    the long axis). ``softmax_sink`` is sliced per inner-axis head
+    shard and merged once after the outer ring."""
     p_in = jax.lax.axis_size(inner_axis)
     hq, hkv = q.shape[2], k.shape[2]
     assert hq % p_in == 0 and hkv % p_in == 0, (hq, hkv, p_in)
@@ -424,7 +472,13 @@ def hierarchical_attn(
     if qseg is not None:
         qseg = jax.lax.all_gather(qseg, inner_axis, axis=1, tiled=True)
         kseg = jax.lax.all_gather(kseg, inner_axis, axis=1, tiled=True)
+    sink_local = None
+    if softmax_sink is not None:
+        idx = jax.lax.axis_index(inner_axis)
+        sink_local = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(softmax_sink, jnp.float32), idx * (hq // p_in),
+            hq // p_in)
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
-    out = ring_attn(qg, kg, vg, qseg, kseg, outer_axis, causal,
+    out = ring_attn(qg, kg, vg, qseg, kseg, sink_local, outer_axis, causal,
                     float(scale), window)
     return head_to_seq(out)
