@@ -306,6 +306,36 @@ class TestFP8FlashAttention:
         d = jnp.abs(o8.astype(jnp.float32) - oref.astype(jnp.float32)).max()
         assert float(d) < 0.05   # bf16 output rounding only
 
+    def test_fp8_with_softmax_sink(self):
+        """FP8 payloads + sink softmax compose (sinks stay
+        high-precision; only Q/K/V are FP8)."""
+        from transformerengine_tpu.attention import SoftmaxType
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        q, k, v = self._qkv()
+        qzs = self._quantizers()
+        sink = jnp.array([0.5, -0.2, 0.1, -0.7])
+        o8 = flash_attention(q, k, v, attn_mask_type=AttnMaskType.CAUSAL,
+                             qkv_quantizers=qzs,
+                             softmax_type=SoftmaxType.LEARNABLE,
+                             softmax_offset=sink)
+        deq = lambda x, qz: qz.quantize(
+            x, layout=QuantizeLayout.ROWWISE).dequantize().astype(x.dtype)
+        oref = flash_attention(deq(q, qzs[0]), deq(k, qzs[1]),
+                               deq(v, qzs[2]),
+                               attn_mask_type=AttnMaskType.CAUSAL,
+                               softmax_type=SoftmaxType.LEARNABLE,
+                               softmax_offset=sink)
+        d = jnp.abs(o8.astype(jnp.float32) - oref.astype(jnp.float32)).max()
+        assert float(d) < 0.05
+        # sink grads flow on the fp8 path too
+        g = jax.grad(lambda s: jnp.sum(flash_attention(
+            q, k, v, attn_mask_type=AttnMaskType.CAUSAL,
+            qkv_quantizers=self._quantizers(),
+            softmax_type=SoftmaxType.LEARNABLE,
+            softmax_offset=s).astype(jnp.float32) ** 2))(sink)
+        assert g.shape == (4,) and bool(jnp.any(g != 0))
+
     def test_bwd_matches_flash_at_dequant_points(self):
         """Grads are straight-through quantize: must equal the bf16 flash
         grads evaluated at the dequantized payload values."""

@@ -547,9 +547,6 @@ def fused_attn(
             head_dim=q.shape[-1], dropout_probability=dropout_probability,
             is_training=is_training, has_explicit_mask=mask is not None,
             window_size=window_size)
-    if softmax_type is not SoftmaxType.VANILLA and qkv_quantizers is not None:
-        chosen = AttnBackend.UNFUSED   # sinks not on the FP8 flash path
-
     if chosen is AttnBackend.FLASH:
         from .ops.flash_attention import flash_attention
         rate = dropout_probability if is_training else 0.0

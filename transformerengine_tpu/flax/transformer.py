@@ -146,7 +146,6 @@ class DotProductAttention(nn.Module):
         cfg = get_quantize_config()
         if (cfg.enabled and getattr(cfg.recipe, "fp8_dpa", False)
                 and bias is None and dropout == 0.0
-                and stype is SoftmaxType.VANILLA
                 and not self.context_parallel_axis):
             from ..quantize.dtypes import float8_e4m3
             from ..quantize.quantizer import (CurrentScaleQuantizer,

@@ -1361,22 +1361,24 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # FP8 (quantized) flash attention core
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _fp8_core(q, k, v, qseg, kseg, qoff, quantizers, seed, scale, causal,
-              window, offset, blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _fp8_core(q, k, v, qseg, kseg, qoff, quantizers, sink, seed, scale,
+              causal, window, offset, blocks):
     """Flash attention with Q/K/V quantized to FP8 per-tensor inside the
     custom-VJP boundary (reference: common/fused_attn/fused_attn_fp8.cu,
     pytorch FusedAttnFunc FP8 path + NVTE_FP8_DPA_BWD). ``quantizers``
     is a (q, k, v) tuple of tensor-scaling Quantizers carried as a
     differentiable arg; its cotangent is the UPDATED quantizer state
-    (overwrite-with-gradient, same convention as dense layers)."""
-    o, _ = _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, seed, scale,
-                         causal, window, offset, blocks)
+    (overwrite-with-gradient, same convention as dense layers).
+    ``sink``: optional (Hq,) softmax sink logits (sinks stay
+    high-precision — only Q/K/V payloads are FP8)."""
+    o, _ = _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, sink, seed,
+                         scale, causal, window, offset, blocks)
     return o
 
 
-def _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, seed, scale, causal,
-                  window, offset, blocks):
+def _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, sink, seed, scale,
+                  causal, window, offset, blocks):
     from ..quantize.quantizer import QuantizeLayout
     qq = quantizers[0].quantize(q, layout=QuantizeLayout.ROWWISE)
     qk = quantizers[1].quantize(k, layout=QuantizeLayout.ROWWISE)
@@ -1389,27 +1391,32 @@ def _fp8_core_fwd(q, k, v, qseg, kseg, qoff, quantizers, seed, scale, causal,
                         offset=offset, block_q=blocks[0], block_k=blocks[1],
                         static_pos=blocks[2], scale_invs=scale_invs,
                         out_dtype=q.dtype, dropout_rate=blocks[3],
-                        dropout_seed=seed)
+                        dropout_seed=seed, softmax_sink=sink)
     amaxes = (getattr(qq, "amax", None), getattr(qk, "amax", None),
               getattr(qv, "amax", None))
     res = (qq.data, qk.data, qv.data, scale_invs, o, lse, qseg, kseg, qoff,
-           amaxes, quantizers, seed)
+           amaxes, quantizers, sink, seed)
     return o, res
 
 
 def _fp8_core_bwd(scale, causal, window, offset, blocks, res, do):
     (qd, kd, vd, scale_invs, o, lse, qseg, kseg, qoff, amaxes,
-     quantizers, seed) = res
+     quantizers, sink, seed) = res
     dq, dk, dv, _ = _flash_bwd(qd, kd, vd, o, lse, do, qseg, kseg, qoff,
                                scale=scale, causal=causal, window=window,
                                offset=offset, block_q=blocks[0],
                                block_k=blocks[1], static_pos=blocks[2],
                                scale_invs=scale_invs, grad_dtype=do.dtype,
                                dropout_rate=blocks[3], dropout_seed=seed)
+    dsink = None
+    if sink is not None:
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1)
+        p_sink = jnp.exp(sink.astype(jnp.float32).reshape(1, -1, 1) - lse)
+        dsink = -(p_sink * delta).sum(axis=(0, 2)).astype(sink.dtype)
     new_quantizers = tuple(
         qz.update(a) if a is not None else qz
         for qz, a in zip(quantizers, amaxes))
-    return dq, dk, dv, None, None, None, new_quantizers, None
+    return dq, dk, dv, None, None, None, new_quantizers, dsink, None
 
 
 _fp8_core.defvjp(_fp8_core_fwd, _fp8_core_bwd)
@@ -1530,14 +1537,13 @@ def flash_attention(
             "into the mod or use the bias argument alone")
     if qkv_quantizers is not None:
         assert bias is None, "FP8 flash attention does not take a bias"
-        assert sink is None, (
-            "softmax sink types are not supported on the FP8 flash path")
         for qz in qkv_quantizers:
             assert qz.scaling_mode.is_tensor_scaling, (
                 "FP8 flash attention requires per-tensor scaling "
                 f"quantizers, got {qz.scaling_mode}")
         o = _fp8_core(qt, kt, vt, qseg, kseg, qoff, tuple(qkv_quantizers),
-                      seed, float(scale), causal, window, offset, blocks)
+                      sink, seed, float(scale), causal, window, offset,
+                      blocks)
     else:
         o = _flash_core(qt, kt, vt, qseg, kseg, qoff, bias, sink, seed,
                         float(scale), causal, window, offset, blocks,
