@@ -318,6 +318,36 @@ class TestContinuousBatching:
                            kv_cache_dtype=jnp.float32)
             assert out[rid] == [int(t) for t in ref[0]], (rid, out[rid])
 
+    def test_fp8_fixed_scale_matches_generate(self):
+        """FP8 KV caches work under continuous batching when the
+        per-layer dequant scale is pinned (fixed_kv_scale) so slot
+        admission never rescales live payloads."""
+        from transformerengine_tpu.inference import (
+            ContinuousBatchingEngine, InferenceParams, generate)
+        model = LlamaModel(config=LLAMA_TINY)
+        P, NEW, SCALE = 16, 4, 0.08
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, P), jnp.int32))
+        prompts = [list(range(3, 3 + P)), list(range(7, 7 + 10))]
+        eng = ContinuousBatchingEngine(
+            model, variables, max_batch_size=2,
+            max_sequence_length=P + NEW + 8, prompt_len=P,
+            max_new_tokens=NEW, kv_cache_dtype=float8_e4m3,
+            fixed_kv_scale=SCALE)
+        rids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        for rid, prompt in zip(rids, prompts):
+            toks = jnp.zeros((1, P), jnp.int32).at[0, :len(prompt)].set(
+                jnp.asarray(prompt, jnp.int32))
+            ip = InferenceParams(
+                max_batch_size=1, max_sequence_length=P + NEW + 8,
+                kv_cache_dtype=jnp.dtype(float8_e4m3),
+                fixed_kv_scale=SCALE)
+            ref = generate(model, variables, toks,
+                           jnp.asarray([len(prompt)], jnp.int32), NEW,
+                           inference_params=ip)
+            assert out[rid] == [int(t) for t in ref[0]], (rid, out[rid])
+
     def test_fp8_cache_rejected(self):
         from transformerengine_tpu.inference import ContinuousBatchingEngine
         model = LlamaModel(config=LLAMA_TINY)

@@ -379,7 +379,10 @@ class MultiHeadAttention(TransformerEngineBase):
 
         is_prefill = s > 1
         if is_prefill and ip.is_fp8:
-            kv_scale.value = calibrate_kv_scale(k, v)
+            kv_scale.value = (
+                jnp.full((1,), ip.fixed_kv_scale, jnp.float32)
+                if ip.fixed_kv_scale is not None
+                else calibrate_kv_scale(k, v))
         qscale = kv_scale.value if ip.is_fp8 else None
         new_k, new_v, new_len = cache_append_bhsd(
             ck.value, cv.value, clen.value, k, v, qscale)
@@ -448,7 +451,10 @@ class MultiHeadAttention(TransformerEngineBase):
 
         is_prefill = s > 1
         if is_prefill and ip.is_fp8:
-            kv_scale.value = calibrate_kv_scale(k, v)
+            kv_scale.value = (
+                jnp.full((1,), ip.fixed_kv_scale, jnp.float32)
+                if ip.fixed_kv_scale is not None
+                else calibrate_kv_scale(k, v))
         qscale = kv_scale.value if ip.is_fp8 else None
         state = PagedKVState(pages_k=pk.value, pages_v=pv.value,
                              page_table=pt.value, lengths=clen.value,

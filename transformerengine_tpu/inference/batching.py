@@ -80,7 +80,8 @@ class ContinuousBatchingEngine:
     def __init__(self, model, variables, *, max_batch_size: int,
                  max_sequence_length: int, prompt_len: int,
                  max_new_tokens: int, eos_id: Optional[int] = None,
-                 kv_cache_dtype=jnp.bfloat16):
+                 kv_cache_dtype=jnp.bfloat16,
+                 fixed_kv_scale: Optional[float] = None):
         self.model = model
         self.variables = {k: v for k, v in variables.items() if k != "cache"}
         self.B = max_batch_size
@@ -90,12 +91,15 @@ class ContinuousBatchingEngine:
         self.ip = InferenceParams(
             max_batch_size=max_batch_size,
             max_sequence_length=max_sequence_length,
-            kv_cache_dtype=jnp.dtype(kv_cache_dtype))
-        if self.ip.is_fp8:
+            kv_cache_dtype=jnp.dtype(kv_cache_dtype),
+            fixed_kv_scale=fixed_kv_scale)
+        if self.ip.is_fp8 and fixed_kv_scale is None:
             raise NotImplementedError(
                 "continuous batching shares one KV scale across slots; "
-                "FP8 caches need fixed-scale calibration (use the "
-                "whole-batch generate() path for FP8)")
+                "FP8 caches need fixed_kv_scale= (per-layer dequant "
+                "scale pinned at admission, e.g. from an offline "
+                "calibration run) — or use the whole-batch generate() "
+                "path, which calibrates per prefill")
         self.ip1 = dataclasses.replace(self.ip, max_batch_size=1)
 
         # B-sized cache skeleton from a dummy full-batch prefill, then

@@ -30,6 +30,11 @@ class InferenceParams:
     kv_cache_dtype: jnp.dtype = jnp.bfloat16   # or float8_e4m3
     is_paged: bool = False
     page_size: int = 128
+    # FP8 cache scale: None = calibrate from the prefill K/V (whole-batch
+    # generation). A fixed value pins the per-layer dequant scale, which
+    # continuous batching requires — slot admission must not rescale
+    # payloads other slots still read.
+    fixed_kv_scale: Optional[float] = None
 
     @property
     def is_fp8(self) -> bool:
