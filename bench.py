@@ -98,6 +98,7 @@ def bench_decode_and_ttft():
 
     fp8_vars = prequantize_kernels(variables, te.Float8CurrentScaling())
     t_fp8, ttft_fp8 = bench_variant(fp8_vars, float8_e4m3)
+    del fp8_vars  # free the fp8 weight copy before the bf16/nvfp4 runs
     t_bf16, ttft_bf16 = bench_variant(variables, jnp.bfloat16)
     out = {
         "decode_tokens_per_s": round(B / t_fp8, 1),
@@ -121,16 +122,11 @@ def bench_decode_and_ttft():
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rungs", default="decode,linear,ln_mlp,flash,mxfp8,moe",
-                    help="comma list: decode,linear,ln_mlp,flash,mxfp8,moe")
-    args = ap.parse_args()
-    rungs = set(args.rungs.split(","))
+ALL_RUNGS = ("decode", "linear", "ln_mlp", "flash", "mxfp8", "moe")
 
+
+def _run_rung(name):
     from benchmarks import ladder
-
-    results, errors = {}, {}
     plan = {
         "decode": bench_decode_and_ttft,
         "linear": ladder.bench_linear,
@@ -139,11 +135,47 @@ def main():
         "mxfp8": ladder.bench_mxfp8_layer,
         "moe": ladder.bench_moe_mlp,
     }
-    for name in ("decode", "linear", "ln_mlp", "flash", "mxfp8", "moe"):
+    return plan[name]()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default=",".join(ALL_RUNGS),
+                    help="comma list: " + ",".join(ALL_RUNGS))
+    ap.add_argument("--child", action="store_true",
+                    help="internal: run the single rung in-process")
+    args = ap.parse_args()
+    rungs = [r for r in args.rungs.split(",") if r]
+
+    if args.child:
+        # One rung, this process. Parent parses the last stdout line.
+        print("RUNG_JSON " + json.dumps(_run_rung(rungs[0])), flush=True)
+        return
+
+    # Each rung runs in its own subprocess: device memory is released
+    # between rungs, and one rung OOMing the chip (RESOURCE_EXHAUSTED
+    # poisons the whole TPU client once it fires) cannot sink the rest
+    # of the ladder. Sequential, so only ONE TPU process exists at a
+    # time (axon tunnel requirement).
+    import os
+    import subprocess
+    import sys
+    results, errors = {}, {}
+    for name in ALL_RUNGS:
         if name not in rungs:
             continue
         try:
-            results[name] = plan[name]()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", "--rungs", name],
+                capture_output=True, text=True, timeout=600)
+            line = next((l for l in reversed(proc.stdout.splitlines())
+                         if l.startswith("RUNG_JSON ")), None)
+            if proc.returncode == 0 and line:
+                results[name] = json.loads(line[len("RUNG_JSON "):])
+            else:
+                tail = (proc.stderr or proc.stdout or "").strip()
+                errors[name] = tail[-400:] or f"exit={proc.returncode}"
         except Exception as e:  # one rung failing must not kill the round
             errors[name] = "".join(
                 traceback.format_exception_only(type(e), e))[-400:].strip()

@@ -27,6 +27,22 @@ __all__ = ["chain_carry", "marginal_seconds_per_step",
            "marginal_seconds_interleaved", "median_call_seconds"]
 
 
+def _safe_marginal(med_short, med_long, n_short, n_long):
+    """Marginal seconds/step with a drift guard. The tunnel's absolute
+    throughput can move ~2.5x BETWEEN the short and long reps, making
+    the long chain appear as cheap as (or cheaper than) the short one;
+    the raw difference then underflows and downstream TFLOP/s explodes
+    (observed 7.7e7 TFLOP/s on the linear rung). When the marginal is
+    non-positive or under 5% of the long chain's average per-step time,
+    fall back to that average — a positive upper bound (it includes
+    dispatch/transfer overhead) instead of a nonsense number."""
+    m = (med_long - med_short) / (n_long - n_short)
+    avg_long = med_long / n_long
+    if m < 0.05 * avg_long:
+        return avg_long
+    return m
+
+
 def chain_carry(carry: jax.Array, out) -> jax.Array:
     """Fold a negligible but real data dependency on ``out`` into
     ``carry`` so XLA cannot reorder or elide chained steps.
@@ -86,7 +102,7 @@ def marginal_seconds_per_step(
             float(jnp.sum(run(c0, n)))  # host fetch forces execution
             ts.append(time.perf_counter() - t0)
         times[n] = sorted(ts)[len(ts) // 2]
-    return max((times[n_long] - times[n_short]) / (n_long - n_short), 1e-9)
+    return _safe_marginal(times[n_short], times[n_long], n_short, n_long)
 
 
 def marginal_seconds_interleaved(
@@ -136,8 +152,8 @@ def marginal_seconds_interleaved(
         return sorted(xs)[len(xs) // 2]
 
     return {
-        name: max((med(t[n_long]) - med(t[n_short])) / (n_long - n_short),
-                  1e-9)
+        name: _safe_marginal(med(t[n_short]), med(t[n_long]),
+                             n_short, n_long)
         for name, t in times.items()
     }
 

@@ -39,6 +39,7 @@ from .permutation import (
 from .flex_attention import flex_attention
 from .graph import make_graphed_callables
 from .quantize.prequant import PrequantizedKernel, prequantize_kernels
+from .quantize.microbatch import KernelCache, quantize_kernel
 from . import checkpoint_policies
 
 # Subpackages surfaced the way the reference surfaces them
@@ -73,6 +74,7 @@ __all__ = [
     "ScalingMode", "ScaledTensor1x", "ScaledTensor2x",
     "NVTE_FP8_COLLECTION_NAME", "update_collections",
     "update_quantize_meta", "PrequantizedKernel", "prequantize_kernels",
+    "KernelCache", "quantize_kernel",
     # sharding
     "MeshResource", "global_shard_guard", "global_mesh_resource",
     # functional layers

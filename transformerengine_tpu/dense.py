@@ -27,6 +27,7 @@ from .quantize.quantizer import (QuantizeLayout, QuantizerSet,
                                  noop_quantizer_set)
 from .quantize.tensor import get_colwise, get_rowwise
 from .quantize.prequant import PrequantizedKernel
+from .quantize.microbatch import KernelCache, zero_cotangent
 from .utils.pytree import Static
 
 
@@ -53,10 +54,16 @@ def _amax_of(t):
     return a if a is not None else jnp.float32(0.0)
 
 
-def _update_set(qset: QuantizerSet, amax_x, amax_k, amax_g) -> QuantizerSet:
+def _update_set(qset: QuantizerSet, amax_x, amax_k, amax_g,
+                skip_kernel: bool = False) -> QuantizerSet:
+    # skip_kernel: the kernel was quantized once per step outside the
+    # layer (microbatch cache); its amax was observed there, so the bwd
+    # of each microbatch must NOT roll the weight quantizer's history
+    # again (reference: weight amax only on is_first_microbatch).
     return QuantizerSet(
         x=qset.x.update(amax_x) if qset.x is not None else None,
-        kernel=qset.kernel.update(amax_k) if qset.kernel is not None else None,
+        kernel=(qset.kernel if skip_kernel or qset.kernel is None
+                else qset.kernel.update(amax_k)),
         dgrad=qset.dgrad.update(amax_g) if qset.dgrad is not None else None,
     )
 
@@ -74,17 +81,18 @@ def all_tensor_scaling(qset: QuantizerSet) -> bool:
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _dense(cfg, x, kernel, bias, quantizer_set):
+def _dense(cfg, x, kernel, bias, quantizer_set, kernel_cache):
     # Primal (not being differentiated): quantize ONLY the orientations
     # the fwd GEMM consumes. The 2x fused quantize kernel's colwise half
     # is not DCE-able once emitted, and a fwd-only MXFP8 layer was
     # profiled at 0.43x bf16 largely because of it.
-    out, _ = _dense_fwd(cfg, x, kernel, bias, quantizer_set,
+    out, _ = _dense_fwd(cfg, x, kernel, bias, quantizer_set, kernel_cache,
                         inference=True)
     return out
 
 
-def _dense_fwd(cfg, x, kernel, bias, quantizer_set, inference=False):
+def _dense_fwd(cfg, x, kernel, bias, quantizer_set, kernel_cache,
+               inference=False):
     n_cdims, input_axes, kernel_axes = cfg
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
     prequant = isinstance(kernel, PrequantizedKernel)
@@ -112,38 +120,45 @@ def _dense_fwd(cfg, x, kernel, bias, quantizer_set, inference=False):
     elif all_tensor_scaling(quantizer_set):
         # Per-tensor scaling: quantize ONE orientation of each operand;
         # bwd contracts these same payloads along the needed axes.
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(x2d, layout=QuantizeLayout.ROWWISE)
-        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.ROWWISE)
+        if kernel_cache is not None:
+            qk = get_rowwise(kernel_cache.q)
+        else:
+            qk = quantizer_set.kernel.quantize(
+                kernel.reshape(k, n), layout=QuantizeLayout.ROWWISE)
         out2d = q_dot(qx, qk, 1, 0)          # (M,K) x (K,N) -> (M,N)
-        res = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"), None)
+        res = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"),
+               Static(kernel_cache is not None))
     elif inference:
         # Block-scaled, fwd-only: single-orientation quantizes.
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(x2d, layout=QuantizeLayout.ROWWISE)
-        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.COLWISE)
+        if kernel_cache is not None:
+            qk = get_colwise(kernel_cache.q)
+        else:
+            qk = quantizer_set.kernel.quantize(
+                kernel.reshape(k, n), layout=QuantizeLayout.COLWISE)
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
         res = (None, None, None, None, None, None)
     else:
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(x2d)
-        qk = quantizer_set.kernel.quantize(k2d)
+        qk = (kernel_cache.q if kernel_cache is not None
+              else quantizer_set.kernel.quantize(kernel.reshape(k, n)))
         # fwd GEMM: rowwise(x) (M,K) x colwise(kernel) (N,K) -> (M,N)
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
         res = (get_colwise(qx), get_rowwise(qk), _amax_of(qx), _amax_of(qk),
-               None, None)
+               None, Static(kernel_cache is not None))
 
     if bias is not None:
         out2d = out2d + bias.reshape(1, n).astype(jnp.float32)
     out = out2d.reshape(*batch_shape, *out_shape).astype(x.dtype)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype,
                    bias is not None, bias.dtype if bias is not None else None))
-    return out, (res, meta, quantizer_set)
+    return out, (res, meta, quantizer_set, kernel_cache)
 
 
 def _dense_bwd(cfg, residuals, g):
     n_cdims, input_axes, kernel_axes = cfg
-    res, meta, quantizer_set = residuals
+    res, meta, quantizer_set, kernel_cache = residuals
     if isinstance(res[0], Static) and res[0].value == "prequant":
         raise NotImplementedError(
             "backward through a PrequantizedKernel (inference-only weights); "
@@ -166,19 +181,22 @@ def _dense_bwd(cfg, residuals, g):
         qg = quantizer_set.dgrad.quantize(g2d, layout=QuantizeLayout.ROWWISE)
         dx2d = q_dot(qg, qk, 1, 1)           # (M,N) x (K,N) -> (M,K)
         dw2d = q_dot(qx, qg, 0, 0)           # contract M -> (K,N)
-        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg))
+        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg),
+                             skip_kernel=res[5].value)
     else:
         qx_col, qk_row, amax_x, amax_k = res[0], res[1], res[2], res[3]
         qg = quantizer_set.dgrad.quantize(g2d)
         dx2d = tn_dot(get_rowwise(qg), qk_row)      # (M,N) x (K,N) -> (M,K)
         dw2d = tn_dot(qx_col, get_colwise(qg))      # (K,M) x (N,M) -> (K,N)
-        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg))
+        d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg),
+                             skip_kernel=bool(res[5] is not None
+                                              and res[5].value))
 
     dx = dx2d.reshape(x_shape).astype(x_dtype)
     dx = with_sharding_constraint_by_logical_axes(dx, input_axes)
     dw = dw2d.reshape(kernel_shape).astype(k_dtype)
     dbias = g2d.sum(axis=0).reshape(out_shape).astype(b_dtype) if has_bias else None
-    return dx, dw, dbias, d_qset
+    return dx, dw, dbias, d_qset, zero_cotangent(kernel_cache)
 
 
 _dense.defvjp(_dense_fwd, _dense_bwd)
@@ -193,12 +211,20 @@ def dense(
     input_axes=None,
     kernel_axes=None,
     quantizer_set: QuantizerSet = noop_quantizer_set,
+    kernel_cache: Optional[KernelCache] = None,
 ) -> jax.Array:
     """Quantized GEMM layer: ``out = x . kernel + bias``.
 
     ``contracting_dims`` must name the trailing dims of ``x`` and the
     leading dims of ``kernel`` (the natural layout for all framework
     modules; reference: jax/dense.py:57).
+
+    ``kernel_cache``: quantized kernel usages produced once per
+    optimizer step by :func:`~transformerengine_tpu.quantize.microbatch.
+    quantize_kernel`; when given, the per-call kernel quantize is
+    skipped and the kernel quantizer's state is left untouched in bwd
+    (reference: pytorch/module/base.py is_first_microbatch weight
+    workspace). Gradients still flow to ``kernel``.
     """
     x_cdims, k_cdims = contracting_dims
     n_cdims = len(x_cdims)
@@ -209,7 +235,7 @@ def dense(
     cfg = (n_cdims,
            tuple(input_axes) if input_axes else None,
            tuple(kernel_axes) if kernel_axes else None)
-    return _dense(cfg, x, kernel, bias, quantizer_set)
+    return _dense(cfg, x, kernel, bias, quantizer_set, kernel_cache)
 
 
 def dense_and_state(x, kernel, bias=None, **kwargs):

@@ -28,6 +28,7 @@ from ..quantize.quantizer import (
     DelayedScaleQuantizer, QuantizerSet, noop_quantizer_set)
 
 QUANTIZE_META = "quantize_meta"
+KERNEL_CACHE = "kernel_cache"
 Initializer = Callable[..., jax.Array]
 
 
@@ -74,6 +75,41 @@ class TransformerEngineBase(nn.Module):
         if self.has_variable("prequant", name):
             return self.get_variable("prequant", name)
         return self.param(name, _maybe_partition(init, axes), shape, dtype)
+
+    def kernel_cache(self, name: str, kernel, qset: QuantizerSet,
+                     n_cdims: int = 1):
+        """Microbatch weight-quantization cache — the Flax-native
+        ``is_first_microbatch`` (reference: pytorch/module/base.py:744
+        FP8 weight workspace). First microbatch of a grad-accumulation
+        step: apply with ``mutable=["kernel_cache"]`` — the kernel is
+        quantized once and stored in the collection. Later microbatches:
+        feed the collection back in the variables dict — the stored
+        quantized usages are reused and the per-call kernel quantize is
+        skipped. Without the collection this is a no-op (returns None).
+
+        With a stateful recipe (DelayedScaling) the build microbatch
+        returns None so the layer's own quantize observes the weight
+        amax into quantize_meta; stateless recipes use the cache from
+        the first microbatch onward."""
+        from ..quantize.prequant import PrequantizedKernel
+        if (isinstance(kernel, PrequantizedKernel) or qset.x is None
+                or self.is_initializing()):
+            # is_initializing: init() makes every collection mutable; a
+            # cache built from init-time weights would silently go stale
+            # after the first optimizer step.
+            return None
+        if self.has_variable(KERNEL_CACHE, name) and \
+                not self.is_mutable_collection(KERNEL_CACHE):
+            return self.get_variable(KERNEL_CACHE, name)
+        if self.is_mutable_collection(KERNEL_CACHE):
+            from ..quantize.microbatch import quantize_kernel
+            cache, _ = quantize_kernel(kernel, qset, n_cdims)
+            self.put_variable(KERNEL_CACHE, name, cache)
+            stateful = any(
+                isinstance(getattr(qset, r), DelayedScaleQuantizer)
+                for r in ("x", "kernel", "dgrad"))
+            return None if stateful else cache
+        return None
 
     def quantizer_set(self, name: str, recipe=None) -> QuantizerSet:
         """QuantizerSet for one GEMM, with delayed-scaling state backed
@@ -311,10 +347,12 @@ class DenseGeneral(TransformerEngineBase):
             bias = self.param(
                 "bias", _maybe_partition(self.bias_init, self.bias_axes),
                 features, self.dtype)
+        qset = self.quantizer_set("dense")
         out = dense(x, kernel, bias,
                     input_axes=self.input_axes or None,
                     kernel_axes=self.kernel_axes or None,
-                    quantizer_set=self.quantizer_set("dense"))
+                    quantizer_set=qset,
+                    kernel_cache=self.kernel_cache("kernel", kernel, qset))
         if self.enable_low_rank_adaptation:
             a, b = _lora_params(self, "", x.shape[-1], features,
                                 self.kernel_init, self.dtype)
@@ -368,6 +406,7 @@ class LayerNormDenseGeneral(TransformerEngineBase):
                 "bias", _maybe_partition(self.bias_init, self.bias_axes),
                 features, self.dtype)
         assert len(features) == 1, "flatten output features before the module"
+        qset = self.quantizer_set("ln_dense")
         out = layernorm_dense(
             x, kernel, gamma, beta, bias,
             norm_type=self.norm_type,
@@ -375,7 +414,8 @@ class LayerNormDenseGeneral(TransformerEngineBase):
             epsilon=self.epsilon,
             input_axes=self.input_axes or None,
             kernel_axes=self.kernel_axes or None,
-            quantizer_set=self.quantizer_set("ln_dense"))
+            quantizer_set=qset,
+            kernel_cache=self.kernel_cache("kernel", kernel, qset))
         if self.enable_low_rank_adaptation:
             # The adapter consumes the normalized input (reference:
             # jax/flax/module.py:854 — LoRA is applied to `y`, the LN
@@ -482,6 +522,8 @@ class LayerNormMLP(TransformerEngineBase):
                                         self.low_rank_adaptation_alpha
                                         ).astype(out.dtype)
             return out
+        qset1 = self.quantizer_set("mlp1")
+        qset2 = self.quantizer_set("mlp2")
         return layernorm_mlp(
             x, gamma, beta, kernel1, kernel2, bias1, bias2,
             norm_type=self.norm_type,
@@ -492,5 +534,6 @@ class LayerNormMLP(TransformerEngineBase):
             dot1_kernel_axes=self.kernel_axes_1 or None,
             dot2_kernel_axes=self.kernel_axes_2 or None,
             intermediate_axes=self.intermediate_axes or None,
-            quantizer_sets=(self.quantizer_set("mlp1"),
-                            self.quantizer_set("mlp2")))
+            quantizer_sets=(qset1, qset2),
+            kernel_caches=(self.kernel_cache("wi_kernel", kernel1, qset1),
+                           self.kernel_cache("wo_kernel", kernel2, qset2)))

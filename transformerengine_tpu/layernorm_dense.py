@@ -39,15 +39,16 @@ def _amax_of(t):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set):
+def _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set,
+                     kernel_cache):
     # Primal (no grad): single-orientation quantizes only (see dense.py).
     out, _ = _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
-                           inference=True)
+                           kernel_cache, inference=True)
     return out
 
 
 def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
-                  inference=False):
+                  kernel_cache, inference=False):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
     x = with_sharding_constraint_by_logical_axes(x, input_axes)
     if not isinstance(kernel, PrequantizedKernel):
@@ -81,21 +82,27 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
         res_q = (ln2d, k2d, None, None)
     elif all_tensor_scaling(quantizer_set):
         # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
-        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.ROWWISE)
+        if kernel_cache is not None:
+            qk = get_rowwise(kernel_cache.q)
+        else:
+            qk = quantizer_set.kernel.quantize(
+                kernel.reshape(k, n), layout=QuantizeLayout.ROWWISE)
         out2d = q_dot(qx, qk, 1, 0)
         res_q = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"))
     elif inference:
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
-        qk = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.COLWISE)
+        if kernel_cache is not None:
+            qk = get_colwise(kernel_cache.q)
+        else:
+            qk = quantizer_set.kernel.quantize(
+                kernel.reshape(k, n), layout=QuantizeLayout.COLWISE)
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
         res_q = (None, None, None, None)
     else:
-        k2d = kernel.reshape(k, n)
         qx = quantizer_set.x.quantize(ln2d)
-        qk = quantizer_set.kernel.quantize(k2d)
+        qk = (kernel_cache.q if kernel_cache is not None
+              else quantizer_set.kernel.quantize(kernel.reshape(k, n)))
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
         res_q = (get_colwise(qx), get_rowwise(qk), _amax_of(qx), _amax_of(qk))
 
@@ -104,12 +111,14 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
     out = out2d.reshape(*x.shape[:-1], *kernel.shape[1:]).astype(x.dtype)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype,
                    bias is not None, bias.dtype if bias is not None else None))
-    return out, (res_q, x, mu, rsigma, gamma, meta, quantizer_set)
+    return out, (res_q, x, mu, rsigma, gamma, meta, quantizer_set,
+                 kernel_cache)
 
 
 def _ln_dense_bwd(cfg, residuals, g):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
-    res_q, x, mu, rsigma, gamma, meta, quantizer_set = residuals
+    res_q, x, mu, rsigma, gamma, meta, quantizer_set, kernel_cache = residuals
+    cached_k = kernel_cache is not None
     if isinstance(res_q[0], Static) and res_q[0].value == "prequant":
         raise NotImplementedError(
             "backward through a PrequantizedKernel (inference-only weights)")
@@ -131,7 +140,8 @@ def _ln_dense_bwd(cfg, residuals, g):
         dw2d = q_dot(qx, qg, 0, 0)             # contract M -> (K,N)
         d_qset = QuantizerSet(
             x=quantizer_set.x.update(amax_x),
-            kernel=quantizer_set.kernel.update(amax_k),
+            kernel=(quantizer_set.kernel if cached_k
+                    else quantizer_set.kernel.update(amax_k)),
             dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
         )
     else:
@@ -141,7 +151,8 @@ def _ln_dense_bwd(cfg, residuals, g):
         dw2d = tn_dot(qx_col, get_colwise(qg))
         d_qset = QuantizerSet(
             x=quantizer_set.x.update(amax_x),
-            kernel=quantizer_set.kernel.update(amax_k),
+            kernel=(quantizer_set.kernel if cached_k
+                    else quantizer_set.kernel.update(amax_k)),
             dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
         )
 
@@ -156,7 +167,8 @@ def _ln_dense_bwd(cfg, residuals, g):
     dx = with_sharding_constraint_by_logical_axes(dx, input_axes)
     dw = dw2d.reshape(kernel_shape).astype(k_dtype)
     dbias = g2d.sum(axis=0).reshape(kernel_shape[1:]).astype(b_dtype) if has_bias else None
-    return dx, dw, dgamma, dbeta, dbias, d_qset
+    from .quantize.microbatch import zero_cotangent
+    return dx, dw, dgamma, dbeta, dbias, d_qset, zero_cotangent(kernel_cache)
 
 
 _layernorm_dense.defvjp(_ln_dense_fwd, _ln_dense_bwd)
@@ -175,10 +187,12 @@ def layernorm_dense(
     input_axes=None,
     kernel_axes=None,
     quantizer_set: QuantizerSet = noop_quantizer_set,
+    kernel_cache=None,
 ) -> jax.Array:
     """``out = norm(x) . kernel + bias`` with the norm output never
     materialized in high precision when quantizing (reference:
-    pytorch/module/layernorm_linear.py fwd)."""
+    pytorch/module/layernorm_linear.py fwd). ``kernel_cache``: see
+    :func:`transformerengine_tpu.dense`."""
     assert norm_type in ("layernorm", "rmsnorm"), norm_type
     assert kernel.ndim >= 2 and kernel.shape[0] == x.shape[-1], (
         f"kernel leading dim {kernel.shape} must match x hidden dim "
@@ -186,4 +200,5 @@ def layernorm_dense(
     cfg = (norm_type, zero_centered_gamma, float(epsilon),
            tuple(input_axes) if input_axes else None,
            tuple(kernel_axes) if kernel_axes else None)
-    return _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set)
+    return _layernorm_dense(cfg, x, kernel, gamma, beta, bias, quantizer_set,
+                            kernel_cache)

@@ -41,27 +41,28 @@ def _amax_of(t):
     return a if a is not None else jnp.float32(0.0)
 
 
-def _update(qset, amax_x, amax_k, amax_g):
+def _update(qset, amax_x, amax_k, amax_g, skip_kernel=False):
     if qset.x is None:
         return qset
     return QuantizerSet(
         x=qset.x.update(amax_x),
-        kernel=qset.kernel.update(amax_k),
+        kernel=qset.kernel if skip_kernel else qset.kernel.update(amax_k),
         dgrad=qset.dgrad.update(amax_g),
     )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _layernorm_mlp(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2,
-                   qsets):
+                   qsets, kernel_caches):
     # Primal (no grad): single-orientation quantizes only (see dense.py).
     out, _ = _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2,
-                         qsets, inference=True)
+                         qsets, kernel_caches, inference=True)
     return out
 
 
 def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
-                inference=False):
+                kernel_caches, inference=False):
+    kc1, kc2 = kernel_caches if kernel_caches is not None else (None, None)
     (norm_type, zcg, eps, acts, axes) = cfg
     input_axes, dot1_kernel_axes, dot2_kernel_axes, intermediate_axes = axes
     qset1, qset2 = qsets
@@ -100,21 +101,26 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         res1 = (ln2d, k1, None, None)
     elif all_tensor_scaling(qset1):
         # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
-        k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
-        qk1 = qset1.kernel.quantize(k1, layout=QuantizeLayout.ROWWISE)
+        qk1 = (get_rowwise(kc1.q) if kc1 is not None
+               else qset1.kernel.quantize(
+                   kernel1.reshape(hidden, n_act * ffn),
+                   layout=QuantizeLayout.ROWWISE))
         z2d = q_dot(qx, qk1, 1, 0)
         res1 = (qx, qk1, _amax_of(qx), _amax_of(qk1), Static("1x"))
     elif inference:
-        k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
-        qk1 = qset1.kernel.quantize(k1, layout=QuantizeLayout.COLWISE)
+        qk1 = (get_colwise(kc1.q) if kc1 is not None
+               else qset1.kernel.quantize(
+                   kernel1.reshape(hidden, n_act * ffn),
+                   layout=QuantizeLayout.COLWISE))
         z2d = tn_dot(get_rowwise(qx), get_colwise(qk1))
         res1 = (None, None, None, None)
     else:
-        k1 = kernel1.reshape(hidden, n_act * ffn)
         qx = qset1.x.quantize(ln2d)
-        qk1 = qset1.kernel.quantize(k1)
+        qk1 = (kc1.q if kc1 is not None
+               else qset1.kernel.quantize(
+                   kernel1.reshape(hidden, n_act * ffn)))
         z2d = tn_dot(get_rowwise(qx), get_colwise(qk1))
         res1 = (get_colwise(qx), get_rowwise(qk1), _amax_of(qx), _amax_of(qk1))
     if bias1 is not None:
@@ -157,21 +163,23 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         out2d = tn_dot(a2d, k2.T)
         res2 = (a2d, k2, None, None)
     elif all_tensor_scaling(qset2):
-        k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d, layout=QuantizeLayout.ROWWISE)
-        qk2 = qset2.kernel.quantize(k2, layout=QuantizeLayout.ROWWISE)
+        qk2 = (get_rowwise(kc2.q) if kc2 is not None
+               else qset2.kernel.quantize(kernel2.reshape(ffn, hidden),
+                                          layout=QuantizeLayout.ROWWISE))
         out2d = q_dot(qa, qk2, 1, 0)
         res2 = (qa, qk2, _amax_of(qa), _amax_of(qk2), Static("1x"))
     elif inference:
-        k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d, layout=QuantizeLayout.ROWWISE)
-        qk2 = qset2.kernel.quantize(k2, layout=QuantizeLayout.COLWISE)
+        qk2 = (get_colwise(kc2.q) if kc2 is not None
+               else qset2.kernel.quantize(kernel2.reshape(ffn, hidden),
+                                          layout=QuantizeLayout.COLWISE))
         out2d = tn_dot(get_rowwise(qa), get_colwise(qk2))
         res2 = (None, None, None, None)
     else:
-        k2 = kernel2.reshape(ffn, hidden)
         qa = qset2.x.quantize(a2d)
-        qk2 = qset2.kernel.quantize(k2)
+        qk2 = (kc2.q if kc2 is not None
+               else qset2.kernel.quantize(kernel2.reshape(ffn, hidden)))
         out2d = tn_dot(get_rowwise(qa), get_colwise(qk2))
         res2 = (get_colwise(qa), get_rowwise(qk2), _amax_of(qa), _amax_of(qk2))
     if bias2 is not None:
@@ -184,13 +192,16 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
                    bias1.dtype if bias1 is not None else None,
                    bias2.dtype if bias2 is not None else None,
                    n_act, ffn))
-    return out, (res1, res2, z, x, mu, rsigma, gamma, meta, qsets)
+    return out, (res1, res2, z, x, mu, rsigma, gamma, meta, qsets,
+                 kernel_caches)
 
 
 def _ln_mlp_bwd(cfg, residuals, g):
     (norm_type, zcg, eps, acts, axes) = cfg
     input_axes, dot1_kernel_axes, dot2_kernel_axes, intermediate_axes = axes
-    res1, res2, z, x, mu, rsigma, gamma, meta, qsets = residuals
+    (res1, res2, z, x, mu, rsigma, gamma, meta, qsets,
+     kernel_caches) = residuals
+    kc1, kc2 = kernel_caches if kernel_caches is not None else (None, None)
     if any(isinstance(r[0], Static) and r[0].value == "prequant"
            for r in (res1, res2)):
         raise NotImplementedError(
@@ -213,13 +224,15 @@ def _ln_mlp_bwd(cfg, residuals, g):
         qg = qset2.dgrad.quantize(g2d, layout=QuantizeLayout.ROWWISE)
         da2d = q_dot(qg, qk2, 1, 1)            # (M,H) x (F,H) -> (M,F)
         dw2 = q_dot(qa, qg, 0, 0)              # contract M -> (F,H)
-        d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg))
+        d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg),
+                          skip_kernel=kc2 is not None)
     else:
         qa_col, qk2_row, amax_a, amax_k2 = res2
         qg = qset2.dgrad.quantize(g2d)
         da2d = tn_dot(get_rowwise(qg), qk2_row)
         dw2 = tn_dot(qa_col, get_colwise(qg))
-        d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg))
+        d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg),
+                          skip_kernel=kc2 is not None)
 
     # --- dact ---
     da = da2d.reshape(*x_shape[:-1], ffn).astype(x_dtype)
@@ -241,13 +254,15 @@ def _ln_mlp_bwd(cfg, residuals, g):
         qdz = qset1.dgrad.quantize(dz2d, layout=QuantizeLayout.ROWWISE)
         dln2d = q_dot(qdz, qk1, 1, 1)          # (M,NF) x (H,NF) -> (M,H)
         dw1 = q_dot(qx, qdz, 0, 0)             # contract M -> (H,NF)
-        d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz))
+        d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz),
+                          skip_kernel=kc1 is not None)
     else:
         qx_col, qk1_row, amax_x, amax_k1 = res1
         qdz = qset1.dgrad.quantize(dz2d)
         dln2d = tn_dot(get_rowwise(qdz), qk1_row)
         dw1 = tn_dot(qx_col, get_colwise(qdz))
-        d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz))
+        d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz),
+                          skip_kernel=kc1 is not None)
 
     # --- norm bwd ---
     dln = dln2d.reshape(x_shape).astype(x_dtype)
@@ -263,7 +278,9 @@ def _ln_mlp_bwd(cfg, residuals, g):
     dk2 = dw2.reshape(k2_shape).astype(k2_dtype)
     db1 = dz2d.sum(axis=0).reshape(k1_shape[1:]).astype(b1_dtype) if has_b1 else None
     db2 = g2d.sum(axis=0).reshape(k2_shape[1:]).astype(b2_dtype) if has_b2 else None
-    return dx, dgamma, dbeta, dk1, dk2, db1, db2, (d_qset1, d_qset2)
+    from .quantize.microbatch import zero_cotangent
+    return (dx, dgamma, dbeta, dk1, dk2, db1, db2, (d_qset1, d_qset2),
+            zero_cotangent(kernel_caches))
 
 
 _layernorm_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
@@ -288,12 +305,15 @@ def layernorm_mlp(
     intermediate_axes=None,
     quantizer_sets: Tuple[QuantizerSet, QuantizerSet] = (
         noop_quantizer_set, noop_quantizer_set),
+    kernel_caches=None,
 ) -> jax.Array:
     """Full MLP block: ``dense(act(dense(norm(x))))``.
 
     ``kernel1`` has shape ``(hidden, n_act, ffn)`` where ``n_act`` is 2
     for gated activations (reference kernel layout:
     jax/layernorm_mlp.py), ``kernel2`` has shape ``(ffn, hidden)``.
+    ``kernel_caches``: optional pair of per-step quantized kernels
+    (microbatch cache — see :func:`transformerengine_tpu.dense`).
     """
     if activation_type == "clamped_swiglu":
         acts = "clamped_swiglu"
@@ -311,4 +331,5 @@ def layernorm_mlp(
             tuple(dot2_kernel_axes) if dot2_kernel_axes else None,
             tuple(intermediate_axes) if intermediate_axes else None))
     return _layernorm_mlp(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2,
-                          tuple(quantizer_sets))
+                          tuple(quantizer_sets),
+                          tuple(kernel_caches) if kernel_caches else None)

@@ -26,6 +26,8 @@ _LAZY = {
     "autocast": "helper", "fp8_autocast": "helper",
     "get_quantize_config": "helper", "is_quantize_enabled": "helper",
     "update_collections": "helper",
+    "KernelCache": "microbatch",
+    "quantize_kernel": "microbatch",
     "PrequantizedKernel": "prequant",
     "prequantize_kernel_array": "prequant",
     "prequantize_kernels": "prequant",

@@ -1,0 +1,101 @@
+"""Microbatch weight-quantization caching (gradient accumulation).
+
+TPU counterpart of the reference's FP8 weight-workspace cache keyed on
+``is_first_microbatch`` (reference: pytorch/module/base.py:744
+``quantize_weight`` — weights are quantized once per optimizer step and
+the quantized usages are reused across the grad-accumulation
+microbatches; pytorch/module/linear.py threads the cached workspace into
+fwd/dgrad).
+
+The functional form: :func:`quantize_kernel` quantizes a kernel ONCE
+(also returning the kernel quantizer with its amax observation applied,
+matching the reference's "weight amax is observed on the first
+microbatch only"), and the resulting :class:`KernelCache` is passed to
+``dense(..., kernel_cache=...)`` on every microbatch. The layer then
+skips the per-call kernel quantize entirely — under grad accumulation of
+N microbatches that removes N-1 redundant kernel cast(+transpose)
+passes, which XLA cannot CSE across jit invocations.
+
+Gradients still flow to the raw (master) kernel argument; the cache is a
+constant input whose cotangent is structurally zero (float0 for the
+integer scale grids).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .quantizer import QuantizeLayout, QuantizerSet
+from .tensor import ScaledTensor1x, ScaledTensor2x
+
+__all__ = ["KernelCache", "quantize_kernel", "zero_cotangent"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KernelCache:
+    """Quantized usages of one kernel, reused across microbatches.
+
+    ``q`` is a ScaledTensor2x (block-scaled recipes: rowwise for dgrad,
+    colwise for the fwd GEMM) or a rowwise ScaledTensor1x (per-tensor
+    scaling: one payload serves fwd/dgrad/wgrad via q_dot).
+    """
+
+    q: Union[ScaledTensor1x, ScaledTensor2x]
+
+
+def _all_tensor_scaling(qset: QuantizerSet) -> bool:
+    from ..dense import all_tensor_scaling
+    return all_tensor_scaling(qset)
+
+
+def quantize_kernel(
+    kernel: jax.Array,
+    quantizer_set: QuantizerSet,
+    n_cdims: int = 1,
+) -> tuple[Optional[KernelCache], QuantizerSet]:
+    """Quantize ``kernel`` (contracting dims leading) once per step.
+
+    Returns ``(cache, updated_quantizer_set)``: the cache to pass to
+    every microbatch's ``dense(..., kernel_cache=cache)``, and the
+    quantizer set with the kernel quantizer's end-of-step amax update
+    applied (delayed scaling observes the weight amax HERE, once per
+    step — the layer bwd leaves the kernel quantizer untouched when a
+    cache is supplied). For unquantized runs returns ``(None, set)``.
+    """
+    if quantizer_set.x is None or quantizer_set.kernel is None:
+        return None, quantizer_set
+    k = 1
+    for d in kernel.shape[:n_cdims]:
+        k *= d
+    n = kernel.size // k
+    k2d = kernel.reshape(k, n)
+    if _all_tensor_scaling(quantizer_set):
+        q = quantizer_set.kernel.quantize(k2d, layout=QuantizeLayout.ROWWISE)
+    else:
+        q = quantizer_set.kernel.quantize(k2d)
+    amax = getattr(q.rowwise if isinstance(q, ScaledTensor2x) else q,
+                   "amax", None)
+    new_set = quantizer_set
+    if amax is not None:
+        new_set = QuantizerSet(
+            x=quantizer_set.x,
+            kernel=quantizer_set.kernel.update(amax),
+            dgrad=quantizer_set.dgrad)
+    return KernelCache(q=q), new_set
+
+
+def zero_cotangent(tree):
+    """Structurally-zero cotangent for a pytree that may hold integer
+    leaves (uint8 E8M0 scale grids need float0 tangents under JAX's
+    custom_vjp contract; fp8 payloads are inexact and take fp8 zeros)."""
+    def z(x):
+        if hasattr(x, "dtype") and not jnp.issubdtype(x.dtype, jnp.inexact):
+            return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+        return jnp.zeros_like(x)
+    return jax.tree_util.tree_map(z, tree)
