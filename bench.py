@@ -160,25 +160,57 @@ def main():
     import os
     import subprocess
     import sys
+
+    def probe_tunnel(deadline_s=360):
+        """Block until the TPU tunnel answers a tiny computation again.
+        Killing a hung child mid-TPU-call wedges the axon tunnel for
+        ~2-5 min (FAILED_PRECONDITION); launching the next rung into the
+        wedged tunnel would cascade the failure down the whole ladder."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < deadline_s:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.dot(jnp.ones((8,8)), jnp.ones((8,8)))"
+                 ".sum()))"],
+                capture_output=True, text=True, timeout=120)
+            if r.returncode == 0:
+                return True
+            time.sleep(20)
+        return False
+
+    def run_rung_child(name):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", "--rungs", name],
+            capture_output=True, text=True, timeout=600)
+        line = next((l for l in reversed(proc.stdout.splitlines())
+                     if l.startswith("RUNG_JSON ")), None)
+        if proc.returncode == 0 and line:
+            return json.loads(line[len("RUNG_JSON "):]), None
+        tail = (proc.stderr or proc.stdout or "").strip()
+        return None, tail[-400:] or f"exit={proc.returncode}"
+
     results, errors = {}, {}
     for name in ALL_RUNGS:
         if name not in rungs:
             continue
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", "--rungs", name],
-                capture_output=True, text=True, timeout=600)
-            line = next((l for l in reversed(proc.stdout.splitlines())
-                         if l.startswith("RUNG_JSON ")), None)
-            if proc.returncode == 0 and line:
-                results[name] = json.loads(line[len("RUNG_JSON "):])
-            else:
-                tail = (proc.stderr or proc.stdout or "").strip()
-                errors[name] = tail[-400:] or f"exit={proc.returncode}"
-        except Exception as e:  # one rung failing must not kill the round
-            errors[name] = "".join(
-                traceback.format_exception_only(type(e), e))[-400:].strip()
+        # One retry per rung; after a timeout (child SIGKILLed mid-TPU
+        # call) wait for the tunnel to recover before touching it again.
+        for attempt in (0, 1):
+            try:
+                res, err = run_rung_child(name)
+                if res is not None:
+                    results[name] = res
+                    errors.pop(name, None)
+                    break
+                errors[name] = err
+            except subprocess.TimeoutExpired:
+                errors[name] = "rung timed out (600s); child killed"
+                probe_tunnel()
+            except Exception as e:  # a rung failing must not kill the round
+                errors[name] = "".join(
+                    traceback.format_exception_only(type(e), e))[-400:].strip()
 
     decode = results.get("decode", {})
     out = {

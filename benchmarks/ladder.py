@@ -33,6 +33,17 @@ def _normal(seed, shape, dtype=jnp.bfloat16, scale=1.0):
             ).astype(dtype)
 
 
+def _timed(variants, make_carry, **kw):
+    """marginal_seconds_interleaved + the drift-guard flags: returns
+    (name -> seconds, [names whose marginal was replaced by the
+    dispatch-inclusive upper bound]). Rungs emit the guarded list so a
+    BENCH json consumer can tell a real marginal from a guarded one."""
+    res = marginal_seconds_interleaved(variants, make_carry,
+                                       with_flags=True, **kw)
+    return ({k: v[0] for k, v in res.items()},
+            sorted(k for k, v in res.items() if v[1]))
+
+
 def bench_linear(M=16384, K=768, N=3072):
     """Ladder #1: Linear K->N forward, FP8 delayed scaling vs BF16.
     Returns TFLOP/s for each and the ratio."""
@@ -44,14 +55,17 @@ def bench_linear(M=16384, K=768, N=3072):
         y = te.dense(c, w, quantizer_set=qset)
         return chain_carry(c, y)
 
-    t = marginal_seconds_interleaved(
+    t, guarded = _timed(
         {"fp8": (step, (w, te.QuantizerFactory.create_set(
             te.DelayedScaling(amax_history_len=16)))),
          "bf16": (step, (w, te.QuantizerFactory.create_set(None)))},
         lambda s: _normal(s, (M, K)), n_short=2, n_long=12)
-    return {"fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
-            "bf16_tflops": round(flops / t["bf16"] / 1e12, 1),
-            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    out = {"fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
+           "bf16_tflops": round(flops / t["bf16"] / 1e12, 1),
+           "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    if guarded:
+        out["timing_guarded"] = guarded
+    return out
 
 
 def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
@@ -77,14 +91,17 @@ def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
 
     mk = te.QuantizerFactory.create_set
     recipe = te.DelayedScaling(amax_history_len=16)
-    t = marginal_seconds_interleaved(
+    t, guarded = _timed(
         {"fp8": (step, (k1, k2, gamma, (mk(recipe), mk(recipe)))),
          "bf16": (step, (k1, k2, gamma, (mk(None), mk(None))))},
         lambda s: _normal(s, (B, S, H)), n_short=2, n_long=8)
-    return {"fp8_step_ms": round(t["fp8"] * 1e3, 3),
-            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
-            "fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
-            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    out = {"fp8_step_ms": round(t["fp8"] * 1e3, 3),
+           "bf16_step_ms": round(t["bf16"] * 1e3, 3),
+           "fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
+           "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    if guarded:
+        out["timing_guarded"] = guarded
+    return out
 
 
 def bench_flash_prefill(B=4, S=2048, Hq=32, Hkv=8, D=128):
@@ -119,15 +136,18 @@ def bench_flash_prefill(B=4, S=2048, Hq=32, Hkv=8, D=128):
                     preferred_element_type=jnp.float32)
         return chain_carry(c, y.astype(jnp.bfloat16))
 
-    t = marginal_seconds_interleaved(
+    t, guarded = _timed(
         {"flash": (flash_step, (k, v)), "gemm": (gemm_step, gw)},
         lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
     tflops = flops / t["flash"] / 1e12
     gemm_tflops = gemm_flops / t["gemm"] / 1e12
-    return {"tflops": round(tflops, 1),
-            "ms": round(t["flash"] * 1e3, 3),
-            "gemm_tflops": round(gemm_tflops, 1),
-            "pct_of_gemm": round(100.0 * tflops / gemm_tflops, 1)}
+    out = {"tflops": round(tflops, 1),
+           "ms": round(t["flash"] * 1e3, 3),
+           "gemm_tflops": round(gemm_tflops, 1),
+           "pct_of_gemm": round(100.0 * tflops / gemm_tflops, 1)}
+    if guarded:
+        out["timing_guarded"] = guarded
+    return out
 
 
 def bench_moe_mlp(B=2, S=2048, H=4096, F=7168, E=8, topk=2):
@@ -162,15 +182,18 @@ def bench_moe_mlp(B=2, S=2048, H=4096, F=7168, E=8, topk=2):
         return step
 
     mk = te.QuantizerFactory.create_set
-    t = marginal_seconds_interleaved(
+    t, guarded = _timed(
         {"mxfp8": (make_step((mk(te.MXFP8BlockScaling()),
                               mk(te.MXFP8BlockScaling()))), (w_up, w_down)),
          "bf16": (make_step((mk(None), mk(None))), (w_up, w_down))},
         lambda s: _normal(s, (T, H)), n_short=2, n_long=6)
-    return {"mxfp8_step_ms": round(t["mxfp8"] * 1e3, 3),
-            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
-            "mxfp8_tflops": round(flops / t["mxfp8"] / 1e12, 1),
-            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
+    out = {"mxfp8_step_ms": round(t["mxfp8"] * 1e3, 3),
+           "bf16_step_ms": round(t["bf16"] * 1e3, 3),
+           "mxfp8_tflops": round(flops / t["mxfp8"] / 1e12, 1),
+           "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
+    if guarded:
+        out["timing_guarded"] = guarded
+    return out
 
 
 def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
@@ -199,10 +222,13 @@ def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
         mx_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
     bf_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
 
-    t = marginal_seconds_interleaved(
+    t, guarded = _timed(
         {"mxfp8": (make_step(mx_recipe), mx_vars),
          "bf16": (make_step(None), bf_vars)},
         lambda s: _normal(s, (B, S, H)), n_short=2, n_long=6)
-    return {"mxfp8_ms": round(t["mxfp8"] * 1e3, 3),
-            "bf16_ms": round(t["bf16"] * 1e3, 3),
-            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
+    out = {"mxfp8_ms": round(t["mxfp8"] * 1e3, 3),
+           "bf16_ms": round(t["bf16"] * 1e3, 3),
+           "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
+    if guarded:
+        out["timing_guarded"] = guarded
+    return out

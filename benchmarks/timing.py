@@ -28,19 +28,23 @@ __all__ = ["chain_carry", "marginal_seconds_per_step",
 
 
 def _safe_marginal(med_short, med_long, n_short, n_long):
-    """Marginal seconds/step with a drift guard. The tunnel's absolute
-    throughput can move ~2.5x BETWEEN the short and long reps, making
-    the long chain appear as cheap as (or cheaper than) the short one;
-    the raw difference then underflows and downstream TFLOP/s explodes
-    (observed 7.7e7 TFLOP/s on the linear rung). When the marginal is
-    non-positive or under 5% of the long chain's average per-step time,
-    fall back to that average — a positive upper bound (it includes
-    dispatch/transfer overhead) instead of a nonsense number."""
+    """(marginal seconds/step, guarded?) with a drift guard. The
+    tunnel's absolute throughput can move ~2.5x BETWEEN the short and
+    long reps, making the long chain appear as cheap as (or cheaper
+    than) the short one; the raw difference then underflows and
+    downstream TFLOP/s explodes (observed 7.7e7 TFLOP/s on the linear
+    rung). When the marginal is non-positive or under 5% of the long
+    chain's average per-step time, fall back to that average — a
+    positive upper bound (it includes dispatch/transfer overhead)
+    instead of a nonsense number — and flag it (``guarded=True``) so
+    consumers can tell an upper bound from a real marginal (a workload
+    whose true marginal is tiny relative to fixed overhead would
+    otherwise be indistinguishable from a drifted run)."""
     m = (med_long - med_short) / (n_long - n_short)
     avg_long = med_long / n_long
     if m < 0.05 * avg_long:
-        return avg_long
-    return m
+        return avg_long, True
+    return m, False
 
 
 def chain_carry(carry: jax.Array, out) -> jax.Array:
@@ -102,7 +106,7 @@ def marginal_seconds_per_step(
             float(jnp.sum(run(c0, n)))  # host fetch forces execution
             ts.append(time.perf_counter() - t0)
         times[n] = sorted(ts)[len(ts) // 2]
-    return _safe_marginal(times[n_short], times[n_long], n_short, n_long)
+    return _safe_marginal(times[n_short], times[n_long], n_short, n_long)[0]
 
 
 def marginal_seconds_interleaved(
@@ -112,6 +116,7 @@ def marginal_seconds_interleaved(
     n_short: int = 2,
     n_long: int = 10,
     reps: int = 3,
+    with_flags: bool = False,
 ) -> dict:
     """Marginal seconds per step for several variants measured in ONE
     window, interleaved per repetition — the tunnel's absolute
@@ -124,7 +129,10 @@ def marginal_seconds_interleaved(
     argument — large weights MUST ride here, not in a closure, or they
     are embedded as HLO constants and blow the remote-compile request
     body limit (observed HTTP 413 at ~350 MB of closed-over weights).
-    Returns name -> marginal seconds/step.
+    Returns name -> marginal seconds/step, or name -> (seconds,
+    guarded) when ``with_flags`` — ``guarded`` marks measurements where
+    the drift guard replaced the marginal with the dispatch-inclusive
+    per-step average (an upper bound, not a true marginal).
     """
     runs = {}
     for name, (stepf, params) in variants.items():
@@ -151,11 +159,14 @@ def marginal_seconds_interleaved(
     def med(xs):
         return sorted(xs)[len(xs) // 2]
 
-    return {
+    out = {
         name: _safe_marginal(med(t[n_short]), med(t[n_long]),
                              n_short, n_long)
         for name, t in times.items()
     }
+    if with_flags:
+        return out
+    return {name: v[0] for name, v in out.items()}
 
 
 def median_call_seconds(fn: Callable[[int], float], reps: int = 5) -> float:

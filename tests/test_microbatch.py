@@ -42,31 +42,40 @@ def test_cached_matches_uncached(name):
 
 
 def test_kernel_state_updates_once_per_step():
-    """Delayed scaling: quantize_kernel observes the weight amax; the
-    per-microbatch bwd must leave the kernel quantizer untouched."""
+    """Delayed scaling: the cache-time weight amax rides the cache and
+    is observed by every microbatch's bwd — the cotangent carries the
+    SAME once-per-step roll no matter which microbatch produced it
+    (idempotent under last-wins overwrite-with-gradient)."""
     qset = te.QuantizerFactory.create_set(
         te.DelayedScaling(amax_history_len=4))
     x, w, g = _data(jax.random.PRNGKey(1))
-    cache, qset2 = quantize_kernel(w, qset)
-    # cache-time update observed a nonzero weight amax (rolls to the end)
-    assert float(qset2.kernel.amax_history[-1]) > 0.0
+    x2, _, _ = _data(jax.random.PRNGKey(7))
+    cache, qset_back = quantize_kernel(w, qset)
+    # the set comes back unchanged; the observation rides the cache
+    assert jnp.array_equal(qset_back.kernel.amax_history,
+                           qset.kernel.amax_history)
+    assert cache.amax is not None and float(cache.amax) > 0.0
 
-    def run(qs, cache):
+    def run(xx, qs, cache):
         def f(qs):
-            return jnp.sum(te.dense(x, w, quantizer_set=qs,
+            return jnp.sum(te.dense(xx, w, quantizer_set=qs,
                                     kernel_cache=cache))
         return jax.vjp(f, qs)[1](jnp.bfloat16(1.0))[0]
 
-    upd_cached = run(qset2, cache)
-    # microbatch bwd with cache: kernel history bit-identical to input
-    assert jnp.array_equal(upd_cached.kernel.amax_history,
-                           qset2.kernel.amax_history)
-    # x / dgrad quantizers still update
-    assert float(upd_cached.x.amax_history[-1]) > 0.0
-    # without cache the kernel history DOES roll in bwd
-    upd_plain = run(qset2, None)
-    assert not jnp.array_equal(upd_plain.kernel.amax_history,
-                               qset2.kernel.amax_history)
+    upd_mb0 = run(x, qset, cache)
+    upd_mb1 = run(x2, qset, cache)
+    # kernel history rolled once, with the cache amax, on BOTH
+    # microbatches (identical — whichever cotangent the caller keeps
+    # carries the step's weight observation)
+    assert float(upd_mb0.kernel.amax_history[-1]) > 0.0
+    assert jnp.array_equal(upd_mb0.kernel.amax_history,
+                           upd_mb1.kernel.amax_history)
+    # and it matches what an in-layer (uncached) quantize observes
+    upd_plain = run(x, qset, None)
+    assert jnp.array_equal(upd_mb0.kernel.amax_history,
+                           upd_plain.kernel.amax_history)
+    # x / dgrad quantizers still update per microbatch
+    assert float(upd_mb0.x.amax_history[-1]) > 0.0
 
 
 @pytest.mark.parametrize("name", ["delayed", "mxfp8"])

@@ -55,15 +55,22 @@ def _amax_of(t):
 
 
 def _update_set(qset: QuantizerSet, amax_x, amax_k, amax_g,
-                skip_kernel: bool = False) -> QuantizerSet:
-    # skip_kernel: the kernel was quantized once per step outside the
-    # layer (microbatch cache); its amax was observed there, so the bwd
-    # of each microbatch must NOT roll the weight quantizer's history
-    # again (reference: weight amax only on is_first_microbatch).
+                cache: Optional[KernelCache] = None) -> QuantizerSet:
+    # With a microbatch cache the kernel was quantized once per step
+    # outside the layer; its cache-time amax (riding the cache) is the
+    # observation fed to the update, so every microbatch's cotangent
+    # carries the same once-per-step roll (idempotent under last-wins
+    # overwrite-with-gradient; reference: weight amax only on
+    # is_first_microbatch).
+    if cache is not None:
+        amax_k = cache.amax
+    if qset.kernel is None or amax_k is None:
+        kernel = qset.kernel
+    else:
+        kernel = qset.kernel.update(amax_k)
     return QuantizerSet(
         x=qset.x.update(amax_x) if qset.x is not None else None,
-        kernel=(qset.kernel if skip_kernel or qset.kernel is None
-                else qset.kernel.update(amax_k)),
+        kernel=kernel,
         dgrad=qset.dgrad.update(amax_g) if qset.dgrad is not None else None,
     )
 
@@ -182,15 +189,14 @@ def _dense_bwd(cfg, residuals, g):
         dx2d = q_dot(qg, qk, 1, 1)           # (M,N) x (K,N) -> (M,K)
         dw2d = q_dot(qx, qg, 0, 0)           # contract M -> (K,N)
         d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg),
-                             skip_kernel=res[5].value)
+                             cache=kernel_cache)
     else:
         qx_col, qk_row, amax_x, amax_k = res[0], res[1], res[2], res[3]
         qg = quantizer_set.dgrad.quantize(g2d)
         dx2d = tn_dot(get_rowwise(qg), qk_row)      # (M,N) x (K,N) -> (M,K)
         dw2d = tn_dot(qx_col, get_colwise(qg))      # (K,M) x (N,M) -> (K,N)
         d_qset = _update_set(quantizer_set, amax_x, amax_k, _amax_of(qg),
-                             skip_kernel=bool(res[5] is not None
-                                              and res[5].value))
+                             cache=kernel_cache)
 
     dx = dx2d.reshape(x_shape).astype(x_dtype)
     dx = with_sharding_constraint_by_logical_axes(dx, input_axes)
@@ -222,9 +228,14 @@ def dense(
     ``kernel_cache``: quantized kernel usages produced once per
     optimizer step by :func:`~transformerengine_tpu.quantize.microbatch.
     quantize_kernel`; when given, the per-call kernel quantize is
-    skipped and the kernel quantizer's state is left untouched in bwd
-    (reference: pytorch/module/base.py is_first_microbatch weight
-    workspace). Gradients still flow to ``kernel``.
+    skipped and bwd observes the cache-time weight amax into the kernel
+    quantizer's cotangent (same value every microbatch — one roll per
+    step under last-wins; reference: pytorch/module/base.py
+    is_first_microbatch weight workspace). Gradients still flow to
+    ``kernel``. IMPORTANT: the cache holds the weights quantized at
+    build time — rebuild it after every optimizer step (Flax: re-apply
+    with ``mutable=["kernel_cache"]``) or the layer silently computes
+    with stale weights.
     """
     x_cdims, k_cdims = contracting_dims
     n_cdims = len(x_cdims)

@@ -87,10 +87,19 @@ class TransformerEngineBase(nn.Module):
         quantized usages are reused and the per-call kernel quantize is
         skipped. Without the collection this is a no-op (returns None).
 
-        With a stateful recipe (DelayedScaling) the build microbatch
-        returns None so the layer's own quantize observes the weight
-        amax into quantize_meta; stateless recipes use the cache from
-        the first microbatch onward."""
+        The build microbatch itself uses the cache too (one weight
+        quantize per step); with DelayedScaling the cache-time weight
+        amax rides the cache and is observed into the quantize_meta
+        cotangent by every microbatch's bwd (idempotent — see
+        quantize/microbatch.py).
+
+        STALENESS: the cache holds the weights quantized at build time
+        and is NOT revalidated (the reference's quantize_weight
+        revalidates per call). Drop/rebuild the collection after every
+        optimizer step — i.e. run the first microbatch of each step
+        with ``mutable=["kernel_cache"]`` and never feed a previous
+        step's collection back — or the layer silently computes with
+        stale quantized weights."""
         from ..quantize.prequant import PrequantizedKernel
         if (isinstance(kernel, PrequantizedKernel) or qset.x is None
                 or self.is_initializing()):
@@ -105,10 +114,7 @@ class TransformerEngineBase(nn.Module):
             from ..quantize.microbatch import quantize_kernel
             cache, _ = quantize_kernel(kernel, qset, n_cdims)
             self.put_variable(KERNEL_CACHE, name, cache)
-            stateful = any(
-                isinstance(getattr(qset, r), DelayedScaleQuantizer)
-                for r in ("x", "kernel", "dgrad"))
-            return None if stateful else cache
+            return cache
         return None
 
     def quantizer_set(self, name: str, recipe=None) -> QuantizerSet:

@@ -118,7 +118,16 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
 def _ln_dense_bwd(cfg, residuals, g):
     (norm_type, zero_centered_gamma, epsilon, input_axes, kernel_axes) = cfg
     res_q, x, mu, rsigma, gamma, meta, quantizer_set, kernel_cache = residuals
-    cached_k = kernel_cache is not None
+    # Cache-time weight amax rides the cache; feeding it to the update
+    # makes every microbatch's cotangent carry the same once-per-step
+    # roll (see dense._update_set).
+    def _upd_kernel(amax_k):
+        if kernel_cache is not None:
+            amax_k = kernel_cache.amax
+        if amax_k is None or quantizer_set.kernel is None:
+            return quantizer_set.kernel
+        return quantizer_set.kernel.update(amax_k)
+
     if isinstance(res_q[0], Static) and res_q[0].value == "prequant":
         raise NotImplementedError(
             "backward through a PrequantizedKernel (inference-only weights)")
@@ -140,8 +149,7 @@ def _ln_dense_bwd(cfg, residuals, g):
         dw2d = q_dot(qx, qg, 0, 0)             # contract M -> (K,N)
         d_qset = QuantizerSet(
             x=quantizer_set.x.update(amax_x),
-            kernel=(quantizer_set.kernel if cached_k
-                    else quantizer_set.kernel.update(amax_k)),
+            kernel=_upd_kernel(amax_k),
             dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
         )
     else:
@@ -151,8 +159,7 @@ def _ln_dense_bwd(cfg, residuals, g):
         dw2d = tn_dot(qx_col, get_colwise(qg))
         d_qset = QuantizerSet(
             x=quantizer_set.x.update(amax_x),
-            kernel=(quantizer_set.kernel if cached_k
-                    else quantizer_set.kernel.update(amax_k)),
+            kernel=_upd_kernel(amax_k),
             dgrad=quantizer_set.dgrad.update(_amax_of(qg)),
         )
 

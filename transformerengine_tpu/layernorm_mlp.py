@@ -41,12 +41,18 @@ def _amax_of(t):
     return a if a is not None else jnp.float32(0.0)
 
 
-def _update(qset, amax_x, amax_k, amax_g, skip_kernel=False):
+def _update(qset, amax_x, amax_k, amax_g, cache=None):
+    # With a microbatch cache the cache-time weight amax is the
+    # observation (same once-per-step roll in every microbatch's
+    # cotangent; see dense._update_set).
     if qset.x is None:
         return qset
+    if cache is not None:
+        amax_k = cache.amax
     return QuantizerSet(
         x=qset.x.update(amax_x),
-        kernel=qset.kernel if skip_kernel else qset.kernel.update(amax_k),
+        kernel=(qset.kernel if amax_k is None
+                else qset.kernel.update(amax_k)),
         dgrad=qset.dgrad.update(amax_g),
     )
 
@@ -225,14 +231,14 @@ def _ln_mlp_bwd(cfg, residuals, g):
         da2d = q_dot(qg, qk2, 1, 1)            # (M,H) x (F,H) -> (M,F)
         dw2 = q_dot(qa, qg, 0, 0)              # contract M -> (F,H)
         d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg),
-                          skip_kernel=kc2 is not None)
+                          cache=kc2)
     else:
         qa_col, qk2_row, amax_a, amax_k2 = res2
         qg = qset2.dgrad.quantize(g2d)
         da2d = tn_dot(get_rowwise(qg), qk2_row)
         dw2 = tn_dot(qa_col, get_colwise(qg))
         d_qset2 = _update(qset2, amax_a, amax_k2, _amax_of(qg),
-                          skip_kernel=kc2 is not None)
+                          cache=kc2)
 
     # --- dact ---
     da = da2d.reshape(*x_shape[:-1], ffn).astype(x_dtype)
@@ -255,14 +261,14 @@ def _ln_mlp_bwd(cfg, residuals, g):
         dln2d = q_dot(qdz, qk1, 1, 1)          # (M,NF) x (H,NF) -> (M,H)
         dw1 = q_dot(qx, qdz, 0, 0)             # contract M -> (H,NF)
         d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz),
-                          skip_kernel=kc1 is not None)
+                          cache=kc1)
     else:
         qx_col, qk1_row, amax_x, amax_k1 = res1
         qdz = qset1.dgrad.quantize(dz2d)
         dln2d = tn_dot(get_rowwise(qdz), qk1_row)
         dw1 = tn_dot(qx_col, get_colwise(qdz))
         d_qset1 = _update(qset1, amax_x, amax_k1, _amax_of(qdz),
-                          skip_kernel=kc1 is not None)
+                          cache=kc1)
 
     # --- norm bwd ---
     dln = dln2d.reshape(x_shape).astype(x_dtype)

@@ -13,6 +13,7 @@ query head h to kv head h // group in the BlockSpec index maps.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -29,6 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 #   minutes — only compare configs benchmarked back-to-back.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 2048
+# Inner sub-tile width for the fwd online-softmax loop. Swept on v5e
+# (scripts/profile_flash_inner.py): sub-tiling LOSES — Mosaic does not
+# overlap MXU and VPU across the unrolled sub-tiles, so smaller tiles
+# only add per-sub-tile m/l/acc overhead (pct_of_gemm 33/27/25/21 for
+# off/1024/512/256). Default off; kept as a knob for future compilers.
+INNER_K = int(os.environ.get("TE_TPU_FLASH_INNER_K", "1000000"))
+
+# Kernel ablation knobs for perf archaeology (scripts/profile_flash_
+# ablate.py): static Python flags consulted at trace time, NEVER set in
+# production. Members: "nomask", "nomax", "noexp", "nopv".
+ABLATE: frozenset = frozenset()
 # m/lse floor. Masked scores are filled with MASKED (< NEG_INF) so that
 # exp(MASKED - m) underflows to exactly 0 even for all-masked rows where
 # m stays at the NEG_INF floor — no post-exp `where` rescue needed.
@@ -102,7 +114,7 @@ def _mod_args(q_start, k_start, off, group, block_q, block_k, prog_bh):
     return bidx, hidx, qpos, kpos
 
 
-def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
+def _mask_scores(s, qseg, kseg, q_start, k_start, off, *,
                  causal, window, use_segments, group, block_q, block_k,
                  window_active=None):
     """Fill masked score entries with MASKED, unconditionally on every
@@ -119,24 +131,38 @@ def _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off, *,
     if not any_mask:
         return s
     rows = group * block_q
-    qpos, kpos = _positions(q_start, k_start, off, rows, block_k, group,
-                            block_q)
-    mask = jnp.ones((rows, block_k), jnp.bool_)
+    # Broadcast-form positions: a (rows, 1) column of query positions
+    # and a (1, block_k) row of key positions. The compares broadcast on
+    # the VPU (sublane/lane broadcasts are cheap) instead of running the
+    # full arithmetic chain over two (rows, block_k) int grids — the
+    # grid form cost ~7 VPU int ops per score element, comparable to
+    # the whole softmax chain.
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    if group > 1:
+        row = jax.lax.rem(row, block_q)
+    qpos = q_start + off + row                                # (rows, 1)
+    kpos = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)                           # (1, block_k)
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else jnp.logical_and(a, b)
+
     if causal:
-        mask = jnp.logical_and(mask, kpos <= qpos)
+        mask = _and(mask, kpos <= qpos)
     if wa[0]:
-        mask = jnp.logical_and(mask, qpos - kpos <= window[0])
+        mask = _and(mask, kpos >= qpos - window[0])
     if wa[1]:
-        mask = jnp.logical_and(mask, kpos - qpos <= window[1])
+        mask = _and(mask, kpos <= qpos + window[1])
     if use_segments:
-        qs = qseg_ref[0, :, :1]   # (block_q, 1), sublane rows
-        ks = kseg_ref[0, :1, :]   # (1, block_k), lanes
+        qs = qseg   # (block_q, 1), sublane rows (pre-sliced value)
+        ks = kseg   # (1, block_k), lanes (pre-sliced value)
         segm = jnp.logical_and(qs == ks, qs != 0)   # (block_q, block_k)
         if group > 1:
             segm = jax.lax.broadcast_in_dim(
                 segm, (group, block_q, block_k), (1, 2)).reshape(
                     rows, block_k)
-        mask = jnp.logical_and(mask, segm)
+        mask = _and(mask, segm)
     return jnp.where(mask, s, MASKED)
 
 
@@ -189,6 +215,15 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
     """One online-softmax update for a (packed-q, k) block pair. Shared
     by the dense-grid kernel and the enumerated-steps kernel.
 
+    The block is processed in block_k/INNER_K unrolled sub-tiles: the
+    QK^T and PV matmuls of sub-tile j+1 are independent of sub-tile j's
+    softmax chain, so Mosaic's scheduler overlaps MXU and VPU work
+    across sub-tiles. One monolithic (rows, block_k) tile serializes
+    them — QK^T, then the whole softmax, then PV — and measured ~40% of
+    same-window GEMM throughput; the two-level tiling is the same
+    structure as jax.experimental.pallas.ops.tpu.flash_attention's
+    block_k_major/block_k split.
+
     ``fp8``: q/k/v refs hold FP8 payloads of per-tensor-scaled tensors
     (reference: common/fused_attn/fused_attn_fp8.cu). The dequant scales
     are folded into one score multiplier scales_ref[0] =
@@ -197,54 +232,91 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
     the fp8 payloads directly — the v5e lowering converts in-flight
     (measured faster than a materialized astype, see CLAUDE.md)."""
     rows = group * block_q
+    d = q_ref.shape[-1]
     # MXU matmuls run on the native (bf16) operands — an f32 upcast
     # here costs >2x MXU throughput (r1 kernel measured 69 TF/s).
     # The softmax scale (and the nat->log2 conversion) is folded into
     # q OUTSIDE the kernel, so scores are already in the exp2 domain:
     # one VPU pass per score element saved vs `s * scale` + exp().
-    q = q_ref[0].reshape(rows, q_ref.shape[-1])
-    s = jax.lax.dot_general(
-        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if fp8:
-        s = s * scales_ref[0]
-    if score_mod is not None:
-        # score-mod path: q is NOT pre-scaled, scores stay in the
-        # natural domain for the user mod, then convert to exp2
-        # (reference flex-attention: score_mod compiled into the kernel).
-        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
-                                       block_q, block_k, prog_bh)
-        s = score_mod(s * scale, bi, hi, qpos, kpos) * LOG2E
+    q = q_ref[0].reshape(rows, d)
+    k_full = k_ref[0, 0]
+    v_full = v_ref[0, 0]
+    # Dropout bits are generated per (q_start, k_start, block_k) block —
+    # sub-tiling would change the replayed stream, so it stays single-
+    # tile (fwd and bwd must derive identical bits for a block).
+    if (dropout_rate > 0.0 or block_k % INNER_K != 0
+            or INNER_K >= block_k):
+        n_sub, ik_w = 1, block_k
+    else:
+        n_sub, ik_w = block_k // INNER_K, INNER_K
+    if use_segments:
+        qs_val = qseg_ref[0, :, :1]        # (block_q, 1), sublane rows
+        ks_full = kseg_ref[0, :1, :]       # (1, block_k), lanes
+    else:
+        qs_val = ks_full = None
     if use_bias:
-        bias = bias_ref[0].reshape(rows, block_k)
-        s = s + bias.astype(jnp.float32) * LOG2E
-    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                     causal=causal, window=window,
-                     use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k,
-                     window_active=window_active)
+        bias_full = bias_ref[0].reshape(rows, block_k)
 
-    m_prev = m_ref[...]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new[:, :1])
+    for j in range(n_sub):
+        ks = k_start + j * ik_w
+        k = k_full if n_sub == 1 else k_full[j * ik_w:(j + 1) * ik_w, :]
+        v = v_full if n_sub == 1 else v_full[j * ik_w:(j + 1) * ik_w, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if fp8:
+            s = s * scales_ref[0]
+        if score_mod is not None:
+            # score-mod path: q is NOT pre-scaled, scores stay in the
+            # natural domain for the user mod, then convert to exp2
+            # (reference flex-attention: score_mod in the kernel).
+            bi, hi, qpos, kpos = _mod_args(q_start, ks, off, group,
+                                           block_q, ik_w, prog_bh)
+            s = score_mod(s * scale, bi, hi, qpos, kpos) * LOG2E
+        if use_bias:
+            bias = (bias_full if n_sub == 1
+                    else bias_full[:, j * ik_w:(j + 1) * ik_w])
+            s = s + bias.astype(jnp.float32) * LOG2E
+        kseg_val = None
+        if use_segments:
+            kseg_val = (ks_full if n_sub == 1
+                        else ks_full[:, j * ik_w:(j + 1) * ik_w])
+        if "nomask" not in ABLATE:
+            s = _mask_scores(s, qs_val, kseg_val, q_start, ks, off,
+                             causal=causal, window=window,
+                             use_segments=use_segments,
+                             group=group, block_q=block_q, block_k=ik_w,
+                             window_active=window_active)
 
-    l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
-    m_ref[...] = m_new
-    v = v_ref[0, 0]
-    if dropout_rate > 0.0:
-        # l uses the undropped p (softmax denominator); only the PV
-        # contraction sees the dropped/rescaled weights.
-        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                             dropout_rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-    pv = jax.lax.dot_general(
-        p.astype(jnp.bfloat16 if fp8 else v.dtype), v,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+        m_prev = m_ref[...]
+        if "nomax" in ABLATE:
+            m_new = jnp.zeros_like(m_prev)
+            alpha = jnp.ones_like(m_prev)
+        else:
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev,
+                                jnp.broadcast_to(m_cur, m_prev.shape))
+            alpha = jnp.exp2(m_prev - m_new)
+        p = (s - m_new[:, :1] if "noexp" in ABLATE
+             else jnp.exp2(s - m_new[:, :1]))
+
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        m_ref[...] = m_new
+        if dropout_rate > 0.0:
+            # l uses the undropped p (softmax denominator); only the PV
+            # contraction sees the dropped/rescaled weights.
+            keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                                 dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        if "nopv" in ABLATE:
+            acc_ref[...] = acc_ref[...] * alpha[:, :1]
+            continue
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16 if fp8 else v.dtype), v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
 
 def _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref, m_ref,
@@ -693,7 +765,12 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                        window_active=None):
     """dQ contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dq kernels. Returns the natural-
-    domain ds block (== dBias, reference cuDNN bwd dBias output)."""
+    domain ds block (== dBias, reference cuDNN bwd dBias output).
+
+    Processed in unrolled INNER_K-wide sub-tiles (fully independent —
+    no online-max chain in bwd), so Mosaic overlaps each sub-tile's VPU
+    p/ds chain with the neighbours' MXU matmuls. Single-tile when
+    dropout (bit replay) or bias (full-width ds return) is active."""
     rows = group * block_q
     # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
     # exp2 domain. The true softmax scale is re-applied once in the
@@ -702,51 +779,72 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     d = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, d)
     do = do_ref[0].reshape(rows, d)
-    k = k_ref[0, 0]
+    k_full = k_ref[0, 0]
+    v_full = v_ref[0, 0]
     lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
     delta = delta_ref[0].reshape(rows, 8)[:, :1]
+    if (dropout_rate > 0.0 or use_bias or block_k % INNER_K != 0
+            or INNER_K >= block_k):
+        n_sub, ik_w = 1, block_k
+    else:
+        n_sub, ik_w = block_k // INNER_K, INNER_K
+    if use_segments:
+        qs_val = qseg_ref[0, :, :1]
+        ks_full = kseg_ref[0, :1, :]
+    else:
+        qs_val = ks_full = None
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if fp8:
-        s = s * scales_ref[0]
-    mod_vjp = None
-    if score_mod is not None:
-        # q arrives UNscaled in score-mod mode; replay the mod and keep
-        # its vjp so ds can be pulled back through it below.
-        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
-                                       block_q, block_k, prog_bh)
-        s, mod_vjp = jax.vjp(
-            lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
-        s = s * LOG2E
-    if use_bias:
-        s = s + bias_ref[0].reshape(rows, block_k).astype(
-            jnp.float32) * LOG2E
-    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                     causal=causal, window=window,
-                     use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k,
-                     window_active=window_active)
-    # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
-    p = jnp.exp2(s - lse2)
-    dp = jax.lax.dot_general(
-        do, v_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if fp8:
-        dp = dp * scales_ref[1]
-    if dropout_rate > 0.0:
-        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                             dropout_rate)
-        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
-    ds = p * (dp - delta)
-    if mod_vjp is not None:
-        ds = mod_vjp(ds)[0]
-    acc_ref[...] += jax.lax.dot_general(
-        ds.astype(jnp.bfloat16 if fp8 else k.dtype), k,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return ds
+    ds_out = None
+    for j in range(n_sub):
+        kst = k_start + j * ik_w
+        k = k_full if n_sub == 1 else k_full[j * ik_w:(j + 1) * ik_w, :]
+        v = v_full if n_sub == 1 else v_full[j * ik_w:(j + 1) * ik_w, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if fp8:
+            s = s * scales_ref[0]
+        mod_vjp = None
+        if score_mod is not None:
+            # q arrives UNscaled in score-mod mode; replay the mod and
+            # keep its vjp so ds can be pulled back through it below.
+            bi, hi, qpos, kpos = _mod_args(q_start, kst, off, group,
+                                           block_q, ik_w, prog_bh)
+            s, mod_vjp = jax.vjp(
+                lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
+            s = s * LOG2E
+        if use_bias:
+            s = s + bias_ref[0].reshape(rows, block_k).astype(
+                jnp.float32) * LOG2E
+        kseg_val = None
+        if use_segments:
+            kseg_val = (ks_full if n_sub == 1
+                        else ks_full[:, j * ik_w:(j + 1) * ik_w])
+        s = _mask_scores(s, qs_val, kseg_val, q_start, kst, off,
+                         causal=causal, window=window,
+                         use_segments=use_segments,
+                         group=group, block_q=block_q, block_k=ik_w,
+                         window_active=window_active)
+        # lse2 >= NEG_INF floor, masked s = MASKED -> p underflows to 0.
+        p = jnp.exp2(s - lse2)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if fp8:
+            dp = dp * scales_ref[1]
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                                 dropout_rate)
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
+        ds = p * (dp - delta)
+        if mod_vjp is not None:
+            ds = mod_vjp(ds)[0]
+        acc_ref[...] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16 if fp8 else k.dtype), k,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_out = ds
+    return ds_out
 
 
 def _bwd_dq_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
@@ -850,62 +948,88 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         score_mod=None, scale=1.0, prog_bh=None,
                         window_active=None):
     """dK/dV contribution of one (packed-q, k) block pair. Shared by the
-    dense-grid and enumerated-steps dkv kernels."""
+    dense-grid and enumerated-steps dkv kernels.
+
+    Processed in unrolled INNER_K-wide k sub-tiles (independent — each
+    writes its own dk/dv accumulator row slice) so Mosaic overlaps the
+    per-sub-tile VPU chain with neighbouring MXU matmuls."""
     rows = group * block_q
     # q is pre-scaled by scale*LOG2E; dk therefore accumulates
     # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
     d = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, d)
     do = do_ref[0].reshape(rows, d)
+    k_full = k_ref[0, 0]
+    v_full = v_ref[0, 0]
     lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
     delta = delta_ref[0].reshape(rows, 8)[:, :1]
-
-    s = jax.lax.dot_general(
-        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if fp8:
-        s = s * scales_ref[0]
-    mod_vjp = None
-    if score_mod is not None:
-        bi, hi, qpos, kpos = _mod_args(q_start, k_start, off, group,
-                                       block_q, block_k, prog_bh)
-        s, mod_vjp = jax.vjp(
-            lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
-        s = s * LOG2E
-    if use_bias:
-        s = s + bias_ref[0].reshape(rows, block_k).astype(
-            jnp.float32) * LOG2E
-    s = _mask_scores(s, qseg_ref, kseg_ref, q_start, k_start, off,
-                     causal=causal, window=window,
-                     use_segments=use_segments,
-                     group=group, block_q=block_q, block_k=block_k,
-                     window_active=window_active)
-    p = jnp.exp2(s - lse2)
-    cdt = jnp.bfloat16 if fp8 else q.dtype
-    if dropout_rate > 0.0:
-        keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                             dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        pd = jnp.where(keep, p * inv, 0.0)      # dropped weights for dV
+    if (dropout_rate > 0.0 or block_k % INNER_K != 0
+            or INNER_K >= block_k):
+        n_sub, ik_w = 1, block_k
     else:
-        keep, pd = None, p
-    pc = pd.astype(cdt)
-    dv_acc[...] += jax.lax.dot_general(
-        pc, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if fp8:
-        dp = dp * scales_ref[1]
-    if dropout_rate > 0.0:
-        dp = jnp.where(keep, dp * inv, 0.0)
-    ds = p * (dp - delta)
-    if mod_vjp is not None:
-        ds = mod_vjp(ds)[0]
-    dk_acc[...] += jax.lax.dot_general(
-        ds.astype(cdt), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        n_sub, ik_w = block_k // INNER_K, INNER_K
+    if use_segments:
+        qs_val = qseg_ref[0, :, :1]
+        ks_full = kseg_ref[0, :1, :]
+    else:
+        qs_val = ks_full = None
+
+    for j in range(n_sub):
+        kst = k_start + j * ik_w
+        sub = slice(j * ik_w, (j + 1) * ik_w)
+        k = k_full if n_sub == 1 else k_full[sub, :]
+        v = v_full if n_sub == 1 else v_full[sub, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if fp8:
+            s = s * scales_ref[0]
+        mod_vjp = None
+        if score_mod is not None:
+            bi, hi, qpos, kpos = _mod_args(q_start, kst, off, group,
+                                           block_q, ik_w, prog_bh)
+            s, mod_vjp = jax.vjp(
+                lambda x: score_mod(x, bi, hi, qpos, kpos), s * scale)
+            s = s * LOG2E
+        if use_bias:
+            bias = bias_ref[0].reshape(rows, block_k)
+            if n_sub > 1:
+                bias = bias[:, sub]
+            s = s + bias.astype(jnp.float32) * LOG2E
+        kseg_val = None
+        if use_segments:
+            kseg_val = ks_full if n_sub == 1 else ks_full[:, sub]
+        s = _mask_scores(s, qs_val, kseg_val, q_start, kst, off,
+                         causal=causal, window=window,
+                         use_segments=use_segments,
+                         group=group, block_q=block_q, block_k=ik_w,
+                         window_active=window_active)
+        p = jnp.exp2(s - lse2)
+        cdt = jnp.bfloat16 if fp8 else q.dtype
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
+                                 dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p * inv, 0.0)  # dropped weights for dV
+        else:
+            keep, pd = None, p
+        pc = pd.astype(cdt)
+        dv_acc[sub, :] += jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if fp8:
+            dp = dp * scales_ref[1]
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = p * (dp - delta)
+        if mod_vjp is not None:
+            ds = mod_vjp(ds)[0]
+        dk_acc[sub, :] += jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,

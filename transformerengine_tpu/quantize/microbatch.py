@@ -44,9 +44,17 @@ class KernelCache:
     ``q`` is a ScaledTensor2x (block-scaled recipes: rowwise for dgrad,
     colwise for the fwd GEMM) or a rowwise ScaledTensor1x (per-tensor
     scaling: one payload serves fwd/dgrad/wgrad via q_dot).
+
+    ``amax``: the weight amax observed at cache-build time. Layer bwds
+    feed it to the kernel quantizer's end-of-step update, so every
+    microbatch's quantizer-set cotangent carries the SAME once-per-step
+    weight observation (idempotent under the overwrite-with-gradient
+    convention — whichever microbatch's cotangent the caller keeps, the
+    kernel state rolled exactly once with this amax).
     """
 
     q: Union[ScaledTensor1x, ScaledTensor2x]
+    amax: Optional[jax.Array] = None
 
 
 def _all_tensor_scaling(qset: QuantizerSet) -> bool:
@@ -61,12 +69,14 @@ def quantize_kernel(
 ) -> tuple[Optional[KernelCache], QuantizerSet]:
     """Quantize ``kernel`` (contracting dims leading) once per step.
 
-    Returns ``(cache, updated_quantizer_set)``: the cache to pass to
-    every microbatch's ``dense(..., kernel_cache=cache)``, and the
-    quantizer set with the kernel quantizer's end-of-step amax update
-    applied (delayed scaling observes the weight amax HERE, once per
-    step — the layer bwd leaves the kernel quantizer untouched when a
-    cache is supplied). For unquantized runs returns ``(None, set)``.
+    Returns ``(cache, quantizer_set)``: the cache to pass to every
+    microbatch's ``dense(..., kernel_cache=cache)``; the set is
+    returned unchanged. The weight amax rides the cache — each
+    microbatch's bwd applies ``kernel.update(cache.amax)`` so the
+    quantizer-set cotangent (overwrite-with-gradient) carries the
+    once-per-step weight observation no matter which microbatch's
+    cotangent the caller keeps. For unquantized runs returns
+    ``(None, set)``.
     """
     if quantizer_set.x is None or quantizer_set.kernel is None:
         return None, quantizer_set
@@ -81,13 +91,7 @@ def quantize_kernel(
         q = quantizer_set.kernel.quantize(k2d)
     amax = getattr(q.rowwise if isinstance(q, ScaledTensor2x) else q,
                    "amax", None)
-    new_set = quantizer_set
-    if amax is not None:
-        new_set = QuantizerSet(
-            x=quantizer_set.x,
-            kernel=quantizer_set.kernel.update(amax),
-            dgrad=quantizer_set.dgrad)
-    return KernelCache(q=q), new_set
+    return KernelCache(q=q, amax=amax), quantizer_set
 
 
 def zero_cotangent(tree):
