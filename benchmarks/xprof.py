@@ -61,3 +61,22 @@ def report(per_op, total_busy, top=25, min_us=0.0):
     for name, us in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         if us >= min_us:
             print(f"  {us/1e3:9.3f} ms  {name[:110]}")
+
+
+def device_marginal_seconds(run, make_arg, n_short=2, n_long=8,
+                            logdir="/tmp/te_xprof_marginal"):
+    """Marginal DEVICE seconds per scan step of ``run(arg, n)`` (jitted,
+    static n): traces a short and a long chained scan and differences
+    the device-busy time. Device-lane durations are stable through the
+    axon tunnel while host wall-clock wanders +-25% (and can even
+    under-measure, e.g. 0.60 ms wall for a kernel XProf pins at
+    1.66 ms), so ladder rungs use this when a real TPU is attached."""
+    import jax.numpy as jnp
+
+    for n in (n_short, n_long):
+        jnp.sum(run(make_arg(n), n)).block_until_ready()
+    busy = {}
+    for n in (n_short, n_long):
+        _, busy[n] = profile(lambda n=n: float(jnp.sum(run(make_arg(n), n))),
+                             logdir=logdir)
+    return (busy[n_long] - busy[n_short]) / (n_long - n_short) / 1e6

@@ -3,7 +3,7 @@ roofline (197 TF/s bf16)."""
 import sys, time
 import jax, jax.numpy as jnp
 sys.path.insert(0, "scripts")
-from xprof_util import profile
+from benchmarks.xprof import profile
 
 N = 4096
 def step(c, _):

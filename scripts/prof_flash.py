@@ -8,7 +8,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 from exp_flash_variants import B, D, HKV, HQ, S, flash
-from xprof_util import profile, report
+from benchmarks.xprof import profile, report
 
 N = 8
 

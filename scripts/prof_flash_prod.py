@@ -4,7 +4,7 @@ import jax, jax.numpy as jnp
 sys.path.insert(0, "."); sys.path.insert(0, "scripts")
 from transformerengine_tpu.attention import AttnMaskType
 from transformerengine_tpu.ops.flash_attention import flash_attention
-from xprof_util import profile
+from benchmarks.xprof import profile
 
 B, S, HQ, HKV, D, N = 4, 2048, 32, 8, 128, 8
 

@@ -3,7 +3,7 @@ import functools, sys
 import jax, jax.numpy as jnp
 sys.path.insert(0, "."); sys.path.insert(0, "scripts")
 from exp_flash_variants import B, D, HKV, HQ, S, flash_gqa
-from xprof_util import profile
+from benchmarks.xprof import profile
 
 N = 8
 

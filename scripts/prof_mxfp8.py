@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "scripts")
 sys.path.insert(0, ".")
-from xprof_util import profile  # noqa: E402
+from benchmarks.xprof import profile  # noqa: E402
 
 import transformerengine_tpu as te  # noqa: E402
 

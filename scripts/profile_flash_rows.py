@@ -1,11 +1,6 @@
-"""Intra-kernel cost breakdown of the flash fwd kernel via ablations.
-
-All variants measured interleaved in ONE window (drift-immune
-relatives). Each variant sets flash_attention.ABLATE at TRACE time (the
-step closure body runs while jit traces it), so each jitted program
-bakes in its own kernel variant. Timing-only — ablated outputs are
-numerically wrong by construction.
-"""
+"""Flash fwd: packed-rows cap x block_k sweep + dense-vs-enumerated
+grid, in ONE window. MAX_ROWS is patched at trace time (step closures
+run while jit traces)."""
 import json
 import os
 import sys
@@ -25,22 +20,34 @@ def _normal(seed, shape, dtype=jnp.bfloat16, scale=1.0):
 
 def main():
     B, S, Hq, Hkv, D = 4, 2048, 32, 8, 128
-    from transformerengine_tpu.attention import AttnMaskType, fused_attn
     import transformerengine_tpu.ops.flash_attention as fa
+    from transformerengine_tpu.attention import AttnMaskType
 
     k = _normal(11, (B, S, Hkv, D))
     v = _normal(12, (B, S, Hkv, D))
     flops = 2 * 2.0 * B * Hq * S * S * D / 2
 
-    def make_step(ablate):
+    def make_step(bq, bk, max_rows, dense=False):
         def step(q, params):
-            fa.ABLATE = frozenset(ablate)   # trace-time
+            fa.MAX_ROWS = max_rows          # trace-time
             kk, vv = params
-            o = fused_attn([q, kk, vv],
-                           attn_mask_type=AttnMaskType.CAUSAL,
-                           is_training=False)
+            kwargs = {}
+            if dense:
+                # a traced q offset forces the dense grid
+                kwargs["q_position_offset"] = jnp.zeros((), jnp.int32)
+            o = fa.flash_attention(q, kk, vv,
+                                   attn_mask_type=AttnMaskType.CAUSAL,
+                                   block_q=bq, block_k=bk, **kwargs)
             return chain_carry(q, o)
         return step
+
+    variants = {
+        "r1024_bk1024": (make_step(512, 1024, 1024), (k, v)),
+        "r2048_bk1024": (make_step(512, 1024, 2048), (k, v)),
+        "r2048_bk512": (make_step(512, 512, 2048), (k, v)),
+        "r4096_bk512": (make_step(1024, 512, 4096), (k, v)),
+        "r1024_bk1024_dense": (make_step(512, 1024, 1024, True), (k, v)),
+    }
 
     GM, GK, GN = B * S, Hq * D, 4096
     gw = _normal(13, (GK, GN), scale=0.02)
@@ -50,26 +57,18 @@ def main():
         y = jnp.dot(c.reshape(GM, GK), w, preferred_element_type=jnp.float32)
         return chain_carry(c, y.astype(jnp.bfloat16))
 
-    variants = {
-        "full": (make_step(()), (k, v)),
-        "nomask": (make_step(("nomask",)), (k, v)),
-        "bare": (make_step(("nomask", "nomax", "noexp", "nopv")), (k, v)),
-        "gemm": (gemm_step, gw),
-    }
+    variants["gemm"] = (gemm_step, gw)
     t = marginal_seconds_interleaved(
         variants, lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
-    fa.ABLATE = frozenset()
+    fa.MAX_ROWS = 1024
     gemm_tflops = gemm_flops / t["gemm"] / 1e12
     out = {"gemm_tflops": round(gemm_tflops, 1)}
     for name in variants:
         if name == "gemm":
             continue
-        out[name] = {
-            "ms": round(t[name] * 1e3, 3),
-            "tflops": round(flops / t[name] / 1e12, 1),
-            "pct_of_gemm": round(100.0 * flops / t[name] / 1e12
-                                 / gemm_tflops, 1),
-        }
+        tf = flops / t[name] / 1e12
+        out[name] = {"ms": round(t[name] * 1e3, 3), "tflops": round(tf, 1),
+                     "pct_of_gemm": round(100.0 * tf / gemm_tflops, 1)}
     print(json.dumps(out, indent=1))
 
 

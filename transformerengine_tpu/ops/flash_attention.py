@@ -29,13 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 #   NOTE the axon tunnel's sustained throughput drifts ~2.5x across tens of
 #   minutes — only compare configs benchmarked back-to-back.
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 2048
+# Swept on v5e causal prefill (scripts/profile_flash_blocks.py, one
+# window): bk=1024 beats 2048 by 1.55x — with block_k == S every q row
+# computes scores against ALL keys and masks half away (2x wasted MXU),
+# while bk<=512 drowns in the ~4us/grid-step floor (2.46/1.59/1.81/4.54
+# ms for bk 2048/1024/512/256 at B4 S2048 H32 GQA4).
+DEFAULT_BLOCK_K = 1024
 # Inner sub-tile width for the fwd online-softmax loop. Swept on v5e
 # (scripts/profile_flash_inner.py): sub-tiling LOSES — Mosaic does not
 # overlap MXU and VPU across the unrolled sub-tiles, so smaller tiles
 # only add per-sub-tile m/l/acc overhead (pct_of_gemm 33/27/25/21 for
 # off/1024/512/256). Default off; kept as a knob for future compilers.
 INNER_K = int(os.environ.get("TE_TPU_FLASH_INNER_K", "1000000"))
+# Packed-rows cap (group * block_q); see _effective_blocks.
+MAX_ROWS = int(os.environ.get("TE_TPU_FLASH_MAX_ROWS", "1024"))
 
 # Kernel ablation knobs for perf archaeology (scripts/profile_flash_
 # ablate.py): static Python flags consulted at trace time, NEVER set in
@@ -62,12 +69,12 @@ def _effective_blocks(sq: int, skv: int, group: int,
                       block_q: int, block_k: int) -> Tuple[int, int]:
     """Block sizes actually used by the kernels. Must be computed
     identically by the BSHD wrapper (for padding) and the kernel
-    builders. Packed rows (group*block_q) are capped at 1024: keeps the
-    working set inside the 16 MB scoped-vmem default (rows=2048 needs a
-    raised vmem limit, which stalls the remote compiler, for the same
-    measured throughput; bq=256/bk=1024 and bq=512/bk=1024 both profile
-    at ~78 TF/s packed on v5e)."""
-    block_q = min(block_q, _ceil_to(sq, 8), max(8, 1024 // max(group, 1)))
+    builders. Packed rows (group*block_q) are capped at MAX_ROWS
+    (default 1024: keeps the working set inside the 16 MB scoped-vmem
+    default; raising it amortizes the ~4us/grid-step floor over more
+    MXU work per step but needs a raised vmem limit at block_k >= 1024
+    — sweep via TE_TPU_FLASH_MAX_ROWS)."""
+    block_q = min(block_q, _ceil_to(sq, 8), max(8, MAX_ROWS // max(group, 1)))
     block_k = min(block_k, _ceil_to(skv, 8))
     return block_q, block_k
 
@@ -131,12 +138,15 @@ def _mask_scores(s, qseg, kseg, q_start, k_start, off, *,
     if not any_mask:
         return s
     rows = group * block_q
+
+    def _and(a, b):
+        return b if a is None else jnp.logical_and(a, b)
+
     # Broadcast-form positions: a (rows, 1) column of query positions
-    # and a (1, block_k) row of key positions. The compares broadcast on
-    # the VPU (sublane/lane broadcasts are cheap) instead of running the
-    # full arithmetic chain over two (rows, block_k) int grids — the
-    # grid form cost ~7 VPU int ops per score element, comparable to
-    # the whole softmax chain.
+    # and a (1, block_k) row of key positions; the compares broadcast on
+    # the VPU. (XProf-identical to full (rows, block_k) position grids —
+    # Mosaic canonicalizes both — and slightly faster than a float-
+    # penalty arithmetic form; the knob sweep lives in r3 history.)
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     if group > 1:
         row = jax.lax.rem(row, block_q)
@@ -144,10 +154,6 @@ def _mask_scores(s, qseg, kseg, q_start, k_start, off, *,
     kpos = k_start + jax.lax.broadcasted_iota(
         jnp.int32, (1, block_k), 1)                           # (1, block_k)
     mask = None
-
-    def _and(a, b):
-        return b if a is None else jnp.logical_and(a, b)
-
     if causal:
         mask = _and(mask, kpos <= qpos)
     if wa[0]:
@@ -598,6 +604,13 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         bytes_accessed=2 * (b * hq * sq * d + 2 * b * hkv * skv * d
                             + b * hq * sq * d),
         transcendentals=b * hq * sq * skv)
+    # rows > 1024 exceeds the 16 MB scoped-vmem default (score tile is
+    # rows*block_k*4 bytes of spill); only then raise the limit — the
+    # raised limit has stalled some remote-compiler variants (r2 note),
+    # so it must not apply to default configs.
+    cparams = {}
+    if rows > 1024:
+        cparams["vmem_limit_bytes"] = 112 * 1024 * 1024
 
     if use_steps:
         steps = _enumerate_steps(nq, nk, block_q, block_k, offset,
@@ -669,7 +682,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             ),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                **cparams),
             cost_estimate=cost,
             interpret=_interpret(),
         )(jnp.asarray(steps), scales, seed, qseg, kseg, q, k, v, bias, sink)
@@ -744,7 +758,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            **cparams),
         cost_estimate=cost,
         interpret=_interpret(),
     )(qoff, scales, seed, qseg, kseg, q, k, v, bias, sink)
