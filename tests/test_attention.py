@@ -451,3 +451,28 @@ class TestFlashDropout:
         with pytest.raises(ValueError, match="seed"):
             fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
                        dropout_probability=0.2, is_training=True)
+
+
+def test_alibi_bias_type_flash_vs_unfused():
+    """ALIBI bias type (reference: NVTE_ALIBI) — flash runs it as an
+    in-kernel score_mod; unfused materializes the bias. Same numbers."""
+    from transformerengine_tpu.attention import (AttnBackend, AttnBiasType,
+                                                 AttnMaskType, fused_attn)
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 128, 4, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (2, 128, 4, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (2, 128, 4, 64), jnp.bfloat16)
+    o_f = fused_attn([q, k, v], attn_bias_type=AttnBiasType.ALIBI,
+                     attn_mask_type=AttnMaskType.CAUSAL,
+                     backend=AttnBackend.FLASH)
+    o_u = fused_attn([q, k, v], attn_bias_type=AttnBiasType.ALIBI,
+                     attn_mask_type=AttnMaskType.CAUSAL,
+                     backend=AttnBackend.UNFUSED)
+    assert jnp.max(jnp.abs(o_f.astype(jnp.float32)
+                           - o_u.astype(jnp.float32))) < 2.5e-2
+    # AUTO picks flash for ALIBI
+    from transformerengine_tpu.attention import get_attention_backend
+    assert get_attention_backend(
+        attn_bias_type=AttnBiasType.ALIBI,
+        attn_mask_type=AttnMaskType.CAUSAL, head_dim=64) is AttnBackend.FLASH

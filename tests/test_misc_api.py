@@ -304,3 +304,59 @@ class TestAttentionHelpers:
         from transformerengine_tpu.attention import QKVFormat, QKVLayout
         assert QKVLayout.BS3HD.get_qkv_format() is QKVFormat.BSHD
         assert QKVLayout.THD_THD_THD.get_qkv_format() is QKVFormat.THD
+
+
+class TestRopeVariants:
+    def test_thd_matches_per_sequence(self):
+        """apply_rope_thd == apply_rope run on each unpacked sequence
+        (reference: nvte_fused_rope_forward thd, fused_rope.h:41)."""
+        from transformerengine_tpu.ops.rope import (apply_rope,
+                                                    apply_rope_thd,
+                                                    rope_frequencies)
+        key = jax.random.PRNGKey(0)
+        lens = [5, 9, 2]
+        T, H, D = sum(lens), 2, 8
+        x = jax.random.normal(key, (T, H, D), jnp.float32)
+        cu = jnp.asarray([0, 5, 14, 16], jnp.int32)
+        freqs = rope_frequencies(D, 32)
+        out = apply_rope_thd(x, cu, freqs)
+        o = 0
+        for n in lens:
+            ref = apply_rope(x[o:o + n][None], freqs)[0]
+            assert jnp.allclose(out[o:o + n], ref, atol=1e-6)
+            o += n
+
+    def test_thd_start_positions(self):
+        from transformerengine_tpu.ops.rope import (apply_rope,
+                                                    apply_rope_thd,
+                                                    rope_frequencies)
+        x = jax.random.normal(jax.random.PRNGKey(1), (6, 1, 8), jnp.float32)
+        cu = jnp.asarray([0, 3, 6], jnp.int32)
+        freqs = rope_frequencies(8, 64)
+        out = apply_rope_thd(x, cu, freqs,
+                             start_positions=jnp.asarray([10, 20]))
+        ref0 = apply_rope(x[:3][None], freqs,
+                          positions=jnp.arange(10, 13)[None])[0]
+        ref1 = apply_rope(x[3:][None], freqs,
+                          positions=jnp.arange(20, 23)[None])[0]
+        assert jnp.allclose(out[:3], ref0, atol=1e-6)
+        assert jnp.allclose(out[3:], ref1, atol=1e-6)
+
+    def test_fused_qkv_rope(self):
+        """apply_rope_qkv == split + per-tensor apply_rope (reference:
+        nvte_fused_qkv_rope)."""
+        from transformerengine_tpu.ops.rope import (apply_rope,
+                                                    apply_rope_qkv,
+                                                    rope_frequencies)
+        B, S, Hq, Hkv, D = 2, 7, 4, 2, 8
+        qkv = jax.random.normal(jax.random.PRNGKey(2),
+                                (B, S, (Hq + 2 * Hkv) * D), jnp.float32)
+        freqs = rope_frequencies(D, 16)
+        q, k, v = apply_rope_qkv(qkv, freqs, num_q_heads=Hq,
+                                 num_kv_heads=Hkv, head_dim=D)
+        qr = qkv[..., :Hq * D].reshape(B, S, Hq, D)
+        kr = qkv[..., Hq * D:(Hq + Hkv) * D].reshape(B, S, Hkv, D)
+        vr = qkv[..., (Hq + Hkv) * D:].reshape(B, S, Hkv, D)
+        assert jnp.allclose(q, apply_rope(qr, freqs), atol=1e-6)
+        assert jnp.allclose(k, apply_rope(kr, freqs), atol=1e-6)
+        assert jnp.array_equal(v, vr)

@@ -31,6 +31,9 @@ class AttnBiasType(enum.Enum):
     NO_BIAS = "no_bias"
     PRE_SCALE_BIAS = "pre_scale_bias"
     POST_SCALE_BIAS = "post_scale_bias"
+    ALIBI = "alibi"      # slopes computed from head index (reference:
+                         # NVTE_ALIBI; flash runs it as an in-kernel
+                         # score_mod, unfused materializes the bias)
 
 
 class AttnMaskType(enum.Enum):
@@ -434,8 +437,9 @@ def get_attention_backend(
         return AttnBackend.UNFUSED
     if env == "flash":
         return AttnBackend.FLASH
-    if attn_bias_type in (AttnBiasType.NO_BIAS, AttnBiasType.POST_SCALE_BIAS):
-        pass                           # bias fwd+dgrad are in the Pallas kernel
+    if attn_bias_type in (AttnBiasType.NO_BIAS, AttnBiasType.POST_SCALE_BIAS,
+                          AttnBiasType.ALIBI):
+        pass          # bias fwd+dgrad in-kernel; ALIBI as traced score_mod
     else:
         return AttnBackend.UNFUSED     # PRE_SCALE_BIAS stays unfused
     # dropout runs in-kernel (TPU PRNG mask replayed in fwd and bwd)
@@ -489,6 +493,15 @@ def fused_attn(
         # missing mask as all-valid).
         attn_mask_type = (AttnMaskType.CAUSAL if attn_mask_type.is_causal
                           else AttnMaskType.NO_MASK)
+
+    if attn_bias_type is AttnBiasType.ALIBI:
+        if bias is not None:
+            raise ValueError("ALIBI computes its own bias; bias must be "
+                             "None")
+        if context_parallel_axis:
+            raise NotImplementedError(
+                "ALIBI under context parallelism is not wired; apply a "
+                "position-aware score_mod via flex_attention instead")
 
     if context_parallel_axis and context_parallel_strategy in (
             CPStrategy.RING, CPStrategy.RING_STRIPED,
@@ -554,6 +567,12 @@ def fused_attn(
             raise ValueError(
                 "attention dropout requires an explicit `seed` PRNG key; "
                 "a silent default would reuse the same mask every step")
+        score_mod = None
+        if attn_bias_type is AttnBiasType.ALIBI:
+            # ALiBi as an in-kernel traced score_mod (reference:
+            # NVTE_ALIBI bias type; slopes 2^(-8(h+1)/H)).
+            from .flex_attention import alibi_arith_mod
+            score_mod = alibi_arith_mod(q.shape[2])
         return flash_attention(
             q, k, v, sequence_descriptor,
             attn_mask_type=attn_mask_type,
@@ -563,13 +582,25 @@ def fused_attn(
                   else None),
             qkv_quantizers=(tuple(qkv_quantizers)
                             if qkv_quantizers is not None and bias is None
-                            else None),
+                            and score_mod is None else None),
             dropout_probability=rate,
             dropout_seed=seed,
+            score_mod=score_mod,
             softmax_type=(softmax_type
                           if softmax_type is not SoftmaxType.VANILLA
                           else None),
             softmax_offset=softmax_offset)
+
+    if attn_bias_type is AttnBiasType.ALIBI:
+        # Unfused path: materialize the ALiBi bias and fall through as a
+        # post-scale bias.
+        hq, sq, skv = q.shape[2], q.shape[1], k.shape[1]
+        slopes = jnp.exp2(-(jnp.arange(hq, dtype=jnp.float32) + 1.0)
+                          * (8.0 / hq))
+        dist = jnp.abs(jnp.arange(sq, dtype=jnp.float32)[:, None]
+                       - jnp.arange(skv, dtype=jnp.float32)[None, :])
+        bias = (-slopes[:, None, None] * dist)[None]      # (1, H, Sq, Skv)
+        attn_bias_type = AttnBiasType.POST_SCALE_BIAS
 
     full_mask = mask
     if full_mask is None and (

@@ -6,7 +6,8 @@ from .gemm import dequantize_any, tn_dot
 from .grouped_gemm import grouped_gemm, grouped_gemm_dw
 from .normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_bwd_add, rmsnorm_fwd)
-from .rope import apply_rope, rope_frequencies
+from .rope import (apply_rope, apply_rope_qkv, apply_rope_thd,
+                   rope_frequencies)
 from .router import (
     compute_routing, fused_moe_aux_loss, fused_topk_with_score_function)
 

@@ -72,3 +72,53 @@ def apply_rope(
         o2 = x2 * cos + x1 * sin
         out = jnp.concatenate([o1, o2], axis=-1)
     return jnp.concatenate([out, x_pass], axis=-1).astype(x.dtype)
+
+
+def apply_rope_thd(
+    x: jax.Array,                      # (T, H, D) packed tokens
+    cu_seqlens: jax.Array,             # (N+1,) cumulative sequence lengths
+    freqs: jax.Array,                  # (>=max_len, rot_dim/2)
+    *,
+    interleaved: bool = False,
+    start_positions: Optional[jax.Array] = None,   # (N,) per-sequence
+) -> jax.Array:
+    """RoPE over a THD (packed ragged) batch (reference:
+    nvte_fused_rope_forward with qkv_format=thd, fused_rope.h:41 —
+    cu_seqlens picks each token's position within its own sequence).
+
+    ``start_positions`` offsets each sequence's first token (the
+    reference's start_positions operand; e.g. continued decode)."""
+    t = x.shape[0]
+    tok = jnp.arange(t, dtype=jnp.int32)
+    seq = jnp.searchsorted(cu_seqlens[1:], tok, side="right").astype(jnp.int32)
+    pos = tok - cu_seqlens[seq]
+    if start_positions is not None:
+        pos = pos + start_positions[seq]
+    out = apply_rope(x[None], freqs, positions=pos[None],
+                     interleaved=interleaved)
+    return out[0]
+
+
+def apply_rope_qkv(
+    qkv: jax.Array,                    # (B, S, Hq*D + 2*Hkv*D) fused proj
+    freqs: jax.Array,
+    *,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    positions: Optional[jax.Array] = None,
+    interleaved: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Split a fused QKV projection and rotate Q and K in one pass
+    (reference: nvte_fused_qkv_rope — the fused kernel exists on GPU to
+    avoid three dispatches; on TPU XLA fuses the slices + rotation into
+    the projection epilogue, so this is the API analog only). Returns
+    (q, k, v) as (B, S, H, D)."""
+    b, s, _ = qkv.shape
+    hq, hkv, d = num_q_heads, num_kv_heads, head_dim
+    q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+    q = apply_rope(q.reshape(b, s, hq, d), freqs, positions=positions,
+                   interleaved=interleaved)
+    k = apply_rope(k.reshape(b, s, hkv, d), freqs, positions=positions,
+                   interleaved=interleaved)
+    return q, k, v.reshape(b, s, hkv, d)
