@@ -136,30 +136,11 @@ def bench_flash_prefill(B=4, S=2048, Hq=32, Hkv=8, D=128):
                     preferred_element_type=jnp.float32)
         return chain_carry(c, y.astype(jnp.bfloat16))
 
-    if jax.default_backend() == "tpu":
-        # Device-lane timing: the wall-clock chain harness both over-
-        # and under-measures through the tunnel (a 1.66 ms kernel was
-        # read as 0.60 ms, i.e. "134% of GEMM"); XProf device marginals
-        # are stable.
-        from functools import partial
-        from .xprof import device_marginal_seconds
-        t = {}
-        for name, (stepf, params) in {
-                "flash": (flash_step, (k, v)),
-                "gemm": (gemm_step, gw)}.items():
-            @partial(jax.jit, static_argnames="n")
-            def run(c0, n, _step=stepf, _p=params):
-                return jax.lax.scan(lambda c, _: (_step(c, _p), None),
-                                    c0, None, length=n)[0]
-            t[name] = device_marginal_seconds(
-                run, lambda s: _normal(s, (B, S, Hq, D)))
-        guarded = []
-        timing = "xprof_device"
-    else:
-        t, guarded = _timed(
-            {"flash": (flash_step, (k, v)), "gemm": (gemm_step, gw)},
-            lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
-        timing = "wall_marginal"
+    t, guarded = _timed(
+        {"flash": (flash_step, (k, v)), "gemm": (gemm_step, gw)},
+        lambda s: _normal(s, (B, S, Hq, D)), n_short=2, n_long=8)
+    timing = ("xprof_device" if jax.default_backend() == "tpu"
+              else "wall_marginal")
     tflops = flops / t["flash"] / 1e12
     gemm_tflops = gemm_flops / t["gemm"] / 1e12
     out = {"tflops": round(tflops, 1),

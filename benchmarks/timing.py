@@ -147,6 +147,29 @@ def marginal_seconds_interleaved(
             jnp.sum(run(make_carry(0), variants[name][1], n)
                     ).block_until_ready()
 
+    # On a real TPU, time the DEVICE lanes via XProf: host wall-clock
+    # through the axon tunnel wanders +-25% and can even under-measure
+    # (a 1.66 ms kernel read as 0.60 ms wall); device-lane durations are
+    # stable, so interleaving is unnecessary. TE_TPU_BENCH_TIMING=wall
+    # restores the wall-clock path.
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("TE_TPU_BENCH_TIMING", "device") == "device"):
+        from .xprof import profile
+        out = {}
+        for name, run in runs.items():
+            busy = {}
+            for n in (n_short, n_long):
+                busy[n] = profile(
+                    lambda n=n, run=run, name=name: float(jnp.sum(
+                        run(make_carry(1 + n), variants[name][1], n))),
+                    logdir=f"/tmp/te_xprof_bench_{name}")[1] / 1e6
+            out[name] = _safe_marginal(busy[n_short], busy[n_long],
+                                       n_short, n_long)
+        if with_flags:
+            return out
+        return {name: v[0] for name, v in out.items()}
+
     times = {name: {n: [] for n in (n_short, n_long)} for name in runs}
     for r in range(reps):
         for n in (n_short, n_long):

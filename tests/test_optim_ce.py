@@ -127,3 +127,51 @@ class TestCrossEntropy:
         gr = jax.grad(lambda l: optax.softmax_cross_entropy_with_integer_labels(
             l, targets).mean())(logits)
         assert jnp.max(jnp.abs(g - gr)) < 1e-5
+
+
+class TestMultiTensor:
+    """reference: common/multi_tensor/{l2norm,scale,compute_scale}.cu"""
+
+    def _tree(self):
+        return {"a": jnp.asarray([3.0, 4.0], jnp.float32),
+                "b": jnp.asarray([[12.0]], jnp.bfloat16)}
+
+    def test_l2norm(self):
+        from transformerengine_tpu.optimizers import multi_tensor_l2norm
+        total, per = multi_tensor_l2norm(self._tree(), per_tensor=True)
+        assert jnp.allclose(total, 13.0)
+        assert jnp.allclose(per["a"], 5.0)
+        assert jnp.allclose(per["b"], 12.0)
+
+    def test_unscale_l2norm(self):
+        from transformerengine_tpu.optimizers import (
+            multi_tensor_unscale_l2norm)
+        n = multi_tensor_unscale_l2norm(self._tree(), 0.5)
+        assert jnp.allclose(n, 6.5)
+
+    def test_scale_preserves_dtype(self):
+        from transformerengine_tpu.optimizers import multi_tensor_scale
+        out = multi_tensor_scale(self._tree(), 2.0)
+        assert out["b"].dtype == jnp.bfloat16
+        assert jnp.allclose(out["a"], jnp.asarray([6.0, 8.0]))
+
+    def test_compute_scale_pow2(self):
+        from transformerengine_tpu.optimizers import (
+            multi_tensor_compute_scale_and_scale_inv)
+        s, si = multi_tensor_compute_scale_and_scale_inv(
+            {"w": jnp.float32(100.0)}, 448.0, pow_2_scales=True)
+        assert float(s["w"]) == 4.0          # floor-pow2 of 4.48
+        assert float(si["w"]) == 0.25
+        # zero amax -> identity scale
+        s0, _ = multi_tensor_compute_scale_and_scale_inv(
+            {"w": jnp.float32(0.0)}, 448.0)
+        assert float(s0["w"]) == 1.0
+
+    def test_clip_by_global_norm(self):
+        from transformerengine_tpu.optimizers import (clip_by_global_norm,
+                                                      multi_tensor_l2norm)
+        clipped, norm = clip_by_global_norm(self._tree(), 1.0)
+        assert jnp.allclose(norm, 13.0)
+        assert jnp.allclose(multi_tensor_l2norm(clipped), 1.0, atol=1e-2)
+        not_clipped, _ = clip_by_global_norm(self._tree(), 100.0)
+        assert jnp.allclose(not_clipped["a"], self._tree()["a"])
