@@ -223,6 +223,13 @@ def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
     mx_recipe = te.MXFP8BlockScaling()
     with te.autocast(enabled=True, recipe=mx_recipe):
         mx_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
+        # Prefill is inference-shaped: quantize the weights ONCE via the
+        # kernel_cache collection (is_first_microbatch semantics) so the
+        # steady-state step doesn't re-quantize 300 MB of kernels.
+        _, cache = jax.jit(
+            lambda v, x: layer.apply(v, x, mutable=["kernel_cache"])
+        )(mx_vars, x0)
+        mx_vars = {**mx_vars, **cache}
     bf_vars = jax.jit(layer.init)(jax.random.PRNGKey(1), x0)
 
     t, guarded = _timed(

@@ -146,7 +146,15 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
 
     post_scale = jnp.float32(1.0)
 
-    def prep(t, cdim):
+    def _2d_rows(t, cdim):
+        shape = t.data.shape if is_scaled(t) else t.shape
+        n = 1
+        for i, d in enumerate(shape):
+            if i != cdim % len(shape):
+                n *= d
+        return n
+
+    def prep(t, cdim, opp_rows):
         nonlocal post_scale
         if not is_scaled(t):
             return t
@@ -167,9 +175,21 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
             "axis (scales run along it)")
         if t.tensor_scale_inv is not None:
             post_scale = post_scale * t.tensor_scale_inv.astype(jnp.float32).reshape(())
-        return _dq_block_to_bf16(t)
+        x = _dq_block_to_bf16(t)
+        if opp_rows > 1024:
+            # Materialize the dequantized operand instead of letting XLA
+            # fuse it into the dot: an input fusion recomputes the
+            # dequant for every output tile that re-reads this operand.
+            # Measured on the 8192x4096x28672 MXFP8 fwd GEMM: fused
+            # 14.66 ms vs materialized 12.60 (bf16 10.63). With a small
+            # opposing dim (decode matvecs) each element is read once,
+            # so fusion is free and the barrier would only add a
+            # round-trip.
+            x = jax.lax.optimization_barrier(x)
+        return x
 
-    a, b = prep(lhs, lhs_cdim), prep(rhs, rhs_cdim)
+    a = prep(lhs, lhs_cdim, _2d_rows(rhs, rhs_cdim))
+    b = prep(rhs, rhs_cdim, _2d_rows(lhs, lhs_cdim))
     out = jax.lax.dot_general(
         a, b, dimension_numbers=(((lhs_cdim,), (rhs_cdim,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
