@@ -70,19 +70,33 @@ def bench_decode_and_ttft():
         # compile both scan lengths
         _run(model, variables, tokens, lengths, ip, N_SHORT)
         _run(model, variables, tokens, lengths, ip, N_LONG)
-        times = {}
-        for n in (N_SHORT, N_LONG):
-            ts = []
-            for i in range(3):
-                # Distinct prompt per rep so the tunnel cannot serve the
-                # whole chain from its result cache.
-                tk = tokens.at[:, 0].set((tokens[:, 0] + 17 * i + n)
+        if on_tpu:
+            # Device-lane marginal (host wall-clock through the tunnel
+            # wanders +-25%; see benchmarks/timing.py).
+            from benchmarks.xprof import profile
+            busy = {}
+            for n in (N_SHORT, N_LONG):
+                tk = tokens.at[:, 0].set((tokens[:, 0] + n)
                                          % cfg.vocab_size)
-                t0 = time.perf_counter()
-                _run(model, variables, tk, lengths, ip, n)
-                ts.append(time.perf_counter() - t0)
-            times[n] = sorted(ts)[1]
-        per_step = (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
+                busy[n] = profile(
+                    lambda tk=tk, n=n: _run(model, variables, tk, lengths,
+                                            ip, n),
+                    logdir="/tmp/te_xprof_decode")[1] / 1e6
+            per_step = (busy[N_LONG] - busy[N_SHORT]) / (N_LONG - N_SHORT)
+        else:
+            times = {}
+            for n in (N_SHORT, N_LONG):
+                ts = []
+                for i in range(3):
+                    # Distinct prompt per rep so the tunnel cannot serve
+                    # the whole chain from its result cache.
+                    tk = tokens.at[:, 0].set((tokens[:, 0] + 17 * i + n)
+                                             % cfg.vocab_size)
+                    t0 = time.perf_counter()
+                    _run(model, variables, tk, lengths, ip, n)
+                    ts.append(time.perf_counter() - t0)
+                times[n] = sorted(ts)[1]
+            per_step = (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
         # p50 TTFT: prompt in -> first token fetched on host, measured
         # at the short scan so cache state matches serving prefill.
         ttfts = []
