@@ -164,3 +164,51 @@ def test_cache_under_grad_accumulation():
     acc = microbatch_grad(x1, w, cache) + microbatch_grad(x2, w, cache)
     assert acc.shape == w.shape
     assert bool(jnp.all(jnp.isfinite(acc.astype(jnp.float32))))
+
+
+@pytest.mark.parametrize("name", ["current", "mxfp8"])
+def test_grouped_dense_cached(name):
+    """grouped_dense kernel cache == in-layer quantize (reference:
+    quantize_weight workspace covers GroupedLinear too)."""
+    from transformerengine_tpu.grouped_dense import grouped_dense
+    from transformerengine_tpu.quantize.microbatch import (
+        quantize_grouped_kernel)
+    qset = te.QuantizerFactory.create_set(RECIPES[name])
+    E, K, M, N = 2, 64, 128, 96
+    key = jax.random.PRNGKey(6)
+    kx, kw = jax.random.split(key)
+    x = jax.random.normal(kx, (N, K), jnp.bfloat16)
+    w = (jax.random.normal(kw, (E, K, M)) * 0.05).astype(jnp.bfloat16)
+    gs = jnp.asarray([32, 64], jnp.int32)
+
+    def loss(x, w, cache):
+        y = grouped_dense(x, w, gs, quantizer_set=qset, kernel_cache=cache)
+        return jnp.sum(y.astype(jnp.float32))
+
+    cache, _ = quantize_grouped_kernel(w, qset)
+    d0 = jax.grad(loss, argnums=(0, 1))(x, w, None)
+    d1 = jax.grad(loss, argnums=(0, 1))(x, w, cache)
+    for a, b in zip(d0, d1):
+        assert jnp.array_equal(a, b)
+
+
+def test_moe_kernel_caches():
+    from transformerengine_tpu.moe import moe
+    from transformerengine_tpu.quantize.microbatch import (
+        quantize_grouped_kernel)
+    qsets = (te.QuantizerFactory.create_set(RECIPES["mxfp8"]),
+             te.QuantizerFactory.create_set(RECIPES["mxfp8"]))
+    key = jax.random.PRNGKey(7)
+    kx, kr, k1, k2 = jax.random.split(key, 4)
+    T, H, F, E = 64, 64, 96, 4
+    x = jax.random.normal(kx, (T, H), jnp.bfloat16)
+    router = jax.random.normal(kr, (H, E), jnp.float32) * 0.1
+    w_up = (jax.random.normal(k1, (E, H, 2 * F)) * 0.05).astype(jnp.bfloat16)
+    w_down = (jax.random.normal(k2, (E, F, H)) * 0.05).astype(jnp.bfloat16)
+    c1, _ = quantize_grouped_kernel(w_up, qsets[0])
+    c2, _ = quantize_grouped_kernel(w_down, qsets[1])
+    y0, a0 = moe(x, router, w_up, w_down, quantizer_sets=qsets)
+    y1, a1 = moe(x, router, w_up, w_down, quantizer_sets=qsets,
+                 kernel_caches=(c1, c2))
+    assert jnp.array_equal(y0, y1)
+    assert jnp.array_equal(a0, a1)

@@ -45,18 +45,24 @@ def _q1x(quantizer, x):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _grouped_dense(num_experts, x, kernel, group_sizes, quantizer_set):
-    out, _ = _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set)
+def _grouped_dense(num_experts, x, kernel, group_sizes, quantizer_set,
+                   kernel_cache):
+    out, _ = _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set,
+                     kernel_cache)
     return out
 
 
-def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set):
+def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set,
+            kernel_cache):
     if quantizer_set.x is None:
         out = grouped_gemm(x, kernel, group_sizes)
         res = (x, kernel, group_sizes, None, None)
     elif quantizer_set.x.scaling_mode.is_tensor_scaling:
         qx, ax = _q1x(quantizer_set.x, x)
-        qk, ak = _q1x(quantizer_set.kernel, kernel)
+        if kernel_cache is not None:
+            qk, ak = kernel_cache.q, None
+        else:
+            qk, ak = _q1x(quantizer_set.kernel, kernel)
         out = grouped_gemm(qx, qk, group_sizes)
         res = (qx, qk, group_sizes, ax, ak)
     else:
@@ -66,15 +72,18 @@ def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set):
         # TN dense path (reference: jax/quantize/quantizer.py:881
         # GroupedQuantizer + cublaslt_grouped_gemm.cu MXFP8 path).
         qx, ax = _q1x(quantizer_set.x, x)
-        qk, ak = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
+        if kernel_cache is not None:
+            qk, ak = kernel_cache.q, None
+        else:
+            qk, ak = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
         out = grouped_gemm_tn(qx, qk, group_sizes)
         res = (qx, qk, group_sizes, ax, ak)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
-    return out.astype(x.dtype), (res, meta, quantizer_set)
+    return out.astype(x.dtype), (res, meta, quantizer_set, kernel_cache)
 
 
 def _gd_bwd(num_experts, residuals, g):
-    res, meta, quantizer_set = residuals
+    res, meta, quantizer_set, kernel_cache = residuals
     x_shape, k_shape, x_dtype, k_dtype = meta.value
     xq, kq, group_sizes, ax, ak = res
 
@@ -82,10 +91,15 @@ def _gd_bwd(num_experts, residuals, g):
         gq, ag = g, jnp.float32(0.0)
         d_qset = quantizer_set
     else:
+        if kernel_cache is not None:
+            # Cache-time weight amax; same once-per-step roll in every
+            # microbatch cotangent (see dense._update_set).
+            ak = kernel_cache.amax
         gq, ag = _q1x(quantizer_set.dgrad, g)
         d_qset = QuantizerSet(
             x=quantizer_set.x.update(ax),
-            kernel=quantizer_set.kernel.update(ak),
+            kernel=(quantizer_set.kernel if ak is None
+                    else quantizer_set.kernel.update(ak)),
             dgrad=quantizer_set.dgrad.update(ag))
 
     if (quantizer_set.x is not None
@@ -102,7 +116,9 @@ def _gd_bwd(num_experts, residuals, g):
             kt = jnp.swapaxes(kq, 1, 2)
         dx = grouped_gemm(gq, kt, group_sizes).astype(x_dtype)
     dw = grouped_gemm_dw(xq, gq, group_sizes, num_experts).astype(k_dtype)
-    return dx.reshape(x_shape), dw.reshape(k_shape), None, d_qset
+    from .quantize.microbatch import zero_cotangent
+    return (dx.reshape(x_shape), dw.reshape(k_shape), None, d_qset,
+            zero_cotangent(kernel_cache))
 
 
 _grouped_dense.defvjp(_gd_fwd, _gd_bwd)
@@ -114,11 +130,17 @@ def grouped_dense(
     group_sizes: jax.Array,    # (E,)
     *,
     quantizer_set: QuantizerSet = noop_quantizer_set,
+    kernel_cache=None,
 ) -> jax.Array:
+    """``kernel_cache``: once-per-step quantized expert kernels from
+    :func:`~transformerengine_tpu.quantize.microbatch.
+    quantize_grouped_kernel` — skips the per-microbatch kernel quantize
+    (and the TN swap for block scaling); bwd observes the cache-time
+    weight amax. Rebuild after every optimizer step."""
     assert kernel.ndim == 3 and x.shape[-1] == kernel.shape[1], (
         f"shapes {x.shape} x {kernel.shape}")
     return _grouped_dense(kernel.shape[0], x, kernel, group_sizes,
-                          quantizer_set)
+                          quantizer_set, kernel_cache)
 
 
 # ---------------------------------------------------------------------------

@@ -22,12 +22,15 @@ from .permutation import token_combine, token_dispatch
 from .quantize.quantizer import QuantizerSet, noop_quantizer_set
 
 
-def _expert_mlp(h, w_up, w_down, group_sizes, acts, qset1, qset2):
+def _expert_mlp(h, w_up, w_down, group_sizes, acts, qset1, qset2,
+                kernel_caches=None):
     """Grouped MLP over expert-contiguous rows.
     w_up: (E, H, n_act*F), w_down: (E, F, H)."""
+    kc1, kc2 = kernel_caches if kernel_caches is not None else (None, None)
     n_act = len(acts)
     ffn = w_down.shape[1]
-    z = grouped_dense(h, w_up, group_sizes, quantizer_set=qset1)
+    z = grouped_dense(h, w_up, group_sizes, quantizer_set=qset1,
+                      kernel_cache=kc1)
     if acts == ("clamped_swiglu",):
         from .ops.activation import clamped_swiglu
         a = clamped_swiglu(z.reshape(*z.shape[:-1], 2, ffn))
@@ -37,7 +40,8 @@ def _expert_mlp(h, w_up, w_down, group_sizes, acts, qset1, qset2):
     else:
         a = _ACT[acts[0]](z)
     a = a.astype(h.dtype)
-    return grouped_dense(a, w_down, group_sizes, quantizer_set=qset2)
+    return grouped_dense(a, w_down, group_sizes, quantizer_set=qset2,
+                         kernel_cache=kc2)
 
 
 def moe(
@@ -58,6 +62,7 @@ def moe(
     ep_axis: Optional[str] = None,
     capacity_factor: float = 2.0,
     dropless: bool = True,
+    kernel_caches=None,   # (up, down) from quantize_grouped_kernel
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (output with x's shape, aux_loss scalar).
 
@@ -82,9 +87,11 @@ def moe(
     if ep_axis is None:
         disp, aux = token_dispatch(h, routing_map, num_out_tokens=t * topk)
         out_e = _expert_mlp(disp, w_up, w_down, aux["group_sizes"], acts,
-                            *quantizer_sets)
+                            *quantizer_sets, kernel_caches=kernel_caches)
         out = token_combine(out_e.astype(h.dtype), probs, aux)
     elif dropless:
+        assert kernel_caches is None, (
+            "kernel_caches is not wired through the EP paths yet")
         out = _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
                                quantizer_sets, ep_axis, topk)
     else:

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from .quantizer import QuantizeLayout, QuantizerSet
 from .tensor import ScaledTensor1x, ScaledTensor2x
 
-__all__ = ["KernelCache", "quantize_kernel", "zero_cotangent"]
+__all__ = ["KernelCache", "quantize_kernel", "quantize_grouped_kernel",
+           "zero_cotangent"]
 
 
 @jax.tree_util.register_dataclass
@@ -103,3 +104,23 @@ def zero_cotangent(tree):
             return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
         return jnp.zeros_like(x)
     return jax.tree_util.tree_map(z, tree)
+
+
+def quantize_grouped_kernel(
+    kernel: jax.Array,               # (E, K, M) stacked expert kernels
+    quantizer_set: QuantizerSet,
+) -> tuple[Optional[KernelCache], QuantizerSet]:
+    """Grouped analog of :func:`quantize_kernel` for
+    ``grouped_dense(..., kernel_cache=...)`` (reference:
+    pytorch/module/base.py quantize_weight covers GroupedLinear too).
+    Block-scaled recipes store the kernel TN as (E, M, K) so scales run
+    along the contraction axis; per-tensor recipes keep (E, K, M)."""
+    if quantizer_set.x is None or quantizer_set.kernel is None:
+        return None, quantizer_set
+    from ..grouped_dense import _q1x
+    if quantizer_set.x.scaling_mode.is_tensor_scaling:
+        q, _ = _q1x(quantizer_set.kernel, kernel)
+    else:
+        q, _ = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
+    amax = getattr(q, "amax", None)
+    return KernelCache(q=q, amax=amax), quantizer_set
