@@ -43,6 +43,26 @@ DEFAULT_BLOCK_K = 1024
 INNER_K = int(os.environ.get("TE_TPU_FLASH_INNER_K", "1000000"))
 # Packed-rows cap (group * block_q); see _effective_blocks.
 MAX_ROWS = int(os.environ.get("TE_TPU_FLASH_MAX_ROWS", "1024"))
+# Sub-tile width for masked-edge skipping in the enumerated-steps
+# kernels: partially-masked (diagonal) blocks compute only the
+# reachable SPLIT_SUB-wide k sub-tiles (fwd: one full-width softmax
+# update, per-sub-tile guarded MXU+VPU; bwd: independent guarded
+# sub-tiles), removing most causal over-compute at block_k=1024 without
+# shrinking the grid. 0 disables. This differs from INNER_K sub-tiling
+# (which repeated the m/l/acc chain per sub-tile on EVERY block and
+# lost); here full blocks stay monolithic. Swept on v5e (scripts/
+# prof_flash_split.py, same-trace device-lane): 512 beats 256 (guard
+# overhead) and 0 — fwd 1.904->1.796 ms/call, bwd 4.594->4.317 at
+# bq512/bk1024 B4/S2048/H32/GQA4; bwd bk2048 5.70->5.16 ms.
+SPLIT_SUB = int(os.environ.get("TE_TPU_FLASH_SPLIT_SUB", "512"))
+
+
+def _split_width(block_k: int) -> int:
+    """Sub-tile width for masked-edge skipping; 0 when disabled or the
+    block is too small to split."""
+    if SPLIT_SUB <= 0 or block_k <= SPLIT_SUB or block_k % SPLIT_SUB != 0:
+        return 0
+    return SPLIT_SUB
 
 # Kernel ablation knobs for perf archaeology (scripts/profile_flash_
 # ablate.py): static Python flags consulted at trace time, NEVER set in
@@ -325,6 +345,74 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
 
+def _fwd_block_body_split(scales_ref, qseg_ref, kseg_ref, q_ref, k_ref,
+                          v_ref, bias_ref, acc_ref, m_ref, l_ref,
+                          s_scr, mloc_ref, lo, hi, q_start, k_start, off, *,
+                          causal, use_segments, use_bias, window, group,
+                          block_q, block_k, fp8, sub_w, nsub,
+                          window_active=None):
+    """Masked-edge-skipping variant of the fwd online-softmax update for
+    a partially reachable (packed-q, k) block pair. Only the sub-tiles
+    in [lo, hi) (from the enumerated-steps table) run QK^T / exp2 / PV;
+    the m/l/acc rescale happens ONCE per block over full width, so the
+    per-sub-tile fixed cost that sank INNER_K sub-tiling never appears.
+    Scores round-trip through the ``s_scr`` VMEM scratch between the
+    max pass and the exp/PV pass."""
+    rows = group * block_q
+    d = q_ref.shape[-1]
+    q = q_ref[0].reshape(rows, d)
+    k_full = k_ref[0, 0]
+    v_full = v_ref[0, 0]
+    if use_segments:
+        qs_val = qseg_ref[0, :, :1]
+        ks_full = kseg_ref[0, :1, :]
+    else:
+        qs_val = ks_full = None
+    if use_bias:
+        bias_full = bias_ref[0].reshape(rows, block_k)
+    mloc_ref[...] = jnp.full_like(mloc_ref, NEG_INF)
+    for j in range(nsub):
+        @pl.when(jnp.logical_and(lo <= j, j < hi))
+        def _score(j=j):
+            sub = slice(j * sub_w, (j + 1) * sub_w)
+            s = jax.lax.dot_general(
+                q, k_full[sub, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if fp8:
+                s = s * scales_ref[0]
+            if use_bias:
+                s = s + bias_full[:, sub].astype(jnp.float32) * LOG2E
+            kseg_val = ks_full[:, sub] if use_segments else None
+            s = _mask_scores(s, qs_val, kseg_val, q_start,
+                             k_start + j * sub_w, off,
+                             causal=causal, window=window,
+                             use_segments=use_segments, group=group,
+                             block_q=block_q, block_k=sub_w,
+                             window_active=window_active)
+            s_scr[:, sub] = s
+            mloc_ref[...] = jnp.maximum(
+                mloc_ref[...],
+                jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True),
+                                 mloc_ref.shape))
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, mloc_ref[...])
+    alpha = jnp.exp2(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha
+    acc_ref[...] = acc_ref[...] * alpha[:, :1]
+    for j in range(nsub):
+        @pl.when(jnp.logical_and(lo <= j, j < hi))
+        def _pv(j=j):
+            sub = slice(j * sub_w, (j + 1) * sub_w)
+            p = jnp.exp2(s_scr[:, sub] - m_new[:, :1])
+            l_ref[...] = l_ref[...] + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+                p.astype(jnp.bfloat16 if fp8 else v_full.dtype),
+                v_full[sub, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
 def _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref, m_ref,
                    l_ref, group, block_q, fp8, use_sink=False):
     rows = group * block_q
@@ -428,19 +516,25 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
 def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                       q_ref,
                       k_ref, v_ref, bias_ref, sink_ref, o_ref, lse_ref,
-                      acc_ref, m_ref, l_ref, *,
+                      acc_ref, m_ref, l_ref, *scratch,
                       causal: bool, use_segments: bool, use_bias: bool,
                       fp8: bool, dropout_rate: float,
                       window: Tuple[int, int], offset: int,
                       group: int, block_q: int, block_k: int,
-                      score_mod=None, scale=1.0, use_sink: bool = False):
+                      score_mod=None, scale=1.0, use_sink: bool = False,
+                      sub_w: int = 0):
     """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
     block pair (steps[0,t], steps[1,t]) — ONLY reachable blocks are
     enumerated (lower triangle for causal, band for sliding window), so
     the kernel body is branchless: no per-block run predicate, no wasted
     K/V DMA on skipped blocks. steps[2,t]/steps[3,t] flag the first/last
     step of each q row (same role as ik==0 / ik==nk-1 in the dense
-    grid). Same trick as jax's SplashAttention data-dependent grids."""
+    grid). Same trick as jax's SplashAttention data-dependent grids.
+
+    With ``sub_w`` > 0 (masked-edge skipping), steps[4,t]/steps[5,t]
+    bound the reachable sub-tiles: fully-reachable blocks take the
+    monolithic body, partially-masked (diagonal) blocks the split body
+    that computes only [lo, hi) sub-tiles."""
     t = pl.program_id(2)
     prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
@@ -452,15 +546,36 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
-                    v_ref,
-                    bias_ref, acc_ref, m_ref, l_ref, iq * block_q,
-                    ik * block_k, offset,
-                    causal=causal, use_segments=use_segments,
-                    use_bias=use_bias, window=window, group=group,
-                    block_q=block_q, block_k=block_k, fp8=fp8,
-                    dropout_rate=dropout_rate,
-                    score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+    def _monolithic():
+        _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                        k_ref, v_ref,
+                        bias_ref, acc_ref, m_ref, l_ref, iq * block_q,
+                        ik * block_k, offset,
+                        causal=causal, use_segments=use_segments,
+                        use_bias=use_bias, window=window, group=group,
+                        block_q=block_q, block_k=block_k, fp8=fp8,
+                        dropout_rate=dropout_rate,
+                        score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+
+    if sub_w:
+        s_scr, mloc_ref = scratch
+        nsub = block_k // sub_w
+        lo = steps_ref[4, t]
+        hi = steps_ref[5, t]
+        pl.when(hi - lo == nsub)(_monolithic)
+
+        @pl.when(hi - lo < nsub)
+        def _partial():
+            _fwd_block_body_split(
+                scales_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+                bias_ref, acc_ref, m_ref, l_ref, s_scr, mloc_ref, lo, hi,
+                iq * block_q, ik * block_k, offset,
+                causal=causal, use_segments=use_segments,
+                use_bias=use_bias, window=window, group=group,
+                block_q=block_q, block_k=block_k, fp8=fp8,
+                sub_w=sub_w, nsub=nsub)
+    else:
+        _monolithic()
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -470,13 +585,41 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
 
 
 def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
-                     order="qk"):
+                     order="qk", sub_w=0):
     """Static (iq, ik) block pairs that can contain unmasked entries,
     with first/last flags marking segment boundaries of the outer index.
     order='qk': iq-major (fwd, dq — flags delimit each iq's k sweep);
     order='kq': ik-major (dkv — flags delimit each ik's q sweep).
-    Returns an int32 array of shape (4, T): iq, ik, first, last."""
+
+    With ``sub_w`` > 0 each block's k extent is additionally resolved to
+    ``sub_w``-wide sub-tiles: rows [4]/[5] give the [lo, hi) sub-tile
+    range that can contain unmasked entries (causal trims from the
+    right, window[0] from the left). The kernels guard per-sub-tile MXU
+    and VPU work on this range, removing the causal over-compute of the
+    partially-masked diagonal blocks while keeping the grid-step count
+    of the wide block_k.
+
+    Returns an int32 array of shape (6, T): iq, ik, first, last, lo, hi."""
     import numpy as np
+    nsub = block_k // sub_w if sub_w else 1
+
+    def sub_range(iq, ik):
+        if not sub_w:
+            return 0, 1
+        q_first = iq * block_q + offset
+        q_last = q_first + block_q - 1
+        k_first = ik * block_k
+        lo_pos, hi_pos = k_first, k_first + block_k - 1
+        if window[0] >= 0:
+            lo_pos = max(lo_pos, q_first - window[0])
+        if causal:
+            hi_pos = min(hi_pos, q_last)
+        if window[1] >= 0 and not causal:
+            hi_pos = min(hi_pos, q_last + window[1])
+        lo = min(max(0, (lo_pos - k_first) // sub_w), nsub - 1)
+        hi = min(nsub, max(lo + 1, (hi_pos - k_first) // sub_w + 1))
+        return lo, hi
+
     pairs = []
     for outer in range(nq if order == "qk" else nk):
         inner_n = nk if order == "qk" else nq
@@ -499,11 +642,15 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
         if not row:
             # Outer index fully masked (e.g. bottom-right causal with
             # sq > skv): still run one block so its output is written —
-            # the in-kernel mask zeroes it (l stays 0 / ds is 0).
-            row = [(outer, 0) if order == "qk" else (0, outer)]
+            # the in-kernel mask zeroes it (l stays 0 / ds is 0). One
+            # sub-tile of work suffices.
+            iq, ik = (outer, 0) if order == "qk" else (0, outer)
+            pairs.append((iq, ik, 1, 1, 0, 1))
+            continue
         for j, (iq, ik) in enumerate(row):
+            lo, hi = sub_range(iq, ik)
             pairs.append((iq, ik, 1 if j == 0 else 0,
-                          1 if j == len(row) - 1 else 0))
+                          1 if j == len(row) - 1 else 0, lo, hi))
     return np.asarray(pairs, dtype=np.int32).T.copy()
 
 
@@ -613,15 +760,31 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         cparams["vmem_limit_bytes"] = 112 * 1024 * 1024
 
     if use_steps:
+        # Masked-edge skipping: inapplicable with score_mod (per-sub-tile
+        # mod replay is possible but unprofiled) or dropout (bit replay
+        # is generated per full block). The fwd split body needs a
+        # (rows, block_k) f32 score scratch; cap it at 4 MB so the
+        # kernel stays inside the 16 MB scoped-vmem default (raising the
+        # limit stalls some remote-compiler variants, r2 note).
+        sub_w = (_split_width(block_k)
+                 if score_mod is None and dropout_rate == 0.0 else 0)
+        if sub_w and rows * block_k * 4 > 4 * 1024 * 1024:
+            sub_w = 0
         steps = _enumerate_steps(nq, nk, block_q, block_k, offset,
-                                 causal, window, order="qk")
+                                 causal, window, order="qk", sub_w=sub_w)
         T = steps.shape[1]
+        if sub_w:
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((rows, block_k), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+            ]
         kernel = functools.partial(
             _fwd_kernel_steps, causal=causal, use_segments=use_segments,
             use_bias=use_bias, fp8=fp8, dropout_rate=dropout_rate,
             window=window, offset=offset,
             group=group, block_q=block_q, block_k=block_k,
-            score_mod=score_mod, scale=scale, use_sink=use_sink)
+            score_mod=score_mod, scale=scale, use_sink=use_sink,
+            sub_w=sub_w)
         sink_spec = pl.BlockSpec(
             sink_block,
             (lambda bi, hk, t, st: (hk, 0, 0)) if use_sink
@@ -777,7 +940,8 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                        causal, use_segments, window, group, block_q, block_k,
                        fp8, use_bias, dropout_rate=0.0,
                        score_mod=None, scale=1.0, prog_bh=None,
-                       window_active=None):
+                       window_active=None, sub_w=0, sub_lo=None,
+                       sub_hi=None):
     """dQ contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dq kernels. Returns the natural-
     domain ds block (== dBias, reference cuDNN bwd dBias output).
@@ -785,7 +949,13 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     Processed in unrolled INNER_K-wide sub-tiles (fully independent —
     no online-max chain in bwd), so Mosaic overlaps each sub-tile's VPU
     p/ds chain with the neighbours' MXU matmuls. Single-tile when
-    dropout (bit replay) or bias (full-width ds return) is active."""
+    dropout (bit replay) or bias (full-width ds return) is active.
+
+    ``sub_w`` > 0 (masked-edge skipping, enumerated-steps grids only):
+    the block runs in sub_w-wide sub-tiles and only those in
+    [sub_lo, sub_hi) — traced scalars from the step table — execute;
+    each sub-tile's work is fully independent in bwd, so the guard is a
+    plain pl.when with no cross-tile state."""
     rows = group * block_q
     # q arrives pre-scaled by scale*LOG2E; lse pre-converted to the
     # exp2 domain. The true softmax scale is re-applied once in the
@@ -798,7 +968,9 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     v_full = v_ref[0, 0]
     lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
     delta = delta_ref[0].reshape(rows, 8)[:, :1]
-    if (dropout_rate > 0.0 or use_bias or block_k % INNER_K != 0
+    if sub_w:
+        n_sub, ik_w = block_k // sub_w, sub_w
+    elif (dropout_rate > 0.0 or use_bias or block_k % INNER_K != 0
             or INNER_K >= block_k):
         n_sub, ik_w = 1, block_k
     else:
@@ -809,8 +981,7 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     else:
         qs_val = ks_full = None
 
-    ds_out = None
-    for j in range(n_sub):
+    def _tile(j):
         kst = k_start + j * ik_w
         k = k_full if n_sub == 1 else k_full[j * ik_w:(j + 1) * ik_w, :]
         v = v_full if n_sub == 1 else v_full[j * ik_w:(j + 1) * ik_w, :]
@@ -858,7 +1029,16 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
             ds.astype(jnp.bfloat16 if fp8 else k.dtype), k,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds_out = ds
+        return ds
+
+    ds_out = None
+    for j in range(n_sub):
+        if sub_w:
+            @pl.when(jnp.logical_and(sub_lo <= j, j < sub_hi))
+            def _guarded(j=j):
+                _tile(j)
+        else:
+            ds_out = _tile(j)
     return ds_out
 
 
@@ -922,11 +1102,13 @@ def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                          do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *,
                          scale, causal, use_segments, window, offset,
                          group, block_q, block_k, fp8, dropout_rate,
-                         score_mod=None):
+                         score_mod=None, sub_w=0):
     # (biased bwd uses the dense grid so every dbias block is written)
     """Enumerated-steps dQ: grid (b, hkv, T), step t -> block pair
     (steps[0,t], steps[1,t]); flags [2]/[3] mark each iq's first/last
-    k block. Branchless body — only reachable blocks are enumerated."""
+    k block. Branchless body — only reachable blocks are enumerated.
+    ``sub_w`` > 0: partially-masked blocks run only the [lo, hi)
+    sub-tiles from steps[4]/steps[5] (masked-edge skipping)."""
     t = pl.program_id(2)
     prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
@@ -936,15 +1118,26 @@ def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
-                       k_ref, v_ref,
-                       do_ref, lse_ref, delta_ref, None, acc_ref,
-                       iq * block_q, ik * block_k, offset,
-                       causal=causal, use_segments=use_segments,
-                       window=window, group=group,
-                       block_q=block_q, block_k=block_k, fp8=fp8,
-                       use_bias=False, dropout_rate=dropout_rate,
-                       score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+    def _block(sw, lo=None, hi=None):
+        _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                           k_ref, v_ref,
+                           do_ref, lse_ref, delta_ref, None, acc_ref,
+                           iq * block_q, ik * block_k, offset,
+                           causal=causal, use_segments=use_segments,
+                           window=window, group=group,
+                           block_q=block_q, block_k=block_k, fp8=fp8,
+                           use_bias=False, dropout_rate=dropout_rate,
+                           score_mod=score_mod, scale=scale,
+                           prog_bh=prog_bh, sub_w=sw, sub_lo=lo, sub_hi=hi)
+
+    if sub_w:
+        nsub = block_k // sub_w
+        lo = steps_ref[4, t]
+        hi = steps_ref[5, t]
+        pl.when(hi - lo == nsub)(lambda: _block(0))
+        pl.when(hi - lo < nsub)(lambda: _block(sub_w, lo, hi))
+    else:
+        _block(0)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -961,13 +1154,18 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         causal, use_segments, window, group,
                         block_q, block_k, fp8, use_bias, dropout_rate=0.0,
                         score_mod=None, scale=1.0, prog_bh=None,
-                        window_active=None):
+                        window_active=None, sub_w=0, sub_lo=None,
+                        sub_hi=None):
     """dK/dV contribution of one (packed-q, k) block pair. Shared by the
     dense-grid and enumerated-steps dkv kernels.
 
     Processed in unrolled INNER_K-wide k sub-tiles (independent — each
     writes its own dk/dv accumulator row slice) so Mosaic overlaps the
-    per-sub-tile VPU chain with neighbouring MXU matmuls."""
+    per-sub-tile VPU chain with neighbouring MXU matmuls.
+
+    ``sub_w`` > 0: masked-edge skipping — only sub-tiles in
+    [sub_lo, sub_hi) run (each owns its own dk/dv accumulator rows, so
+    the guard needs no cross-tile state)."""
     rows = group * block_q
     # q is pre-scaled by scale*LOG2E; dk therefore accumulates
     # (1/LN2 * scale^-1)-scaled values and is fixed in the epilogue.
@@ -978,7 +1176,9 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     v_full = v_ref[0, 0]
     lse2 = lse_ref[0].reshape(rows, 8)[:, :1]
     delta = delta_ref[0].reshape(rows, 8)[:, :1]
-    if (dropout_rate > 0.0 or block_k % INNER_K != 0
+    if sub_w:
+        n_sub, ik_w = block_k // sub_w, sub_w
+    elif (dropout_rate > 0.0 or block_k % INNER_K != 0
             or INNER_K >= block_k):
         n_sub, ik_w = 1, block_k
     else:
@@ -989,7 +1189,7 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     else:
         qs_val = ks_full = None
 
-    for j in range(n_sub):
+    def _tile(j):
         kst = k_start + j * ik_w
         sub = slice(j * ik_w, (j + 1) * ik_w)
         k = k_full if n_sub == 1 else k_full[sub, :]
@@ -1045,6 +1245,14 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
         dk_acc[sub, :] += jax.lax.dot_general(
             ds.astype(cdt), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    for j in range(n_sub):
+        if sub_w:
+            @pl.when(jnp.logical_and(sub_lo <= j, j < sub_hi))
+            def _guarded(j=j):
+                _tile(j)
+        else:
+            _tile(j)
 
 
 def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
@@ -1112,9 +1320,11 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
                           dk_acc, dv_acc, *,
                           scale, causal, use_segments, window, offset,
                           group, block_q, block_k, fp8, dropout_rate,
-                          score_mod=None):
+                          score_mod=None, sub_w=0):
     """Enumerated-steps dK/dV: grid (b, hkv, T), ik-major enumeration
-    (order='kq') so flags [2]/[3] delimit each ik's q sweep."""
+    (order='kq') so flags [2]/[3] delimit each ik's q sweep.
+    ``sub_w`` > 0: partially-masked blocks run only the [lo, hi)
+    sub-tiles from steps[4]/steps[5] (masked-edge skipping)."""
     t = pl.program_id(2)
     prog_bh = (pl.program_id(0), pl.program_id(1))
     iq = steps_ref[0, t]
@@ -1125,15 +1335,26 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
-                        k_ref, v_ref,
-                        do_ref, lse_ref, delta_ref, None, dk_acc, dv_acc,
-                        iq * block_q, ik * block_k, offset,
-                        causal=causal, use_segments=use_segments,
-                        window=window, group=group,
-                        block_q=block_q, block_k=block_k, fp8=fp8,
-                        use_bias=False, dropout_rate=dropout_rate,
-                        score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+    def _block(sw, lo=None, hi=None):
+        _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
+                            k_ref, v_ref,
+                            do_ref, lse_ref, delta_ref, None, dk_acc, dv_acc,
+                            iq * block_q, ik * block_k, offset,
+                            causal=causal, use_segments=use_segments,
+                            window=window, group=group,
+                            block_q=block_q, block_k=block_k, fp8=fp8,
+                            use_bias=False, dropout_rate=dropout_rate,
+                            score_mod=score_mod, scale=scale,
+                            prog_bh=prog_bh, sub_w=sw, sub_lo=lo, sub_hi=hi)
+
+    if sub_w:
+        nsub = block_k // sub_w
+        lo = steps_ref[4, t]
+        hi = steps_ref[5, t]
+        pl.when(hi - lo == nsub)(lambda: _block(0))
+        pl.when(hi - lo < nsub)(lambda: _block(sub_w, lo, hi))
+    else:
+        _block(0)
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -1257,10 +1478,14 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
                                 lambda bi, hk, t, st: (bi, hk, st[1, t], 0),
                                 memory_space=pltpu.VMEM)
 
+        # Masked-edge skipping (see _fwd): inapplicable with score_mod
+        # or dropout (per-block bit replay).
+        sub_w = (_split_width(block_k)
+                 if score_mod is None and dropout_rate == 0.0 else 0)
         steps_q = _enumerate_steps(nq, nk, block_q, block_k, offset,
-                                   causal, window, order="qk")
+                                   causal, window, order="qk", sub_w=sub_w)
         dq = pl.pallas_call(
-            functools.partial(_bwd_dq_kernel_steps, **common),
+            functools.partial(_bwd_dq_kernel_steps, sub_w=sub_w, **common),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b, hkv, steps_q.shape[1]),
@@ -1282,9 +1507,9 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
           lse_b, delta_b)
 
         steps_k = _enumerate_steps(nq, nk, block_q, block_k, offset,
-                                   causal, window, order="kq")
+                                   causal, window, order="kq", sub_w=sub_w)
         dk, dv = pl.pallas_call(
-            functools.partial(_bwd_dkv_kernel_steps, **common),
+            functools.partial(_bwd_dkv_kernel_steps, sub_w=sub_w, **common),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b, hkv, steps_k.shape[1]),
