@@ -58,6 +58,51 @@ class TestQuantizedCollectives:
         # axis; row sharding leaves them bit-identical
         assert jnp.array_equal(out, ref)
 
+    def test_nvfp4_all_gather_global_scale_fixup(self):
+        """Ranks quantize against LOCAL amaxes -> different two-level
+        tensor scales; the gather must refit block scales to one global
+        tensor scale (reference distributed.py:1324). Checked against a
+        host-side replication of the refit math."""
+        # Per-row magnitudes differ wildly so per-rank amaxes differ.
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (64, 64), jnp.float32)
+        x = x * (2.0 ** jnp.arange(4).repeat(16))[:, None]
+        mesh = _mesh()
+        q = QuantizerFactory.create(te.NVFP4BlockScaling(), "x")
+
+        def local_fn(xs):
+            t = get_rowwise(q.quantize(xs))
+            g = all_gather_scaled(t, "sp")
+            return g.dequantize(), g.tensor_scale_inv.reshape(1)
+
+        out, tsi_g = jax.shard_map(local_fn, mesh=mesh, in_specs=P("sp"),
+                                   out_specs=(P(), P()), check_vma=False)(x)
+        # Host-side expected: local quantize per shard, refit e4m3 block
+        # scales by tsi_local / max(tsi), dequant against the global tsi.
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        from transformerengine_tpu.quantize.qmath import saturate_cast
+        shards = [get_rowwise(q.quantize(s)) for s in jnp.split(x, N)]
+        tsis = [float(t.tensor_scale_inv.reshape(())) for t in shards]
+        tsi_max = max(tsis)
+        assert abs(float(tsi_g[0]) - tsi_max) < 1e-12
+        rows = []
+        for t, tsi in zip(shards, tsis):
+            s_fix = saturate_cast(
+                t.scale_inv.astype(jnp.float32) * (tsi / tsi_max),
+                float8_e4m3)
+            import dataclasses as _dc
+            t2 = _dc.replace(
+                t, scale_inv=s_fix,
+                tensor_scale_inv=jnp.float32(tsi_max).reshape(1))
+            rows.append(t2.dequantize())
+        ref = jnp.concatenate(rows, axis=0)
+        assert jnp.array_equal(out, ref)
+        # Sanity: refit dequant stays close to the pre-gather local
+        # dequant (only the e4m3 scale refit rounding differs).
+        local = jnp.concatenate([t.dequantize() for t in shards], axis=0)
+        denom = jnp.maximum(jnp.abs(local), 1e-6)
+        assert float(jnp.max(jnp.abs(out - local) / denom)) < 0.14
+
     def test_reduce_scatter(self):
         """Each rank holds the full tensor; RS sums N copies and shards."""
         x = jax.random.normal(jax.random.PRNGKey(0), (64, 16))

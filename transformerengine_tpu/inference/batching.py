@@ -18,10 +18,12 @@ nothing reads (batch rows are independent through every layer), and
 their clamped cache writes stay in-bounds by XLA's dynamic-slice
 semantics.
 
-FP8 caches are rejected: the per-layer KV scale is shared across slots,
-and admitting a new prompt must not rescale payloads other slots still
-read. (Fixed-scale FP8 serving would need calibration-from-first-batch
-semantics — future work, documented in PARITY.)
+FP8 caches are supported via ``fixed_kv_scale``: the per-layer KV scale
+is shared across slots, so admitting a new prompt must not rescale
+payloads other slots still read — the engine therefore requires a
+dequant scale pinned at construction (e.g. from an offline calibration
+run). Without ``fixed_kv_scale`` an FP8 cache raises; use the
+whole-batch ``generate()`` path if you want per-prefill calibration.
 """
 from __future__ import annotations
 

@@ -36,15 +36,34 @@ def all_gather_scaled(
       FP8 gather, distributed.py:982)
     * block scaling    -> payload AG + scale-grid AG (scales are local
       per row-block, so gathering both is exact; reference MXFP8 :1509)
+    * NVFP4 two-level  -> ranks quantized against LOCAL amaxes, so their
+      ``tensor_scale_inv`` differ; each rank folds the ratio
+      local/global into its e4m3 block scales before the gather and the
+      result carries the global (pmax) tensor scale — the reference's
+      post-gather global-scale fixup (distributed.py:1324).
     """
     if isinstance(t, jax.Array):
         return jax.lax.all_gather(t, axis_name, axis=axis, tiled=True)
     assert isinstance(t, ScaledTensor1x)
-    data = jax.lax.all_gather(t.data, axis_name, axis=axis, tiled=True)
     if t.scaling_mode.is_tensor_scaling:
+        data = jax.lax.all_gather(t.data, axis_name, axis=axis, tiled=True)
         return dataclasses.replace(t, data=data)
-    scale = jax.lax.all_gather(t.scale_inv, axis_name, axis=axis, tiled=True)
-    return dataclasses.replace(t, data=data, scale_inv=scale)
+    scale_inv, tsi = t.scale_inv, t.tensor_scale_inv
+    if tsi is not None:
+        from ..quantize.dtypes import float8_e4m3
+        from ..quantize.qmath import saturate_cast
+        tsi_local = tsi.astype(jnp.float32).reshape(())
+        tsi_global = jax.lax.pmax(tsi_local, axis_name)
+        # ratio <= 1 (global is the max), so the refit e4m3 scales stay
+        # in range; the refit rounding loss matches the reference's.
+        scale_inv = saturate_cast(
+            scale_inv.astype(jnp.float32) * (tsi_local / tsi_global),
+            float8_e4m3)
+        tsi = tsi_global.reshape(tsi.shape).astype(t.tensor_scale_inv.dtype)
+    data = jax.lax.all_gather(t.data, axis_name, axis=axis, tiled=True)
+    scale = jax.lax.all_gather(scale_inv, axis_name, axis=axis, tiled=True)
+    return dataclasses.replace(t, data=data, scale_inv=scale,
+                               tensor_scale_inv=tsi)
 
 
 def reduce_scatter_along_first_dim(
