@@ -212,3 +212,48 @@ def test_moe_kernel_caches():
                  kernel_caches=(c1, c2))
     assert jnp.array_equal(y0, y1)
     assert jnp.array_equal(a0, a1)
+
+
+def test_moe_ep_kernel_caches():
+    """EP dropless MoE with per-shard expert kernel caches matches the
+    uncached EP path bit-exactly (the cache is built from the LOCAL
+    expert shard inside shard_map, like the weights themselves;
+    reference: pytorch/module/base.py:744 weight workspace under EP)."""
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from transformerengine_tpu.moe import moe
+    from transformerengine_tpu.quantize.microbatch import (
+        quantize_grouped_kernel)
+
+    qsets = (te.QuantizerFactory.create_set(RECIPES["mxfp8"]),
+             te.QuantizerFactory.create_set(RECIPES["mxfp8"]))
+    key = jax.random.PRNGKey(11)
+    kx, kr, k1, k2 = jax.random.split(key, 4)
+    T, H, F, E, EP = 64, 64, 96, 4, 4
+    x = jax.random.normal(kx, (T, H), jnp.bfloat16)
+    router = jax.random.normal(kr, (H, E), jnp.float32) * 0.1
+    w_up = (jax.random.normal(k1, (E, H, 2 * F)) * 0.05).astype(jnp.bfloat16)
+    w_down = (jax.random.normal(k2, (E, F, H)) * 0.05).astype(jnp.bfloat16)
+    mesh = Mesh(mesh_utils.create_device_mesh((EP,), jax.devices()[:EP]),
+                ("ep",))
+
+    def local_fn(x, rw, wu, wd, use_cache):
+        caches = None
+        if use_cache:
+            c1, _ = quantize_grouped_kernel(wu, qsets[0])
+            c2, _ = quantize_grouped_kernel(wd, qsets[1])
+            caches = (c1, c2)
+        out, _ = moe(x, rw, wu, wd, topk=2, activation_type="swiglu",
+                     quantizer_sets=qsets, ep_axis="ep", dropless=True,
+                     kernel_caches=caches)
+        return out
+
+    outs = {}
+    for use_cache in (False, True):
+        fn = jax.shard_map(
+            lambda x, rw, wu, wd, u=use_cache: local_fn(x, rw, wu, wd, u),
+            mesh=mesh, in_specs=(P("ep"), P(), P("ep"), P("ep")),
+            out_specs=P("ep"), check_vma=False)
+        outs[use_cache] = fn(x, router, w_up, w_down)
+    assert jnp.array_equal(outs[False], outs[True])

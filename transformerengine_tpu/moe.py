@@ -90,13 +90,13 @@ def moe(
                             *quantizer_sets, kernel_caches=kernel_caches)
         out = token_combine(out_e.astype(h.dtype), probs, aux)
     elif dropless:
-        assert kernel_caches is None, (
-            "kernel_caches is not wired through the EP paths yet")
         out = _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
-                               quantizer_sets, ep_axis, topk)
+                               quantizer_sets, ep_axis, topk,
+                               kernel_caches=kernel_caches)
     else:
         out = _moe_ep(h, probs, routing_map, w_up, w_down, acts,
-                      quantizer_sets, ep_axis, topk, capacity_factor)
+                      quantizer_sets, ep_axis, topk, capacity_factor,
+                      kernel_caches=kernel_caches)
     return out.reshape(orig_shape).astype(x.dtype), aux_loss
 
 
@@ -143,7 +143,7 @@ _ragged_a2a.defvjp(_ragged_a2a_fwd, _ragged_a2a_bwd)
 
 
 def _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
-                     quantizer_sets, ep_axis, topk):
+                     quantizer_sets, ep_axis, topk, kernel_caches=None):
     """Dropless EP: every selected token reaches its expert
     (reference: jax/moe.py:2071 — dropless permutation-based EP block).
 
@@ -221,7 +221,8 @@ def _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
     group_sizes_local = tot_e.at[-1].add(r_rows - n_r).astype(jnp.int32)
 
     out_e = _expert_mlp(expert_in, w_up, w_down, group_sizes_local, acts,
-                        *quantizer_sets).astype(h.dtype)
+                        *quantizer_sets,
+                        kernel_caches=kernel_caches).astype(h.dtype)
 
     # Inverse local sort: back to (src-major, expert-minor) recv layout.
     scat_idx = jnp.where(valid_r, gather_idx, r_rows)
@@ -239,7 +240,7 @@ def _moe_ep_dropless(h, probs, routing_map, w_up, w_down, acts,
     return token_combine(ret, probs, aux)
 
 def _moe_ep(h, probs, routing_map, w_up, w_down, acts, quantizer_sets,
-            ep_axis, topk, capacity_factor):
+            ep_axis, topk, capacity_factor, kernel_caches=None):
     """Fixed-capacity dispatch/combine all-to-alls
     (reference: jax/moe.py shard_map EP with a2a; Switch-Transformer
     capacity semantics — overflow tokens are dropped from the expert
@@ -276,7 +277,8 @@ def _moe_ep(h, probs, routing_map, w_up, w_down, acts, quantizer_sets,
 
     group_sizes = jnp.full((e_local,), ep * cap, jnp.int32)
     out_e = _expert_mlp(expert_in.reshape(-1, hidden), w_up, w_down,
-                        group_sizes, acts, *quantizer_sets)
+                        group_sizes, acts, *quantizer_sets,
+                        kernel_caches=kernel_caches)
     out_e = out_e.reshape(e_local, ep, cap, hidden).transpose(1, 0, 2, 3)
 
     back = jax.lax.all_to_all(out_e, ep_axis, 0, 0, tiled=False)
