@@ -113,7 +113,13 @@ def bench_decode_and_ttft():
     fp8_vars = prequantize_kernels(variables, te.Float8CurrentScaling())
     t_fp8, ttft_fp8 = bench_variant(fp8_vars, float8_e4m3)
     del fp8_vars  # free the fp8 weight copy before the bf16/nvfp4 runs
-    t_bf16, ttft_bf16 = bench_variant(variables, jnp.bfloat16)
+    # bf16 baseline with the same resident weight-layout prep as fp8
+    # (recipe=None = transpose-once-at-load): otherwise XLA relayouts
+    # each layer's weights with a full copy inside the decode scan
+    # (~13.8 ms/step on this rung) and the fp8/bf16 ratio is fiction.
+    bf16_vars = prequantize_kernels(variables, None)
+    t_bf16, ttft_bf16 = bench_variant(bf16_vars, jnp.bfloat16)
+    del bf16_vars
     out = {
         "decode_tokens_per_s": round(B / t_fp8, 1),
         "decode_fp8_vs_bf16": round(t_bf16 / t_fp8, 3),

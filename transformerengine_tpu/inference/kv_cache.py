@@ -76,6 +76,17 @@ def cache_append_bhsd(
     kq = quantize_for_cache(k_new, scale, dtype).transpose(0, 2, 1, 3)
     vq = quantize_for_cache(v_new, scale, dtype).transpose(0, 2, 1, 3)
 
+    if k_new.shape[1] == 1:
+        # Single-token decode append: an indexed scatter updates the
+        # cache IN PLACE inside scan loops (1.9 us/step on the decode
+        # cache shape) where a vmapped dynamic_update_slice copies each
+        # row's whole (Hkv, S, D) slab (62 us/step — 30x slower;
+        # scripts/micro_cache_update.py).
+        b = jnp.arange(k_new.shape[0])
+        cache_k = cache_k.at[b, :, lengths, :].set(kq[:, :, 0, :])
+        cache_v = cache_v.at[b, :, lengths, :].set(vq[:, :, 0, :])
+        return cache_k, cache_v, lengths + 1
+
     def put(cache, new, start):
         return jax.lax.dynamic_update_slice(cache, new, (0, start, 0))
 

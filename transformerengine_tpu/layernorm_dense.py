@@ -78,7 +78,9 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
         res_q = (Static("prequant"), None, None, None)
     elif quantizer_set.x is None:
         k2d = kernel.reshape(k, n)
-        out2d = tn_dot(ln2d, k2d.T)
+        # NN contraction, no .T: the kernel transpose is not hoisted out
+        # of decode scans (profiled ~860 us/layer/step of copy — dense.py).
+        out2d = q_dot(ln2d, k2d, 1, 0)
         res_q = (ln2d, k2d, None, None)
     elif all_tensor_scaling(quantizer_set):
         # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
@@ -140,7 +142,7 @@ def _ln_dense_bwd(cfg, residuals, g):
     if quantizer_set.x is None:
         ln2d, k2d = res_q[0], res_q[1]
         dln2d = tn_dot(g2d, k2d)
-        dw2d = tn_dot(ln2d.T, g2d.T)
+        dw2d = q_dot(ln2d, g2d, 0, 0)        # contract M -> (K,N), no .T
         d_qset = quantizer_set
     elif len(res_q) == 5 and isinstance(res_q[4], Static):
         qx, qk, amax_x, amax_k = res_q[:4]     # rowwise (M,K) and (K,N)

@@ -103,7 +103,9 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         res1 = (Static("prequant"), None, None, None)
     elif qset1.x is None:
         k1 = kernel1.reshape(hidden, n_act * ffn)
-        z2d = tn_dot(ln2d, k1.T)
+        # NN contraction, no .T (see dense.py — transposes are not
+        # hoisted out of decode scans).
+        z2d = q_dot(ln2d, k1, 1, 0)
         res1 = (ln2d, k1, None, None)
     elif all_tensor_scaling(qset1):
         # Per-tensor scaling: single-orientation quantize (ops/gemm.q_dot).
@@ -166,7 +168,7 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         res2 = (Static("prequant"), None, None, None)
     elif qset2.x is None:
         k2 = kernel2.reshape(ffn, hidden)
-        out2d = tn_dot(a2d, k2.T)
+        out2d = q_dot(a2d, k2, 1, 0)
         res2 = (a2d, k2, None, None)
     elif all_tensor_scaling(qset2):
         qa = qset2.x.quantize(a2d, layout=QuantizeLayout.ROWWISE)
@@ -223,7 +225,7 @@ def _ln_mlp_bwd(cfg, residuals, g):
     if qset2.x is None:
         a2d, k2 = res2[0], res2[1]
         da2d = tn_dot(g2d, k2)
-        dw2 = tn_dot(a2d.T, g2d.T)
+        dw2 = q_dot(a2d, g2d, 0, 0)          # contract M, no .T
         d_qset2 = qset2
     elif len(res2) == 5 and isinstance(res2[4], Static):
         qa, qk2, amax_a, amax_k2 = res2[:4]    # rowwise (M,F) and (F,H)
@@ -253,7 +255,7 @@ def _ln_mlp_bwd(cfg, residuals, g):
     if qset1.x is None:
         ln2d, k1 = res1[0], res1[1]
         dln2d = tn_dot(dz2d, k1)
-        dw1 = tn_dot(ln2d.T, dz2d.T)
+        dw1 = q_dot(ln2d, dz2d, 0, 0)        # contract M, no .T
         d_qset1 = qset1
     elif len(res1) == 5 and isinstance(res1[4], Static):
         qx, qk1, amax_x, amax_k1 = res1[:4]    # rowwise (M,H) and (H,NF)

@@ -143,8 +143,8 @@ class GemmaModel(nn.Module):
 
         x = LayerNorm(epsilon=cfg.norm_eps, norm_type="rmsnorm",
                       zero_centered_gamma=True, name="final_norm")(x)
-        logits = jnp.einsum("bsh,vh->bsv", x.astype(jnp.float32),
-                            embed.astype(jnp.float32))
+        logits = jnp.einsum("bsh,vh->bsv", x, embed,
+                            preferred_element_type=jnp.float32)
         if cfg.final_logit_softcap > 0:
             c = cfg.final_logit_softcap
             logits = c * jnp.tanh(logits / c)

@@ -162,8 +162,11 @@ class LlamaModel(nn.Module):
 
         x = LayerNorm(epsilon=cfg.norm_eps, norm_type="rmsnorm",
                       name="final_norm")(x)
-        logits = jnp.einsum("bsh,vh->bsv", x.astype(jnp.float32),
-                            embed.astype(jnp.float32))
+        # bf16 operands + f32 accumulation: an astype(f32) here doubles
+        # the embedding-read bytes every decode step (the converted copy
+        # is NOT hoisted out of the decode scan).
+        logits = jnp.einsum("bsh,vh->bsv", x, embed,
+                            preferred_element_type=jnp.float32)
         return logits
 
 

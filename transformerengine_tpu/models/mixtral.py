@@ -152,8 +152,8 @@ class MixtralModel(nn.Module):
 
         x = LayerNorm(epsilon=cfg.norm_eps, norm_type="rmsnorm",
                       name="final_norm")(x)
-        logits = jnp.einsum("bsh,vh->bsv", x.astype(jnp.float32),
-                            embed.astype(jnp.float32))
+        logits = jnp.einsum("bsh,vh->bsv", x, embed,
+                            preferred_element_type=jnp.float32)
         return logits
 
 

@@ -77,6 +77,12 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
 
+def dtype_max_of(dtype) -> float:
+    """Saturation bound for the fp8 O epilogue (fp8_mha)."""
+    from ..quantize.dtypes import dtype_max
+    return float(dtype_max(dtype))
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -414,7 +420,8 @@ def _fwd_block_body_split(scales_ref, qseg_ref, kseg_ref, q_ref, k_ref,
 
 
 def _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref, m_ref,
-                   l_ref, group, block_q, fp8, use_sink=False):
+                   l_ref, group, block_q, fp8, use_sink=False,
+                   fp8_out=False):
     rows = group * block_q
     l = l_ref[..., :1]
     d = o_ref.shape[-1]
@@ -433,18 +440,30 @@ def _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref, m_ref,
         m2 = jnp.maximum(m, s0)
         alpha = jnp.exp2(m - m2)    # 0 for fully-masked rows (m at floor)
         l2 = l * alpha + jnp.exp2(s0 - m2)           # >= exp2(s0-m2) > 0
-        o_ref[0] = ((acc * alpha) / l2).astype(o_ref.dtype).reshape(
-            group, block_q, d)
+        o_true = (acc * alpha) / l2
         lse = m2 * LN2 + jnp.log(l2)
     else:
         l_safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc / l_safe).astype(o_ref.dtype).reshape(
-            group, block_q, d)
+        o_true = acc / l_safe
         lse = jnp.where(l > 0, m * LN2 + jnp.log(l_safe), NEG_INF)
-    # 8 lanes, not 128: lse is one value per row; a 128-lane broadcast
-    # writes 16x the HBM bytes (134 MB/call at B4/H32/S2048) for nothing.
-    lse_ref[0] = jnp.broadcast_to(lse, (rows, 8)).reshape(
-        group, block_q, 8)
+    if fp8_out:
+        # fp8_mha epilogue (reference: fused_attn_fp8.cu O quantize):
+        # cast O to fp8 with the pre-known delayed scale in scales_ref[2]
+        # and report the pre-quantization block amax through the spare
+        # lse lanes (lanes 4:8; lse itself is one value per row).
+        fmax = dtype_max_of(o_ref.dtype)
+        o_w = jnp.clip(o_true * scales_ref[2], -fmax, fmax)
+        oamax = jnp.max(jnp.abs(o_true))
+        lse_out = jnp.concatenate(
+            [jnp.broadcast_to(lse, (rows, 4)),
+             jnp.full((rows, 4), oamax, jnp.float32)], axis=1)
+    else:
+        o_w = o_true
+        # 8 lanes, not 128: lse is one value per row; a 128-lane
+        # broadcast writes 16x the HBM bytes for nothing.
+        lse_out = jnp.broadcast_to(lse, (rows, 8))
+    o_ref[0] = o_w.astype(o_ref.dtype).reshape(group, block_q, d)
+    lse_ref[0] = lse_out.reshape(group, block_q, 8)
 
 
 def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
@@ -456,7 +475,7 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                 window: Tuple[int, int], offset: int,
                 group: int, block_q: int, block_k: int, num_k_blocks: int,
                 score_mod=None, scale=1.0, dynamic_window: bool = False,
-                use_sink: bool = False):
+                use_sink: bool = False, fp8_out: bool = False):
     """Grid (b, hkv, nq, nk). The `group` query heads sharing KV head hkv
     are stacked into one (group*block_q, d) operand so each K/V block is
     DMA'd and matmul'd once per group instead of once per query head
@@ -510,7 +529,7 @@ def _fwd_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
     def _epilogue():
         _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref,
                        m_ref, l_ref, group, block_q, fp8,
-                       use_sink=use_sink)
+                       use_sink=use_sink, fp8_out=fp8_out)
 
 
 def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
@@ -522,7 +541,7 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                       window: Tuple[int, int], offset: int,
                       group: int, block_q: int, block_k: int,
                       score_mod=None, scale=1.0, use_sink: bool = False,
-                      sub_w: int = 0):
+                      sub_w: int = 0, fp8_out: bool = False):
     """Enumerated-steps variant: grid (b, hkv, T) where step t maps to
     block pair (steps[0,t], steps[1,t]) — ONLY reachable blocks are
     enumerated (lower triangle for causal, band for sliding window), so
@@ -581,7 +600,7 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
     def _epilogue():
         _fwd_write_out(scales_ref, sink_ref, o_ref, lse_ref, acc_ref,
                        m_ref, l_ref, group, block_q, fp8,
-                       use_sink=use_sink)
+                       use_sink=use_sink, fp8_out=fp8_out)
 
 
 def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
@@ -656,22 +675,30 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
 
 def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
                window, offset, block_q, block_k, static_pos=False,
-               scale_invs=None, out_dtype=None,
+               scale_invs=None, out_dtype=None, out_scale=None,
                dropout_rate=0.0, dropout_seed=None, score_mod=None,
                softmax_sink=None):
+    """``out_scale`` (fp8_mha): a pre-known per-tensor O scale (delayed
+    scaling) — the epilogue casts O to fp8 ``out_dtype`` in-kernel and
+    the pre-quantization O amax returns as a third output (reference:
+    common/fused_attn/fused_attn_fp8.cu O quantize + amax)."""
     b, hq, sq, d = q.shape
     skv = k.shape[2]
     hkv = k.shape[1]
     assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
     group = hq // hkv
     fp8 = scale_invs is not None
+    fp8_out = out_scale is not None
+    assert not fp8_out or fp8, "fp8 O epilogue requires fp8 Q/K/V payloads"
     if fp8:
         # FP8 payloads: dequant scales + softmax scale + nat->exp2 fold
         # into one in-kernel score multiplier; V's sv_inv applies at
         # write-out (reference: common/fused_attn/fused_attn_fp8.cu).
         scales = jnp.stack([
             scale_invs[0] * scale_invs[1] * (scale * LOG2E),
-            scale_invs[2]]).astype(jnp.float32)
+            scale_invs[2],
+            (out_scale.reshape(()) if fp8_out
+             else jnp.float32(1.0))]).astype(jnp.float32)
     elif score_mod is None:
         # Fold softmax scale + nat->exp2 conversion into q (one fused pass
         # over (B,H,S,D) instead of one per score block inside the kernel).
@@ -784,7 +811,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             window=window, offset=offset,
             group=group, block_q=block_q, block_k=block_k,
             score_mod=score_mod, scale=scale, use_sink=use_sink,
-            sub_w=sub_w)
+            sub_w=sub_w, fp8_out=fp8_out)
         sink_spec = pl.BlockSpec(
             sink_block,
             (lambda bi, hk, t, st: (hk, 0, 0)) if use_sink
@@ -850,6 +877,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
             cost_estimate=cost,
             interpret=_interpret(),
         )(jnp.asarray(steps), scales, seed, qseg, kseg, q, k, v, bias, sink)
+        if fp8_out:
+            return o, lse[..., 0], jnp.max(lse[..., 4])
         return o, lse[..., 0]
 
     grid = (b, hkv, nq, nk)
@@ -859,7 +888,7 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         window=window, offset=offset, group=group,
         block_q=block_q, block_k=block_k,
         num_k_blocks=nk, score_mod=score_mod, scale=scale,
-        dynamic_window=dyn_win, use_sink=use_sink)
+        dynamic_window=dyn_win, use_sink=use_sink, fp8_out=fp8_out)
     sink_spec = pl.BlockSpec(
         sink_block,
         (lambda bi, hk, iq, ik: (hk, 0, 0)) if use_sink
@@ -926,6 +955,8 @@ def _flash_fwd(q, k, v, qseg, kseg, qoff, bias=None, *, scale, causal,
         cost_estimate=cost,
         interpret=_interpret(),
     )(qoff, scales, seed, qseg, kseg, q, k, v, bias, sink)
+    if fp8_out:
+        return o, lse[..., 0], jnp.max(lse[..., 4])
     return o, lse[..., 0]
 
 

@@ -26,9 +26,16 @@ from .tensor import ScaledTensor1x
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PrequantizedKernel:
-    """A kernel stored only as its colwise quantized usage."""
+    """A kernel stored only as its colwise (N, K) fwd-GEMM usage.
 
-    colwise: ScaledTensor1x
+    ``colwise`` is a ScaledTensor1x (quantized recipes) or a plain
+    (N, K) array (``recipe=None`` — high-precision resident layout: the
+    decode GEMM wants the contraction axis as the stored minor axis, and
+    XLA relayouts a (K, N) weight with a full copy INSIDE the decode
+    scan body otherwise — profiled at ~860 us/layer/step on the bf16
+    16L decode rung)."""
+
+    colwise: Any
     logical_shape: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True))
 
@@ -42,17 +49,22 @@ class PrequantizedKernel:
 
     @property
     def dtype(self):
-        return self.colwise.dq_dtype
+        return getattr(self.colwise, "dq_dtype", None) or self.colwise.dtype
 
 
-def prequantize_kernel_array(kernel: jax.Array, recipe: Recipe,
+def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
                              n_cdims: int = 1) -> PrequantizedKernel:
     """Quantize one kernel (contracting dims leading) to its colwise
-    usage."""
+    usage. ``recipe=None`` keeps the original dtype and only fixes the
+    layout (stored transposed (N, K) once at load)."""
     k = 1
     for d in kernel.shape[:n_cdims]:
         k *= d
     n = kernel.size // k
+    if recipe is None:
+        t = jnp.asarray(kernel.reshape(k, n).T)
+        return PrequantizedKernel(colwise=t,
+                                  logical_shape=tuple(kernel.shape))
     import dataclasses as _dc
     q = QuantizerFactory.create(recipe, "kernel", QuantizeLayout.COLWISE)
     t = q.quantize(kernel.reshape(k, n), dq_dtype=kernel.dtype)
@@ -63,7 +75,7 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Recipe,
 _KERNEL_NAMES = ("kernel", "wi_kernel", "wo_kernel")
 
 
-def prequantize_kernels(variables: Any, recipe: Recipe) -> Any:
+def prequantize_kernels(variables: Any, recipe: Optional[Recipe]) -> Any:
     """Convert a Flax variables dict for FP8-resident inference: every
     projection kernel moves from ``params`` into a ``prequant``
     collection as a :class:`PrequantizedKernel`; the modules
