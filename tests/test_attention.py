@@ -476,3 +476,152 @@ def test_alibi_bias_type_flash_vs_unfused():
     assert get_attention_backend(
         attn_bias_type=AttnBiasType.ALIBI,
         attn_mask_type=AttnMaskType.CAUSAL, head_dim=64) is AttnBackend.FLASH
+
+
+class TestFP8MHA:
+    """fp8_mha: fused flash + output projection, fp8 O/dO payloads
+    (reference: recipe fp8_mha — dot_product_attention.py:106-134,
+    fused_attn_fp8.cu O/dO quantization)."""
+
+    def _quantizers7(self, o_delayed=False):
+        import transformerengine_tpu as te
+        from transformerengine_tpu.quantize.dtypes import (float8_e4m3,
+                                                           float8_e5m2)
+        from transformerengine_tpu.quantize.quantizer import (
+            CurrentScaleQuantizer, DelayedScaleQuantizer, QuantizeLayout)
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+        mk = lambda dt=float8_e4m3: CurrentScaleQuantizer(
+            scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE, q_dtype=jnp.dtype(dt))
+        if o_delayed:
+            qo = DelayedScaleQuantizer(
+                scaling_mode=ScalingMode.DELAYED_TENSOR_SCALING,
+                q_layout=QuantizeLayout.ROWWISE,
+                q_dtype=jnp.dtype(float8_e4m3))
+        else:
+            qo = mk()
+        from transformerengine_tpu.quantize.dtypes import float8_e5m2
+        return (mk(), mk(), mk(), qo, mk(), mk(float8_e5m2),
+                mk(float8_e5m2))
+
+    def _data(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4, 64),
+                              jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 2, 64),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 2, 64),
+                              jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(3), (4 * 64, 96))
+             * 0.05).astype(jnp.bfloat16)
+        return q, k, v, w
+
+    def _qdq_reference(self, q, k, v, w, qzs):
+        """Dequant-chain reference: bf16 flash at the dequantized QKV,
+        O quantize-dequantize, projection at the dequantized W."""
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        deq = lambda x, qz: qz.quantize(
+            x, layout=QuantizeLayout.ROWWISE).dequantize().astype(x.dtype)
+        o = flash_attention(deq(q, qzs[0]), deq(k, qzs[1]), deq(v, qzs[2]),
+                            attn_mask_type=AttnMaskType.CAUSAL)
+        o = deq(o.astype(jnp.bfloat16), qzs[3])
+        b, s, hq, d = o.shape
+        o2 = o.reshape(b * s, hq * d)
+        out = (o2.astype(jnp.float32) @ deq(w, qzs[4]).astype(jnp.float32))
+        return out.reshape(b, s, w.shape[1])
+
+    @pytest.mark.parametrize("o_delayed", [False, True])
+    def test_fwd_matches_dequant_reference(self, o_delayed):
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        q, k, v, w = self._data()
+        qzs = self._quantizers7(o_delayed)
+        out = flash_attention(q, k, v, attn_mask_type=AttnMaskType.CAUSAL,
+                              mha_proj=(w, qzs))
+        ref = self._qdq_reference(q, k, v, w, qzs)
+        assert out.shape == ref.shape
+        d = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        m = float(jnp.abs(ref).max())
+        assert d / m < 0.04, (d, m)
+
+    def test_bwd_grads_flow_and_match(self):
+        """q/k/v/w grads at the QDQ points, within fp8-dO tolerance
+        (dO itself is e5m2-quantized on the fused path — compare against
+        the reference chain which sees exact bf16 dO; bound is the e5m2
+        relative step)."""
+        from transformerengine_tpu.ops.flash_attention import flash_attention
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        q, k, v, w = self._data()
+        qzs = self._quantizers7()
+
+        def loss8(q, k, v, w):
+            out = flash_attention(q, k, v,
+                                  attn_mask_type=AttnMaskType.CAUSAL,
+                                  mha_proj=(w, qzs))
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        deq = lambda x, qz: qz.quantize(
+            x, layout=QuantizeLayout.ROWWISE).dequantize().astype(x.dtype)
+
+        def loss_ref(q, k, v, w):
+            o = flash_attention(q, k, v,
+                                attn_mask_type=AttnMaskType.CAUSAL)
+            b, s, hq, d = o.shape
+            out = (o.reshape(b * s, hq * d).astype(jnp.float32)
+                   @ w.astype(jnp.float32))
+            return jnp.sum(out ** 2)
+
+        g8 = jax.grad(loss8, argnums=(0, 1, 2, 3))(q, k, v, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            deq(q, qzs[0]), deq(k, qzs[1]), deq(v, qzs[2]), deq(w, qzs[4]))
+        for name, a, b in zip("qkvw", g8, gr):
+            d = float(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32)).max())
+            m = float(jnp.abs(b.astype(jnp.float32)).max())
+            assert d / m < 0.15, (name, d, m)
+
+    def test_mha_module_fp8_mha_recipe(self):
+        """Flag consumed in flax: same params whether on or off, output
+        close to the bf16 reference but actually quantized."""
+        import transformerengine_tpu as te
+        from transformerengine_tpu.flax.transformer import (
+            MultiHeadAttention)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96),
+                              jnp.bfloat16)
+        mod = MultiHeadAttention(hidden_size=96, num_attention_heads=4,
+                                 num_gqa_groups=2, head_dim=32,
+                                 use_bias=False, input_layernorm=True)
+        vars_ = mod.init(jax.random.PRNGKey(1), x)
+        assert "kernel" in vars_["params"]["out"]     # shared param path
+        ref = mod.apply(vars_, x)
+        with te.autocast(recipe=te.Float8CurrentScaling(fp8_dpa=True,
+                                                        fp8_mha=True)):
+            o8 = mod.apply(vars_, x)
+        d = float(jnp.abs(jnp.asarray(o8, jnp.float32)
+                          - jnp.asarray(ref, jnp.float32)).max())
+        m = float(jnp.abs(jnp.asarray(ref, jnp.float32)).max())
+        assert 0 < d / m < 0.25, (d, m)
+
+    def test_mha_module_fp8_mha_grads(self):
+        """End-to-end grads through the fused boundary in the module."""
+        import transformerengine_tpu as te
+        from transformerengine_tpu.flax.transformer import (
+            MultiHeadAttention)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96),
+                              jnp.bfloat16)
+        mod = MultiHeadAttention(hidden_size=96, num_attention_heads=4,
+                                 num_gqa_groups=2, head_dim=32,
+                                 use_bias=False, input_layernorm=True)
+        vars_ = mod.init(jax.random.PRNGKey(1), x)
+
+        def loss(params):
+            with te.autocast(recipe=te.Float8CurrentScaling(
+                    fp8_dpa=True, fp8_mha=True)):
+                o = mod.apply({**vars_, "params": params}, x)
+            return jnp.sum(jnp.asarray(o, jnp.float32) ** 2)
+
+        g = jax.grad(loss)(vars_["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(bool(jnp.any(l != 0)) for l in leaves)
+        gk = g["out"]["kernel"]
+        assert bool(jnp.any(gk != 0))

@@ -176,6 +176,61 @@ class DotProductAttention(nn.Module):
         return out.reshape(b, s, h * d)
 
 
+class _FP8MHAOutProj(TransformerEngineBase):
+    """fp8_mha fused attention + output projection (reference: recipe
+    fp8_mha, dot_product_attention.py:106-134 + fused_attn_fp8.cu).
+
+    Owns the SAME ``kernel`` param and ``dense`` quantizer-set names a
+    ``DenseGeneral(name="out")`` would, so checkpoints and quantize_meta
+    interop whether the flag is on or off. The flash epilogue quantizes
+    O (delayed scaling: in-kernel cast with the pre-known scale; current
+    scaling: one post-kernel pass), the projection fwd GEMM and wgrad
+    consume the fp8 O payload, and the flash bwd kernels stream fp8 dO."""
+
+    hidden_size: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q, k, v, *, sequence_descriptor=None,
+                 attn_mask_type, scaling_factor=None, window_size=None,
+                 softmax_type=None, softmax_offset=None):
+        from ..ops.flash_attention import flash_attention
+        from ..quantize.dtypes import float8_e4m3
+        from ..quantize.quantizer import (CurrentScaleQuantizer,
+                                          QuantizeLayout)
+        from ..quantize.scaling_modes import ScalingMode
+        d_in = q.shape[2] * q.shape[3]
+        kernel = self.kernel_param(
+            "kernel", self.kernel_init, (sh.W_TP_AXES, sh.W_FSDP_AXES),
+            (d_in, self.hidden_size), self.dtype)
+        pset = self.quantizer_set("dense")       # w (kernel) + g (dgrad)
+        oset = self.quantizer_set("fp8_mha_o")   # o (x) + do (dgrad)
+        mk = lambda: CurrentScaleQuantizer(
+            scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE,
+            q_dtype=jnp.dtype(float8_e4m3))
+        quantizers = (mk(), mk(), mk(), oset.x, pset.kernel, pset.dgrad,
+                      oset.dgrad)
+        return flash_attention(
+            q, k, v, sequence_descriptor,
+            attn_mask_type=attn_mask_type,
+            scaling_factor=scaling_factor,
+            window_size=window_size,
+            softmax_type=softmax_type,
+            softmax_offset=softmax_offset,
+            mha_proj=(kernel, quantizers))
+
+
+def _fp8_mha_active(recipe, *, bias, dropout, cp_axis, lora, use_bias,
+                    score_mod_like) -> bool:
+    """fp8_mha fast-path conditions (mirrors the fp8_dpa gating)."""
+    return (getattr(recipe, "fp8_mha", False)
+            and getattr(recipe, "fp8_dpa", False)
+            and bias is None and dropout == 0.0 and not cp_axis
+            and not lora and not use_bias and not score_mod_like)
+
+
 class MultiHeadAttention(TransformerEngineBase):
     """Full attention sublayer: norm -> QKV projection -> RoPE -> core
     attention -> output projection
@@ -313,6 +368,37 @@ class MultiHeadAttention(TransformerEngineBase):
         v = nn.with_logical_constraint(
             v, (sh.BATCH_AXES, sh.SEQLEN_AXES, sh.HEAD_AXES, sh.HIDDEN_AXES))
 
+        # fp8_mha: fused flash + output projection, fp8 O/dO payloads
+        # (reference: recipe fp8_mha; fused_attn_fp8.cu). Falls through
+        # to the regular DPA + DenseGeneral path when inapplicable.
+        from ..common.recipe import DelayedScaling, Float8CurrentScaling
+        from ..quantize.helper import get_quantize_config
+        qcfg = get_quantize_config()
+        if (qcfg.enabled
+                and isinstance(qcfg.recipe,
+                               (DelayedScaling, Float8CurrentScaling))
+                and _fp8_mha_active(
+                    qcfg.recipe, bias=bias,
+                    dropout=(0.0 if deterministic
+                             else self.attention_dropout),
+                    cp_axis=self.context_parallel_axis,
+                    lora=self.enable_low_rank_adaptation,
+                    use_bias=self.use_bias,
+                    score_mod_like=(
+                        self.attn_bias_type is AttnBiasType.ALIBI))):
+            return _FP8MHAOutProj(
+                hidden_size=self.hidden_size,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype, name="out")(
+                    q, k, v,
+                    sequence_descriptor=sequence_descriptor,
+                    attn_mask_type=self.attn_mask_type,
+                    scaling_factor=getattr(self, "scale_factor", None),
+                    window_size=self.window_size,
+                    softmax_type=(stype if stype is not SoftmaxType.VANILLA
+                                  else None),
+                    softmax_offset=soffset)
+
         ctx = DotProductAttention(
             head_dim=d, num_attention_heads=hq, num_gqa_groups=hkv,
             attn_mask_type=self.attn_mask_type,
@@ -349,7 +435,7 @@ class MultiHeadAttention(TransformerEngineBase):
         elif stype is SoftmaxType.LEARNABLE:
             sink = softmax_offset
         from ..inference.kv_cache import (
-            cache_append_bhsd, calibrate_kv_scale)
+            cache_append, cache_append_bhsd, calibrate_kv_scale)
         from ..ops.decode_attention import decode_attention
         from ..ops.flash_attention import flash_attention
 
@@ -362,16 +448,21 @@ class MultiHeadAttention(TransformerEngineBase):
         if ip.is_paged:
             return self._paged_cached_attention(
                 q, k, v, ip, sequence_descriptor, stype, sink)
-        # (B, Hkv, S, D) layout — what the decode kernel reads, so no
-        # per-step transpose copies; 128-aligned S lets the kernel pick a
-        # divisor block and skip the whole-cache pad copy.
+        # Cache layout (TE_TPU_KV_LAYOUT): "bshd" (default) keeps the
+        # (Hkv, D) minor dims as native (8, 128) tiles — the decode
+        # einsums consume exactly the layout the scatter append writes,
+        # so XLA inserts no per-step relayout copies of the cache.
+        # "bhsd" is the r2/r3 layout (the Pallas decode kernel's).
+        # 128-aligned S either way (no whole-cache pad copy).
+        import os as _os
+        layout = _os.environ.get("TE_TPU_KV_LAYOUT", "bshd").lower()
         s_alloc = -(-ip.max_sequence_length // 128) * 128
+        cshape = ((b, s_alloc, hkv, d) if layout == "bshd"
+                  else (b, hkv, s_alloc, d))
         ck = self.variable(
-            "cache", "cached_key", jnp.zeros,
-            (b, hkv, s_alloc, d), cache_dtype)
+            "cache", "cached_key", jnp.zeros, cshape, cache_dtype)
         cv = self.variable(
-            "cache", "cached_value", jnp.zeros,
-            (b, hkv, s_alloc, d), cache_dtype)
+            "cache", "cached_value", jnp.zeros, cshape, cache_dtype)
         clen = self.variable(
             "cache", "cache_length", jnp.zeros, (b,), jnp.int32)
         kv_scale = self.variable(
@@ -384,7 +475,8 @@ class MultiHeadAttention(TransformerEngineBase):
                 if ip.fixed_kv_scale is not None
                 else calibrate_kv_scale(k, v))
         qscale = kv_scale.value if ip.is_fp8 else None
-        new_k, new_v, new_len = cache_append_bhsd(
+        append = cache_append if layout == "bshd" else cache_append_bhsd
+        new_k, new_v, new_len = append(
             ck.value, cv.value, clen.value, k, v, qscale)
         ck.value, cv.value, clen.value = new_k, new_v, new_len
 
@@ -412,7 +504,7 @@ class MultiHeadAttention(TransformerEngineBase):
                 q, ck.value, cv.value, clen.value,
                 kv_scale=dq_scale,
                 window_left=window[0] if window is not None else -1,
-                kv_layout="BHSD",
+                kv_layout="BSHD" if layout == "bshd" else "BHSD",
                 softmax_sink=sink)
         bq, sq, hq, dd = out.shape
         return out.reshape(bq, sq, hq * dd)

@@ -110,6 +110,15 @@ def cache_append(
     kq = quantize_for_cache(k_new, scale, dtype)
     vq = quantize_for_cache(v_new, scale, dtype)
 
+    if k_new.shape[1] == 1:
+        # Single-token decode append: indexed scatter = in-place inside
+        # scan loops (see cache_append_bhsd; the (Hkv, D) row is one
+        # native (8, 128) tile at sublane position `lengths`).
+        b = jnp.arange(k_new.shape[0])
+        cache_k = cache_k.at[b, lengths].set(kq[:, 0])
+        cache_v = cache_v.at[b, lengths].set(vq[:, 0])
+        return cache_k, cache_v, lengths + 1
+
     def put(cache, new, start):
         return jax.lax.dynamic_update_slice(cache, new, (start, 0, 0))
 

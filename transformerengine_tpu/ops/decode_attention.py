@@ -108,16 +108,20 @@ def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
     fuse like the weight GEMMs."""
     b = q.shape[0]
     hq, d = q.shape[2], q.shape[3]
-    if kv_layout != "BHSD":
-        k_cache = k_cache.transpose(0, 2, 1, 3)
-        v_cache = v_cache.transpose(0, 2, 1, 3)
-    hkv, s_len = k_cache.shape[1], k_cache.shape[2]
+    if kv_layout == "BHSD":
+        hkv, s_len = k_cache.shape[1], k_cache.shape[2]
+    else:
+        # BSHD caches are consumed IN PLACE ("bshd" einsums) — the
+        # (Hkv, D) minor dims are native (8, 128) tiles, matching the
+        # scatter append's layout, so no per-step transpose/relayout.
+        hkv, s_len = k_cache.shape[2], k_cache.shape[1]
     g = hq // hkv
+    kv_spec = "bhsd" if kv_layout == "BHSD" else "bshd"
     # Match the cache's precision regime: f32 caches (tests/reference
     # paths) stay f32; fp8/bf16 caches take bf16 operands for MXU speed.
     op_dtype = jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16
     qg = q[:, 0].reshape(b, hkv, g, d).astype(op_dtype)
-    s = jnp.einsum("bhgd,bhsd->bhgs", qg, k_cache,
+    s = jnp.einsum(f"bhgd,{kv_spec}->bhgs", qg, k_cache,
                    preferred_element_type=jnp.float32) * scale
     s = s * kv_scale[0]
     kpos = jnp.arange(s_len)[None, None, None, :]
@@ -133,7 +137,7 @@ def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
         p = jax.nn.softmax(aug, axis=-1)[..., :-1]
     else:
         p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgs,bhsd->bhgd", p.astype(op_dtype), v_cache,
+    o = jnp.einsum(f"bhgs,{kv_spec}->bhgd", p.astype(op_dtype), v_cache,
                    preferred_element_type=jnp.float32)
     o = o * kv_scale[0]
     return o.reshape(b, 1, hq, d).astype(out_dtype)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.pytree import Static
+
 # Swept on v5e prefill (B4/S2048/H32/GQA8/D128, causal), bf16 MXU operands:
 #   r1 f32 kernel: (512,1024) 69.3 TF/s; r2 enumerated-grid + 8-lane LSE:
 #   (eff 256,2048) 97-111 TF/s in the same tunnel window ((256,1024) 75-86).
@@ -1341,7 +1343,11 @@ def _bwd_dkv_kernel(qoff_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
         dk_mult = (scales_ref[2] if fp8
                    else (scale if score_mod is not None else LN2))
         dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        if fp8:
+            # scales[3] = do_scale_inv (1.0 unless dO is an fp8 payload).
+            dv_ref[0, 0] = (dv_acc[...] * scales_ref[3]).astype(dv_ref.dtype)
+        else:
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
@@ -1392,17 +1398,27 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
         dk_mult = (scales_ref[2] if fp8
                    else (scale if score_mod is not None else LN2))
         dk_ref[0, 0] = (dk_acc[...] * dk_mult).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        if fp8:
+            dv_ref[0, 0] = (dv_acc[...] * scales_ref[3]).astype(dv_ref.dtype)
+        else:
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
                causal, window, offset, block_q, block_k, static_pos=False,
                scale_invs=None, grad_dtype=None,
-               dropout_rate=0.0, dropout_seed=None, score_mod=None):
+               dropout_rate=0.0, dropout_seed=None, score_mod=None,
+               o_scale_inv=None, do_scale_inv=None):
     """Returns (dq, dk, dv, dbias). dbias is None unless ``bias`` is
     given, in which case it is the per-batch (B, Hq, Sq, Skv) bias
     gradient (caller reduces over batch for broadcast bias; reference:
-    cuDNN bwd dBias in fused_attn_f16_arbitrary_seqlen.cu)."""
+    cuDNN bwd dBias in fused_attn_f16_arbitrary_seqlen.cu).
+
+    fp8_mha extension (reference NVTE_FP8_DPA_BWD): ``o`` and ``do`` may
+    arrive as fp8 PAYLOADS with per-tensor ``o_scale_inv`` /
+    ``do_scale_inv`` — dO's scale folds into the dp multiplier and a 4th
+    scales entry fixes dV at the epilogue, so the kernels stream fp8 dO
+    bytes directly."""
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     assert hq % hkv == 0, f"query heads {hq} not a multiple of kv heads {hkv}"
@@ -1429,12 +1445,23 @@ def _flash_bwd(q, k, v, o, lse, do, qseg, kseg, qoff, bias=None, *, scale,
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     fp8 = scale_invs is not None
+    sdo = (jnp.float32(1.0) if do_scale_inv is None
+           else do_scale_inv.astype(jnp.float32).reshape(()))
+    if o_scale_inv is not None or do_scale_inv is not None:
+        assert fp8, "fp8 O/dO payloads require fp8 Q/K/V payloads"
+        so = (jnp.float32(1.0) if o_scale_inv is None
+              else o_scale_inv.astype(jnp.float32).reshape(()))
+        delta = delta * (so * sdo)
     if fp8:
         smult = scale_invs[0] * scale_invs[1] * (scale * LOG2E)
-        dq_scales = jnp.stack([smult, scale_invs[2],
-                               scale * scale_invs[1]]).astype(jnp.float32)
-        dkv_scales = jnp.stack([smult, scale_invs[2],
-                                scale * scale_invs[0]]).astype(jnp.float32)
+        # [1] multiplies dp = do.v^T (v and do dequant); [3] fixes dV
+        # (= p^T.do) at the epilogue when do is a payload.
+        dq_scales = jnp.stack([smult, scale_invs[2] * sdo,
+                               scale * scale_invs[1],
+                               jnp.float32(1.0)]).astype(jnp.float32)
+        dkv_scales = jnp.stack([smult, scale_invs[2] * sdo,
+                                scale * scale_invs[0],
+                                sdo]).astype(jnp.float32)
     elif score_mod is None:
         # exp2-domain kernels: q carries scale*LOG2E, lse converted to log2.
         q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
@@ -1817,6 +1844,146 @@ def _fp8_core_bwd(scale, causal, window, offset, blocks, res, do):
 _fp8_core.defvjp(_fp8_core_fwd, _fp8_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# fp8_mha: flash attention + output projection in ONE custom-VJP boundary
+# (reference: recipe.fp8_mha — pytorch/attention/dot_product_attention/
+# dot_product_attention.py:106-134 + common/fused_attn/fused_attn_fp8.cu).
+# O is quantized at the flash epilogue (delayed scaling: in-kernel cast;
+# current scaling: one post-kernel pass) and the projection GEMM + wgrad
+# consume the fp8 O payload directly; bwd quantizes dO once and the flash
+# bwd kernels stream the fp8 dO bytes. Keeping the projection inside the
+# boundary means no fp8 payload ever crosses a custom_vjp edge (JAX
+# cotangents stay bf16).
+# ---------------------------------------------------------------------------
+
+def _ts_mode():
+    from ..quantize.scaling_modes import ScalingMode
+    return ScalingMode.CURRENT_TENSOR_SCALING
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _fp8_mha_core(q, k, v, w, qseg, kseg, qoff, quantizers, sink, seed,
+                  scale, causal, window, offset, blocks):
+    """``quantizers`` = (q, k, v, o, w, g, do) tensor-scaling Quantizers;
+    the cotangent is the UPDATED 7-tuple (overwrite-with-gradient).
+    ``w``: (Hq*D, N) output-projection kernel. Returns (B, N, Sq)?? no —
+    returns o projected as (B, Hq*D->N at Sq rows) in BHS-major form:
+    (B, Sq, N) is produced by the caller's reshape (this core keeps
+    (B, Sq, N))."""
+    out, _ = _fp8_mha_core_fwd(q, k, v, w, qseg, kseg, qoff, quantizers,
+                               sink, seed, scale, causal, window, offset,
+                               blocks)
+    return out
+
+
+def _fp8_mha_core_fwd(q, k, v, w, qseg, kseg, qoff, quantizers, sink, seed,
+                      scale, causal, window, offset, blocks):
+    from ..quantize.quantizer import DelayedScaleQuantizer, QuantizeLayout
+    from ..quantize.tensor import make_scaled_tensor
+    from .gemm import q_dot
+    qq_z, qk_z, qv_z, qo_z, qw_z, qg_z, qdo_z = quantizers
+    qq = qq_z.quantize(q, layout=QuantizeLayout.ROWWISE)
+    qk = qk_z.quantize(k, layout=QuantizeLayout.ROWWISE)
+    qv = qv_z.quantize(v, layout=QuantizeLayout.ROWWISE)
+    scale_invs = jnp.stack([
+        qq.scale_inv.reshape(()), qk.scale_inv.reshape(()),
+        qv.scale_inv.reshape(())]).astype(jnp.float32)
+    if isinstance(qo_z, DelayedScaleQuantizer):
+        # Delayed scaling: the O scale is known BEFORE the kernel runs,
+        # so the epilogue casts O to fp8 in-kernel and reports the true
+        # pre-quantization amax (fused_attn_fp8.cu behavior).
+        o_pay, lse, o_amax = _flash_fwd(
+            qq.data, qk.data, qv.data, qseg, kseg, qoff, None,
+            scale=scale, causal=causal, window=window, offset=offset,
+            block_q=blocks[0], block_k=blocks[1], static_pos=blocks[2],
+            scale_invs=scale_invs, out_dtype=qo_z.q_dtype,
+            out_scale=qo_z.scale, dropout_rate=blocks[3],
+            dropout_seed=seed, softmax_sink=sink)
+        so_inv = (1.0 / qo_z.scale.astype(jnp.float32)).reshape(1)
+    else:
+        # Current scaling: amax is data-dependent — one post-kernel
+        # quantize pass over the bf16 O.
+        o_bf, lse = _flash_fwd(
+            qq.data, qk.data, qv.data, qseg, kseg, qoff, None,
+            scale=scale, causal=causal, window=window, offset=offset,
+            block_q=blocks[0], block_k=blocks[1], static_pos=blocks[2],
+            scale_invs=scale_invs, out_dtype=jnp.bfloat16,
+            dropout_rate=blocks[3], dropout_seed=seed, softmax_sink=sink)
+        qo = qo_z.quantize(o_bf, layout=QuantizeLayout.ROWWISE)
+        o_pay, so_inv = qo.data, qo.scale_inv.reshape(1)
+        o_amax = getattr(qo, "amax", None)
+    b, hq, sq, d = q.shape
+    # Projection consumes the fp8 O payload directly: transpose payload
+    # bytes (half the bf16 relayout traffic) and contract through q_dot.
+    o2 = o_pay.transpose(0, 2, 1, 3).reshape(b * sq, hq * d)
+    o_st = make_scaled_tensor(
+        o2, so_inv, scaling_mode=_ts_mode(), dq_dtype=q.dtype)
+    qw = qw_z.quantize(w, layout=QuantizeLayout.ROWWISE)
+    out2 = q_dot(o_st, qw, 1, 0)               # (M, K) x (K, N) f32
+    out = out2.reshape(b, sq, w.shape[1]).astype(q.dtype)
+    amaxes = (getattr(qq, "amax", None), getattr(qk, "amax", None),
+              getattr(qv, "amax", None), o_amax, getattr(qw, "amax", None))
+    res = (qq.data, qk.data, qv.data, scale_invs, o_pay, so_inv, lse,
+           qw.data, qw.scale_inv.reshape(1), qseg, kseg, qoff, amaxes,
+           quantizers, sink, seed, Static((q.dtype, w.shape, w.dtype)))
+    return out, res
+
+
+def _fp8_mha_core_bwd(scale, causal, window, offset, blocks, res, g):
+    from ..quantize.quantizer import QuantizeLayout
+    from ..quantize.tensor import make_scaled_tensor
+    from .gemm import q_dot
+    (qd, kd, vd, scale_invs, o_pay, so_inv, lse, w_pay, sw_inv, qseg, kseg,
+     qoff, amaxes, quantizers, sink, seed, meta) = res
+    q_dtype, w_shape, w_dtype = meta.value
+    qq_z, qk_z, qv_z, qo_z, qw_z, qg_z, qdo_z = quantizers
+    b, hq, sq, d = qd.shape
+    n = w_shape[1]
+    g2 = g.reshape(b * sq, n)
+    qg = qg_z.quantize(g2, layout=QuantizeLayout.ROWWISE)
+    o2_st = make_scaled_tensor(
+        o_pay.transpose(0, 2, 1, 3).reshape(b * sq, hq * d), so_inv,
+        scaling_mode=_ts_mode(), dq_dtype=q_dtype)
+    g_st = make_scaled_tensor(qg.data, qg.scale_inv.reshape(1),
+                              scaling_mode=_ts_mode(), dq_dtype=q_dtype)
+    dw = q_dot(o2_st, g_st, 0, 0).reshape(w_shape).astype(w_dtype)
+    w_st = make_scaled_tensor(w_pay, sw_inv, scaling_mode=_ts_mode(),
+                              dq_dtype=q_dtype)
+    do2 = q_dot(g_st, w_st, 1, 1)              # (M, N) x (K, N) -> (M, K)
+    do4 = do2.reshape(b, sq, hq, d).transpose(0, 2, 1, 3).astype(
+        jnp.bfloat16)
+    qdo = qdo_z.quantize(do4, layout=QuantizeLayout.ROWWISE)
+    dq, dk, dv, _ = _flash_bwd(
+        qd, kd, vd, o_pay, lse, qdo.data, qseg, kseg, qoff,
+        scale=scale, causal=causal, window=window, offset=offset,
+        block_q=blocks[0], block_k=blocks[1], static_pos=blocks[2],
+        scale_invs=scale_invs, grad_dtype=q_dtype,
+        dropout_rate=blocks[3], dropout_seed=seed,
+        o_scale_inv=so_inv, do_scale_inv=qdo.scale_inv)
+    dsink = None
+    if sink is not None:
+        delta = (jnp.sum(qdo.data.astype(jnp.float32)
+                         * o_pay.astype(jnp.float32), -1)
+                 * (so_inv.reshape(()) * qdo.scale_inv.reshape(())))
+        p_sink = jnp.exp(sink.astype(jnp.float32).reshape(1, -1, 1) - lse)
+        dsink = -(p_sink * delta).sum(axis=(0, 2)).astype(sink.dtype)
+    upd = list(quantizers)
+    for i, (qz, a) in enumerate(zip(
+            (qq_z, qk_z, qv_z, qo_z, qw_z), amaxes)):
+        if a is not None:
+            upd[i] = qz.update(a)
+    a_g = getattr(qg, "amax", None)
+    if a_g is not None:
+        upd[5] = qg_z.update(a_g)
+    a_do = getattr(qdo, "amax", None)
+    if a_do is not None:
+        upd[6] = qdo_z.update(a_do)
+    return (dq, dk, dv, dw, None, None, None, tuple(upd), dsink, None)
+
+
+_fp8_mha_core.defvjp(_fp8_mha_core_fwd, _fp8_mha_core_bwd)
+
+
 def flash_attention(
     q: jax.Array,   # (B, Sq, Hq, D)
     k: jax.Array,   # (B, Skv, Hkv, D)
@@ -1839,6 +2006,10 @@ def flash_attention(
     softmax_type=None,     # attention.SoftmaxType; sink types run
                            # in-kernel (one virtual no-value key)
     softmax_offset=None,   # (Hq,) learnable sink logits
+    mha_proj=None,         # fp8_mha: (w_out (Hq*D, N), 7-tuple of
+                           # quantizers q/k/v/o/w/g/do) — runs attention
+                           # + output projection in one fp8 boundary and
+                           # returns (B, Sq, N) instead of (B, Sq, Hq, D)
 ) -> jax.Array:
     """Flash attention over BSHD inputs. Masking comes from
     ``attn_mask_type`` (+ optional seqlens / segment ids in
@@ -1930,6 +2101,20 @@ def flash_attention(
         assert bias is None, (
             "score_mod and bias are mutually exclusive; fold the bias "
             "into the mod or use the bias argument alone")
+    if mha_proj is not None:
+        assert bias is None and score_mod is None, (
+            "fp8_mha does not take a bias or score_mod")
+        w_out, quantizers7 = mha_proj
+        for qz in quantizers7:
+            assert qz.scaling_mode.is_tensor_scaling, (
+                "fp8_mha requires per-tensor scaling quantizers, got "
+                f"{qz.scaling_mode}")
+        out = _fp8_mha_core(qt, kt, vt, w_out, qseg, kseg, qoff,
+                            tuple(quantizers7), sink, seed, float(scale),
+                            causal, window, offset, blocks)
+        if sq_p != sq:
+            out = out[:, :sq]
+        return out
     if qkv_quantizers is not None:
         assert bias is None, "FP8 flash attention does not take a bias"
         for qz in qkv_quantizers:
