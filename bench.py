@@ -126,6 +126,9 @@ def bench_decode_and_ttft():
         "ttft_p50_ms": round(ttft_fp8 * 1e3, 1),
         "ttft_p50_bf16_ms": round(ttft_bf16 * 1e3, 1),
     }
+    from benchmarks.ladder import sanity_check_ratio
+    sanity_check_ratio(out, "decode_fp8_vs_bf16", 2.3,
+                       "memory-bound decode on a <=2x fp8/bf16 byte diet")
     # Ladder #5 (single-chip slice): NVFP4-resident weights (RHT cast at
     # load via prequantize_kernels) + FP8 KV cache. The multi-host part
     # of the rung is covered by dryrun_multichip; this measures the
@@ -137,6 +140,8 @@ def bench_decode_and_ttft():
         out["nvfp4_decode_tokens_per_s"] = round(B / t_nv, 1)
         out["nvfp4_vs_bf16"] = round(t_bf16 / t_nv, 3)
         out["nvfp4_ttft_p50_ms"] = round(ttft_nv * 1e3, 1)
+        sanity_check_ratio(out, "nvfp4_vs_bf16", 4.6,
+                           "memory-bound decode on a <=4x byte diet")
     except Exception as e:  # never let rung 5 sink the north star
         out["nvfp4_error"] = str(e)[:200]
     return out

@@ -44,6 +44,21 @@ def _timed(variants, make_carry, **kw):
             sorted(k for k, v in res.items() if v[1]))
 
 
+def sanity_check_ratio(out: dict, key: str, bound: float, why: str) -> dict:
+    """Physical-bound guard for cross-variant speedup ratios (VERDICT r3
+    weak #7: r2 published a 6.7x fp8-vs-bf16 linear ratio that no byte
+    or FLOP accounting allows). A ratio above ``bound`` marks the rung's
+    json LOUDLY rather than shipping a nonsense number silently."""
+    import sys
+    r = out.get(key)
+    if r is not None and r > bound:
+        msg = (f"SANITY VIOLATION {key}={r} exceeds the physical bound "
+               f"{bound} ({why}) — measurement artifact, do not trust")
+        print(msg, file=sys.stderr)
+        out.setdefault("sanity_violations", []).append(msg)
+    return out
+
+
 def bench_linear(M=16384, K=768, N=3072):
     """Ladder #1: Linear K->N forward, FP8 delayed scaling vs BF16.
     Returns TFLOP/s for each and the ratio."""
@@ -63,6 +78,9 @@ def bench_linear(M=16384, K=768, N=3072):
     out = {"fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
            "bf16_tflops": round(flops / t["bf16"] / 1e12, 1),
            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    sanity_check_ratio(out, "fp8_vs_bf16", 1.3,
+                       "v5e has no FP8 MXU: same-FLOP GEMMs, quantize "
+                       "is pure overhead")
     if guarded:
         out["timing_guarded"] = guarded
     return out
@@ -99,6 +117,9 @@ def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
            "fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
            "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+    sanity_check_ratio(out, "fp8_vs_bf16", 1.3,
+                       "v5e has no FP8 MXU: same-FLOP GEMMs, quantize "
+                       "is pure overhead")
     if guarded:
         out["timing_guarded"] = guarded
     return out
@@ -207,6 +228,8 @@ def bench_moe_mlp(B=2, S=2048, H=4096, F=7168, E=8, topk=2):
            "mxfp8_tflops": round(flops / t["mxfp8"] / 1e12, 1),
            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3),
            "mxfp8_microbatch_vs_bf16": round(t["bf16"] / t["mxfp8_mb"], 3)}
+    sanity_check_ratio(out, "mxfp8_vs_bf16", 1.3,
+                       "v5e has no FP8 MXU")
     if guarded:
         out["timing_guarded"] = guarded
     return out
@@ -252,6 +275,8 @@ def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
     out = {"mxfp8_ms": round(t["mxfp8"] * 1e3, 3),
            "bf16_ms": round(t["bf16"] * 1e3, 3),
            "mxfp8_vs_bf16": round(t["bf16"] / t["mxfp8"], 3)}
+    sanity_check_ratio(out, "mxfp8_vs_bf16", 1.3,
+                       "v5e has no FP8 MXU")
     if guarded:
         out["timing_guarded"] = guarded
     return out

@@ -46,7 +46,7 @@ def test_cp_matches_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -67,7 +67,7 @@ def test_cp_grads_match_single_device(strategy):
             return all_gather_attn(q, k, v, "cp", causal=True)
     else:
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1))
 
     cp_fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -224,7 +224,7 @@ def test_ring_striped_matches_single_device():
     spec = P(None, "cp", None, None)
 
     def local_fn(q, k, v):
-        return ring_attn(q, k, v, None, None, None, "cp", True,
+        return ring_attn(q, k, v, None, None, None, None, "cp", True,
                          q.shape[-1] ** -0.5, (-1, -1), True)
 
     out_s = jax.shard_map(
@@ -247,7 +247,7 @@ def test_ring_striped_grads_match_single_device():
         vs = reorder_causal_striped(v, CP)
 
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1), True)
 
         out_s = jax.shard_map(
@@ -284,7 +284,7 @@ def test_ring_striped_sliding_window_matches_single_device(window):
     spec = P(None, "cp", None, None)
 
     def local_fn(q, k, v):
-        return ring_attn(q, k, v, None, None, None, "cp", True,
+        return ring_attn(q, k, v, None, None, None, None, "cp", True,
                          q.shape[-1] ** -0.5, window, True)
 
     out_s = jax.shard_map(
@@ -308,7 +308,7 @@ def test_ring_striped_sliding_window_grads_match_single_device():
         vs = reorder_causal_striped(v, CP)
 
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, window, True)
 
         out_s = jax.shard_map(
@@ -402,7 +402,7 @@ def test_fp8_kv_ring_close_to_bf16_ring(what):
 
     def mk(fp8):
         def local_fn(q, k, v):
-            return ring_attn(q, k, v, None, None, None, "cp", True,
+            return ring_attn(q, k, v, None, None, None, None, "cp", True,
                              q.shape[-1] ** -0.5, (-1, -1), False, fp8)
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=(spec, spec, spec), out_specs=spec,
@@ -509,7 +509,7 @@ class TestSinksUnderCP:
 
         ring = jax.shard_map(
             lambda q, k, v, s: ring_attn(
-                q, k, v, None, None, s, "cp", True,
+                q, k, v, None, None, s, None, "cp", True,
                 q.shape[-1] ** -0.5, (-1, -1)),
             mesh=mesh, in_specs=(spec, spec, spec, P()),
             out_specs=spec, check_vma=False)
@@ -524,3 +524,174 @@ class TestSinksUnderCP:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sink0)
         for a, b in zip(g, gr):
             assert float(jnp.max(jnp.abs(a - b))) < 1e-3, a.shape
+
+
+class TestCPBiasAndALiBi:
+    """Post-scale bias and ALiBi under CP (reference:
+    context_parallel.py:862-911 per-step bias chunking; VERDICT r3
+    missing #2)."""
+
+    def _bias(self, b, hq, s, key=7):
+        return jax.random.normal(jax.random.PRNGKey(key), (b, hq, s, s),
+                                 jnp.float32) * 0.5
+
+    @pytest.mark.parametrize("strategy", ["ring", "all_gather"])
+    def test_bias_matches_single_device(self, strategy):
+        from transformerengine_tpu.attention import AttnBiasType
+        b, s, hq, hkv, d = 2, 256, 4, 2, 64
+        q, k, v = _data(b=b, s=s, hq=hq, hkv=hkv, d=d)
+        bias = self._bias(b, hq, s)
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+        bspec = P(None, None, "cp", None)   # q rows sharded, kv full
+
+        if strategy == "ring":
+            def local_fn(q, k, v, bias):
+                return ring_attn(q, k, v, None, None, None, bias, "cp",
+                                 True, d ** -0.5, (-1, -1))
+        else:
+            def local_fn(q, k, v, bias):
+                return all_gather_attn(q, k, v, "cp", causal=True,
+                                       bias=bias)
+
+        cp_fn = jax.shard_map(local_fn, mesh=mesh,
+                              in_specs=(spec, spec, spec, bspec),
+                              out_specs=spec, check_vma=False)
+        out = cp_fn(q, k, v, bias)
+        ref = fused_attn((q, k, v), bias=bias,
+                         attn_mask_type=AttnMaskType.CAUSAL,
+                         attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                         backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 5e-5, strategy
+
+    def test_ring_bias_grads_match_single_device(self):
+        from transformerengine_tpu.attention import AttnBiasType
+        b, s, hq, hkv, d = 1, 128, 2, 2, 64
+        q, k, v = _data(b=b, s=s, hq=hq, hkv=hkv, d=d)
+        bias = self._bias(b, hq, s)
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+        bspec = P(None, None, "cp", None)
+
+        ring = jax.shard_map(
+            lambda q, k, v, bias: ring_attn(
+                q, k, v, None, None, None, bias, "cp", True, d ** -0.5,
+                (-1, -1)),
+            mesh=mesh, in_specs=(spec, spec, spec, bspec),
+            out_specs=spec, check_vma=False)
+
+        def loss_cp(q, k, v, bias):
+            return jnp.sum(ring(q, k, v, bias) ** 2)
+
+        def loss_ref(q, k, v, bias):
+            o = fused_attn((q, k, v), bias=bias,
+                           attn_mask_type=AttnMaskType.CAUSAL,
+                           attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                           backend=AttnBackend.UNFUSED)
+            return jnp.sum(o ** 2)
+
+        g_cp = jax.grad(loss_cp, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, r in zip("qkvb", g_cp, g_ref):
+            d_ = float(jnp.max(jnp.abs(a - r)))
+            m = float(jnp.max(jnp.abs(r))) or 1.0
+            assert d_ / m < 2e-4, (name, d_, m)
+
+    @pytest.mark.parametrize("strategy", ["ring", "all_gather"])
+    def test_alibi_matches_single_device(self, strategy):
+        """ALiBi rides the score_mod path; the per-step q-position
+        offset gives the mod GLOBAL positions."""
+        from transformerengine_tpu.attention import AttnBiasType
+        from transformerengine_tpu.flex_attention import alibi_arith_mod
+        b, s, hq, hkv, d = 2, 256, 4, 2, 64
+        q, k, v = _data(b=b, s=s, hq=hq, hkv=hkv, d=d)
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+        mod = alibi_arith_mod(hq)
+
+        if strategy == "ring":
+            def local_fn(q, k, v):
+                return ring_attn(q, k, v, None, None, None, None, "cp",
+                                 True, d ** -0.5, (-1, -1), False, False,
+                                 mod)
+        else:
+            def local_fn(q, k, v):
+                return all_gather_attn(q, k, v, "cp", causal=True,
+                                       score_mod=mod)
+
+        cp_fn = jax.shard_map(local_fn, mesh=mesh,
+                              in_specs=(spec, spec, spec),
+                              out_specs=spec, check_vma=False)
+        out = cp_fn(q, k, v)
+        ref = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                         attn_bias_type=AttnBiasType.ALIBI,
+                         backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 5e-5, strategy
+
+    def test_fused_attn_dispatches_bias_and_alibi_under_cp(self):
+        """End-to-end through fused_attn's CP branch inside shard_map."""
+        from transformerengine_tpu.attention import AttnBiasType, CPStrategy
+        b, s, hq, hkv, d = 1, 128, 2, 2, 32
+        q, k, v = _data(b=b, s=s, hq=hq, hkv=hkv, d=d)
+        bias = self._bias(b, hq, s, key=9)
+        mesh = _mesh()
+        spec = P(None, "cp", None, None)
+        bspec = P(None, None, "cp", None)
+
+        def local_bias(q, k, v, bias):
+            return fused_attn((q, k, v), bias=bias,
+                              attn_mask_type=AttnMaskType.CAUSAL,
+                              attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                              context_parallel_strategy=CPStrategy.RING,
+                              context_parallel_axis="cp")
+
+        out = jax.shard_map(local_bias, mesh=mesh,
+                            in_specs=(spec, spec, spec, bspec),
+                            out_specs=spec, check_vma=False)(q, k, v, bias)
+        ref = fused_attn((q, k, v), bias=bias,
+                         attn_mask_type=AttnMaskType.CAUSAL,
+                         attn_bias_type=AttnBiasType.POST_SCALE_BIAS,
+                         backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out - ref)) < 5e-5
+
+        def local_alibi(q, k, v):
+            return fused_attn((q, k, v),
+                              attn_mask_type=AttnMaskType.CAUSAL,
+                              attn_bias_type=AttnBiasType.ALIBI,
+                              context_parallel_strategy=CPStrategy.RING,
+                              context_parallel_axis="cp")
+
+        out_a = jax.shard_map(local_alibi, mesh=mesh,
+                              in_specs=(spec, spec, spec),
+                              out_specs=spec, check_vma=False)(q, k, v)
+        ref_a = fused_attn((q, k, v), attn_mask_type=AttnMaskType.CAUSAL,
+                           attn_bias_type=AttnBiasType.ALIBI,
+                           backend=AttnBackend.UNFUSED)
+        assert jnp.max(jnp.abs(out_a - ref_a)) < 5e-5
+
+
+def test_hierarchical_cp_fp8_kv_close_to_bf16():
+    """fp8 P2P payloads on the OUTER ring of hierarchical CP (VERDICT r3
+    missing #6): tracks the bf16 hierarchical result within e4m3 noise."""
+    from transformerengine_tpu.parallel.ring_attention import (
+        hierarchical_attn)
+    q, k, v = _data(b=1, s=128, hq=4, hkv=4, d=32)
+    mesh = Mesh(mesh_utils.create_device_mesh(
+        (2, 2), jax.devices()[:4]), ("cpo", "cpi"))
+    spec = P(None, ("cpo", "cpi"), None, None)
+
+    def mk(fp8):
+        def local_fn(q, k, v):
+            return hierarchical_attn(q, k, v, "cpi", "cpo", causal=True,
+                                     fp8_kv=fp8)
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(spec, spec, spec), out_specs=spec,
+                             check_vma=False)
+
+    out16 = mk(False)(q, k, v)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out16 - ref)) < 5e-5
+    out8 = mk(True)(q, k, v)
+    diff = jnp.abs(out8 - out16)
+    assert float(jnp.max(diff / (1.0 + jnp.abs(out16)))) < 0.08
+    assert float(diff.mean()) < 0.02

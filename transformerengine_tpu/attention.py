@@ -498,10 +498,6 @@ def fused_attn(
         if bias is not None:
             raise ValueError("ALIBI computes its own bias; bias must be "
                              "None")
-        if context_parallel_axis:
-            raise NotImplementedError(
-                "ALIBI under context parallelism is not wired; apply a "
-                "position-aware score_mod via flex_attention instead")
 
     if context_parallel_axis and context_parallel_strategy in (
             CPStrategy.RING, CPStrategy.RING_STRIPED,
@@ -521,6 +517,31 @@ def fused_attn(
                 q.shape[2])
         from .parallel.ring_attention import (
             all_gather_attn, ring_attn_under_shard_map, ulysses_attn)
+        # Bias / ALiBi under CP (reference: context_parallel.py:862-911
+        # per-step bias chunking): ring slices the resident chunk's bias
+        # columns each step; all-gather passes the local-q-rows bias into
+        # its single flash call. ALiBi rides the score_mod path — the
+        # per-step/per-rank q-position offset flows into its qpos/kpos,
+        # so slopes see GLOBAL distances.
+        cp_score_mod = None
+        if attn_bias_type is AttnBiasType.ALIBI:
+            if context_parallel_strategy not in (CPStrategy.RING,
+                                                 CPStrategy.ALL_GATHER):
+                raise NotImplementedError(
+                    "ALiBi under CP: RING (contiguous) or ALL_GATHER only")
+            from .flex_attention import alibi_arith_mod
+            cp_score_mod = alibi_arith_mod(q.shape[2])
+        cp_bias = None
+        if attn_bias_type is AttnBiasType.POST_SCALE_BIAS and                 bias is not None:
+            if context_parallel_strategy not in (CPStrategy.RING,
+                                                 CPStrategy.ALL_GATHER):
+                raise NotImplementedError(
+                    "bias under CP: RING (contiguous) or ALL_GATHER only "
+                    "(striped interleaving breaks column chunking; "
+                    "Ulysses would need a head-sliced bias)")
+            # The caller passes the bias for its LOCAL q rows over the
+            # FULL kv length: (B|1, Hq, L_local, S_total).
+            cp_bias = bias
         if context_parallel_strategy in (CPStrategy.RING,
                                          CPStrategy.RING_STRIPED):
             # FP8 ring payloads under an fp8_dpa recipe (reference: FP8
@@ -538,14 +559,18 @@ def fused_attn(
                 striped=(context_parallel_strategy
                          is CPStrategy.RING_STRIPED),
                 fp8_kv=fp8_ring,
-                softmax_sink=sink)
+                softmax_sink=sink,
+                bias=cp_bias,
+                score_mod=cp_score_mod)
         if context_parallel_strategy is CPStrategy.ALL_GATHER:
             return all_gather_attn(
                 q, k, v, context_parallel_axis,
                 causal=attn_mask_type.is_causal,
                 scaling_factor=scaling_factor, window_size=window_size,
                 sequence_descriptor=sequence_descriptor,
-                softmax_sink=sink)
+                softmax_sink=sink,
+                bias=cp_bias,
+                score_mod=cp_score_mod)
         return ulysses_attn(
             q, k, v, context_parallel_axis,
             causal=attn_mask_type.is_causal,

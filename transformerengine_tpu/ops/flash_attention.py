@@ -57,6 +57,9 @@ MAX_ROWS = int(os.environ.get("TE_TPU_FLASH_MAX_ROWS", "1024"))
 # overhead) and 0 — fwd 1.904->1.796 ms/call, bwd 4.594->4.317 at
 # bq512/bk1024 B4/S2048/H32/GQA4; bwd bk2048 5.70->5.16 ms.
 SPLIT_SUB = int(os.environ.get("TE_TPU_FLASH_SPLIT_SUB", "512"))
+# Route FULL blocks through the two-pass split body as well (see
+# _fwd_kernel_steps) — experimental MXU/VPU pipelining knob.
+ALLSPLIT = os.environ.get("TE_TPU_FLASH_ALLSPLIT", "0") == "1"
 
 
 def _split_width(block_k: int) -> int:
@@ -204,7 +207,8 @@ def _mask_scores(s, qseg, kseg, q_start, k_start, off, *,
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _dropout_keep(seed_ref, q_start, k_start, rows, block_k, rate):
+def _dropout_keep(seed_ref, q_start, k_start, rows, block_k, rate,
+                  prog_bh):
     """Regenerate the per-block dropout keep-mask. Seeded by (user seed,
     batch, kv-head, block coords) so the fwd and both bwd kernels derive
     the SAME bits for a block without storing the O(S^2) mask (same idea
@@ -213,9 +217,12 @@ def _dropout_keep(seed_ref, q_start, k_start, rows, block_k, rate):
     Off-TPU (interpret mode) the TPU PRNG has no lowering, so a
     splitmix-style integer hash stands in — different stream than the
     hardware PRNG but identically replayed across fwd/bwd."""
+    # prog_bh is passed down from the kernel top level: pl.program_id
+    # has no interpret-mode lowering inside a pl.when body, and the
+    # nomask fast path runs block bodies under pl.when.
     if not _interpret():
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0),
-                        pl.program_id(1), q_start, k_start)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], prog_bh[0],
+                        prog_bh[1], q_start, k_start)
         bits = pltpu.bitcast(pltpu.prng_random_bits((rows, block_k)),
                              jnp.uint32)
     else:
@@ -226,8 +233,8 @@ def _dropout_keep(seed_ref, q_start, k_start, rows, block_k, rate):
              * np.uint32(0x85EBCA6B))
         x = x ^ (u32(seed_ref[0]) * np.uint32(0xC2B2AE35)
                  + u32(seed_ref[1])
-                 + u32(pl.program_id(0)) * np.uint32(0x27D4EB2F)
-                 + u32(pl.program_id(1)) * np.uint32(0x165667B1)
+                 + u32(prog_bh[0]) * np.uint32(0x27D4EB2F)
+                 + u32(prog_bh[1]) * np.uint32(0x165667B1)
                  + u32(q_start) * np.uint32(0x9E3779B1)
                  + u32(k_start) * np.uint32(0x85EBCA77))
         x = x ^ (x >> 16)
@@ -341,7 +348,7 @@ def _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref, k_ref,
             # l uses the undropped p (softmax denominator); only the PV
             # contraction sees the dropped/rescaled weights.
             keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                                 dropout_rate)
+                                 dropout_rate, prog_bh)
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
         if "nopv" in ABLATE:
             acc_ref[...] = acc_ref[...] * alpha[:, :1]
@@ -567,26 +574,38 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    def _monolithic():
+    def _monolithic(nomask=False):
         _fwd_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                         k_ref, v_ref,
                         bias_ref, acc_ref, m_ref, l_ref, iq * block_q,
                         ik * block_k, offset,
-                        causal=causal, use_segments=use_segments,
-                        use_bias=use_bias, window=window, group=group,
+                        causal=causal and not nomask,
+                        use_segments=use_segments,
+                        use_bias=use_bias,
+                        window=(-1, -1) if nomask else window,
+                        group=group,
                         block_q=block_q, block_k=block_k, fp8=fp8,
                         dropout_rate=dropout_rate,
                         score_mod=score_mod, scale=scale, prog_bh=prog_bh)
+
+    nm = steps_ref[6, t]
+    use_nomask = not use_segments
+
+    def _full_block():
+        # nomask blocks skip the compare+select mask passes entirely
+        # (statically specialized body; flags are mutually exclusive).
+        if use_nomask:
+            pl.when(nm == 1)(lambda: _monolithic(True))
+            pl.when(nm == 0)(lambda: _monolithic(False))
+        else:
+            _monolithic(False)
 
     if sub_w:
         s_scr, mloc_ref = scratch
         nsub = block_k // sub_w
         lo = steps_ref[4, t]
         hi = steps_ref[5, t]
-        pl.when(hi - lo == nsub)(_monolithic)
-
-        @pl.when(hi - lo < nsub)
-        def _partial():
+        def _partial_body():
             _fwd_block_body_split(
                 scales_ref, qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
                 bias_ref, acc_ref, m_ref, l_ref, s_scr, mloc_ref, lo, hi,
@@ -595,8 +614,19 @@ def _fwd_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref, kseg_ref,
                 use_bias=use_bias, window=window, group=group,
                 block_q=block_q, block_k=block_k, fp8=fp8,
                 sub_w=sub_w, nsub=nsub)
+
+        if ALLSPLIT:
+            # MEASURED NEGATIVE (v5e, scripts/prof_flash_allsplit.py):
+            # routing full blocks through the two-pass split body loses
+            # (67.1 vs 76.5 TF/s) — Mosaic does not overlap MXU and VPU
+            # across the independent sub-tiles, and the s-scratch VMEM
+            # round-trip is pure overhead. Kept as a documented knob.
+            _partial_body()
+        else:
+            pl.when(hi - lo == nsub)(_full_block)
+            pl.when(hi - lo < nsub)(_partial_body)
     else:
-        _monolithic()
+        _full_block()
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -620,7 +650,11 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
     partially-masked diagonal blocks while keeping the grid-step count
     of the wide block_k.
 
-    Returns an int32 array of shape (6, T): iq, ik, first, last, lo, hi."""
+    Returns an int32 array of shape (7, T): iq, ik, first, last, lo, hi,
+    nomask — nomask=1 marks blocks where NO positional mask can bite
+    (fully below the causal diagonal and fully inside the window), so
+    the kernels run a statically mask-free body there (the compare +
+    select VPU passes are ~2 of the ~7 per-element passes)."""
     import numpy as np
     nsub = block_k // sub_w if sub_w else 1
 
@@ -666,12 +700,24 @@ def _enumerate_steps(nq, nk, block_q, block_k, offset, causal, window,
             # the in-kernel mask zeroes it (l stays 0 / ds is 0). One
             # sub-tile of work suffices.
             iq, ik = (outer, 0) if order == "qk" else (0, outer)
-            pairs.append((iq, ik, 1, 1, 0, 1))
+            pairs.append((iq, ik, 1, 1, 0, 1, 0))
             continue
         for j, (iq, ik) in enumerate(row):
             lo, hi = sub_range(iq, ik)
+            q_first = iq * block_q + offset
+            q_last = q_first + block_q - 1
+            k_first = ik * block_k
+            k_last = k_first + block_k - 1
+            nomask = True
+            if causal:
+                nomask = nomask and (k_last <= q_first)
+            if window[0] >= 0:
+                nomask = nomask and (k_first >= q_last - window[0])
+            if window[1] >= 0 and not causal:
+                nomask = nomask and (k_last <= q_first + window[1])
             pairs.append((iq, ik, 1 if j == 0 else 0,
-                          1 if j == len(row) - 1 else 0, lo, hi))
+                          1 if j == len(row) - 1 else 0, lo, hi,
+                          1 if nomask else 0))
     return np.asarray(pairs, dtype=np.int32).T.copy()
 
 
@@ -1053,7 +1099,7 @@ def _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
             dp = dp * scales_ref[1]
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                                 dropout_rate)
+                                 dropout_rate, prog_bh)
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - delta)
         if mod_vjp is not None:
@@ -1151,26 +1197,39 @@ def _bwd_dq_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def _block(sw, lo=None, hi=None):
+    def _block(sw, lo=None, hi=None, nomask=False):
         _bwd_dq_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                            k_ref, v_ref,
                            do_ref, lse_ref, delta_ref, None, acc_ref,
                            iq * block_q, ik * block_k, offset,
-                           causal=causal, use_segments=use_segments,
-                           window=window, group=group,
+                           causal=causal and not nomask,
+                           use_segments=use_segments,
+                           window=(-1, -1) if nomask else window,
+                           group=group,
                            block_q=block_q, block_k=block_k, fp8=fp8,
                            use_bias=False, dropout_rate=dropout_rate,
                            score_mod=score_mod, scale=scale,
                            prog_bh=prog_bh, sub_w=sw, sub_lo=lo, sub_hi=hi)
 
+    nm = steps_ref[6, t]
+
+    def _full_block():
+        # Statically mask-free body for blocks no positional mask bites
+        # (steps row 6) — saves the compare+select VPU passes.
+        if not use_segments:
+            pl.when(nm == 1)(lambda: _block(0, nomask=True))
+            pl.when(nm == 0)(lambda: _block(0))
+        else:
+            _block(0)
+
     if sub_w:
         nsub = block_k // sub_w
         lo = steps_ref[4, t]
         hi = steps_ref[5, t]
-        pl.when(hi - lo == nsub)(lambda: _block(0))
+        pl.when(hi - lo == nsub)(_full_block)
         pl.when(hi - lo < nsub)(lambda: _block(sub_w, lo, hi))
     else:
-        _block(0)
+        _full_block()
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():
@@ -1256,7 +1315,7 @@ def _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
         cdt = jnp.bfloat16 if fp8 else q.dtype
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, q_start, k_start, rows, block_k,
-                                 dropout_rate)
+                                 dropout_rate, prog_bh)
             inv = 1.0 / (1.0 - dropout_rate)
             pd = jnp.where(keep, p * inv, 0.0)  # dropped weights for dV
         else:
@@ -1372,26 +1431,37 @@ def _bwd_dkv_kernel_steps(steps_ref, scales_ref, seed_ref, qseg_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def _block(sw, lo=None, hi=None):
+    def _block(sw, lo=None, hi=None, nomask=False):
         _bwd_dkv_block_body(scales_ref, seed_ref, qseg_ref, kseg_ref, q_ref,
                             k_ref, v_ref,
                             do_ref, lse_ref, delta_ref, None, dk_acc, dv_acc,
                             iq * block_q, ik * block_k, offset,
-                            causal=causal, use_segments=use_segments,
-                            window=window, group=group,
+                            causal=causal and not nomask,
+                            use_segments=use_segments,
+                            window=(-1, -1) if nomask else window,
+                            group=group,
                             block_q=block_q, block_k=block_k, fp8=fp8,
                             use_bias=False, dropout_rate=dropout_rate,
                             score_mod=score_mod, scale=scale,
                             prog_bh=prog_bh, sub_w=sw, sub_lo=lo, sub_hi=hi)
 
+    nm = steps_ref[6, t]
+
+    def _full_block():
+        if not use_segments:
+            pl.when(nm == 1)(lambda: _block(0, nomask=True))
+            pl.when(nm == 0)(lambda: _block(0))
+        else:
+            _block(0)
+
     if sub_w:
         nsub = block_k // sub_w
         lo = steps_ref[4, t]
         hi = steps_ref[5, t]
-        pl.when(hi - lo == nsub)(lambda: _block(0))
+        pl.when(hi - lo == nsub)(_full_block)
         pl.when(hi - lo < nsub)(lambda: _block(sub_w, lo, hi))
     else:
-        _block(0)
+        _full_block()
 
     @pl.when(steps_ref[3, t] == 1)
     def _epilogue():

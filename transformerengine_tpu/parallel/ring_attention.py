@@ -77,6 +77,8 @@ def all_gather_attn(
     window_size: Optional[Tuple[int, int]] = None,
     sequence_descriptor=None,
     softmax_sink=None,
+    bias=None,          # (B|1, Hq, L_local, S_total) post-scale bias
+    score_mod=None,
 ) -> jax.Array:
     """(reference: AttnFuncWithCPAndKVAllGather, context_parallel.py:3018)
 
@@ -105,6 +107,8 @@ def all_gather_attn(
         scaling_factor=scaling_factor,
         window_size=window_size,
         q_position_offset=idx * L,
+        bias=bias,
+        score_mod=score_mod,
         softmax_type=(SoftmaxType.LEARNABLE if softmax_sink is not None
                       else None),
         softmax_offset=softmax_sink)
@@ -171,10 +175,11 @@ def _kv_dq(payload, scale_inv, dtype):
             * scale_inv.astype(jnp.bfloat16)).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def ring_attn(q, k, v, qseg, kseg, sink, axis_name: str, causal: bool,
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def ring_attn(q, k, v, qseg, kseg, sink, bias, axis_name: str, causal: bool,
               scale: float, window: Tuple[int, int], striped: bool = False,
-              fp8_kv: bool = False):
+              fp8_kv: bool = False, score_mod=None):
     """``qseg``/``kseg``: optional (B, L) int32 segment ids of the LOCAL
     shard (0 = padding); kseg rotates around the ring with its KV chunk,
     so packed/ragged (THD-style) batches work under ring CP (reference:
@@ -188,14 +193,28 @@ def ring_attn(q, k, v, qseg, kseg, sink, axis_name: str, causal: bool,
     ``fp8_kv``: rotate K/V around the ring as e4m3 payloads with one
     per-chunk scale each — halves the P2P bytes (the reference's FP8
     context parallelism). The local flash step runs on the dequantized
-    bf16 chunk."""
-    out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal,
-                            scale, window, striped, fp8_kv)
+    bf16 chunk.
+
+    ``bias``: optional post-scale bias for the LOCAL q rows over the
+    FULL kv length, (B|1, Hq, L, S_total) — each ring step slices the
+    resident chunk's columns (reference: per-step bias chunking,
+    context_parallel.py:862-911). Contiguous sharding only (striped
+    interleaves positions, so a column slice is not a chunk).
+
+    ``score_mod``: optional arithmetic score mod traced into the local
+    flash kernels; the per-step q-position offset flows into its
+    qpos/kpos arguments, so position-dependent mods (ALiBi) see GLOBAL
+    positions (reference: ALiBi under CP)."""
+    out, _ = _ring_attn_fwd(q, k, v, qseg, kseg, sink, bias, axis_name,
+                            causal, scale, window, striped, fp8_kv,
+                            score_mod)
     return out
 
 
-def _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal, scale,
-                   window, striped, fp8_kv=False):
+def _ring_attn_fwd(q, k, v, qseg, kseg, sink, bias, axis_name, causal,
+                   scale, window, striped, fp8_kv=False, score_mod=None):
+    if bias is not None:
+        assert not striped, "bias under striped ring CP is unsupported"
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
@@ -221,12 +240,16 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal, scale,
             win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
         k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
         v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
+        bias_s = None
+        if bias is not None:
+            bias_s = jax.lax.dynamic_slice_in_dim(bias, j * L, L, axis=3)
         o_s, lse_s = _flash_fwd(
             qt, k_use, v_use,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
-            qoff, scale=scale, causal=causal,
-            window=win_s, offset=0, block_q=512, block_k=512)
+            qoff, bias_s, scale=scale, causal=causal,
+            window=win_s, offset=0, block_q=512, block_k=512,
+            score_mod=score_mod)
         m_new = jnp.maximum(m_run, lse_s)
         m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
         alpha = jnp.where(m_run <= NEG_INF / 2, 0.0,
@@ -260,12 +283,12 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, sink, axis_name, causal, scale,
         o = (num / den_safe[..., None]).astype(q.dtype)
         lse_tot = jnp.where(den > 0, m_run + jnp.log(den_safe), NEG_INF)
     out = o.transpose(0, 2, 1, 3)
-    return out, (q, k, v, qseg, kseg, sink, o, lse_tot)
+    return out, (q, k, v, qseg, kseg, sink, bias, o, lse_tot)
 
 
-def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
-                   dout):
-    q, k, v, qseg, kseg, sink, o, lse = res
+def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv,
+                   score_mod, res, dout):
+    q, k, v, qseg, kseg, sink, bias, o, lse = res
     cp = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, L, hq, d = q.shape
@@ -276,6 +299,8 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
     dq = jnp.zeros_like(qt, jnp.float32)
     dk_acc = jnp.zeros_like(kt, jnp.float32)
     dv_acc = jnp.zeros_like(vt, jnp.float32)
+    dbias = (jnp.zeros((b, hq, L, bias.shape[3]), jnp.float32)
+             if bias is not None else None)
     if fp8_kv:
         # Same quantization as fwd: the local flash bwd differentiates
         # the exact fwd computation (which saw dequantized chunks).
@@ -293,12 +318,19 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
             win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
         k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
         v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
-        dq_s, dk_s, dv_s, _ = _flash_bwd(
+        bias_s = None
+        if bias is not None:
+            bias_s = jax.lax.dynamic_slice_in_dim(bias, j * L, L, axis=3)
+        dq_s, dk_s, dv_s, dbias_s = _flash_bwd(
             qt, k_use, v_use, o, lse, dot,
             qseg if use_segs else None,
             kseg_cur if use_segs else None,
-            qoff, scale=scale,
-            causal=causal, window=win_s, offset=0, block_q=512, block_k=512)
+            qoff, bias_s, scale=scale,
+            causal=causal, window=win_s, offset=0, block_q=512, block_k=512,
+            score_mod=score_mod)
+        if dbias is not None:
+            dbias = jax.lax.dynamic_update_slice_in_dim(
+                dbias, dbias_s.astype(jnp.float32), j * L, axis=3)
         dq = dq + dq_s.astype(jnp.float32)
         dk_acc = dk_acc + dk_s.astype(jnp.float32)
         dv_acc = dv_acc + dv_s.astype(jnp.float32)
@@ -323,10 +355,16 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv, res,
         delta = jnp.sum(dot.astype(jnp.float32) * o.astype(jnp.float32), -1)
         p_sink = jnp.exp(sink.astype(jnp.float32).reshape(1, -1, 1) - lse)
         dsink = (-(p_sink * delta).sum(axis=(0, 2))).astype(sink.dtype)
+    if dbias is not None and bias.shape[0] == 1:
+        # Broadcast-over-batch bias: reduce the per-batch kernel grad.
+        # NO psum: the shard_map transpose of a replicated bias input
+        # sums per-rank cotangents (each rank owns disjoint q rows).
+        dbias = jnp.sum(dbias, axis=0, keepdims=True)
     return (dq.transpose(0, 2, 1, 3).astype(q.dtype),
             dk_acc.transpose(0, 2, 1, 3).astype(k.dtype),
             dv_acc.transpose(0, 2, 1, 3).astype(v.dtype),
-            None, None, dsink)
+            None, None, dsink,
+            dbias.astype(bias.dtype) if dbias is not None else None)
 
 
 ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
@@ -339,6 +377,8 @@ def ring_attn_under_shard_map(
     striped: bool = False,
     fp8_kv: bool = False,
     softmax_sink=None,
+    bias=None,          # (B|1, Hq, L_local, S_total) post-scale bias
+    score_mod=None,     # ALiBi etc. — sees GLOBAL positions per step
 ):
     """Entry used by attention.fused_attn for CPStrategy.RING /
     RING_STRIPED. ``sequence_descriptor`` describes the LOCAL shard:
@@ -354,8 +394,9 @@ def ring_attn_under_shard_map(
     window = tuple(window_size) if window_size is not None else (-1, -1)
     qseg, kseg = _local_segments(sequence_descriptor, axis_name,
                                  q.shape[1], allow_seqlens=not striped)
-    return ring_attn(q, k, v, qseg, kseg, softmax_sink, axis_name, causal,
-                     float(scale), window, striped, fp8_kv)
+    return ring_attn(q, k, v, qseg, kseg, softmax_sink, bias, axis_name,
+                     causal, float(scale), window, striped, fp8_kv,
+                     score_mod)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +484,8 @@ def hierarchical_attn(
     window_size=None,
     sequence_descriptor=None,
     softmax_sink=None,
+    striped: bool = False,
+    fp8_kv: bool = False,
 ) -> jax.Array:
     """Hierarchical context parallelism: Ulysses A2A inside, ring P2P
     outside (reference: cp_comm_type="a2a+p2p",
@@ -479,6 +522,11 @@ def hierarchical_attn(
             jnp.asarray(softmax_sink, jnp.float32), idx * (hq // p_in),
             hq // p_in)
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
-    out = ring_attn(qg, kg, vg, qseg, kseg, sink_local, outer_axis, causal,
-                    float(scale), window)
+    # The outer ring takes the full feature set: fp8 P2P payloads halve
+    # the bytes on exactly the slow links this strategy exists for, and
+    # striped load balancing applies when the caller striped the GLOBAL
+    # sequence over the OUTER axis (inner a2a preserves the outer
+    # interleave: outer rank r still holds global positions r + i*cp_out).
+    out = ring_attn(qg, kg, vg, qseg, kseg, sink_local, None, outer_axis,
+                    causal, float(scale), window, striped, fp8_kv)
     return head_to_seq(out)
