@@ -147,7 +147,8 @@ def bench_decode_and_ttft():
     return out
 
 
-ALL_RUNGS = ("decode", "linear", "ln_mlp", "flash", "mxfp8", "moe")
+ALL_RUNGS = ("decode", "linear", "ln_mlp", "flash", "mxfp8", "moe",
+             "convergence")
 
 
 def _run_rung(name):
@@ -159,6 +160,7 @@ def _run_rung(name):
         "flash": ladder.bench_flash_prefill,
         "mxfp8": ladder.bench_mxfp8_layer,
         "moe": ladder.bench_moe_mlp,
+        "convergence": ladder.bench_convergence,
     }
     return plan[name]()
 

@@ -280,3 +280,75 @@ def bench_mxfp8_layer(B=4, S=2048, H=4096, FFN=14336, heads=32, kv=8):
     if guarded:
         out["timing_guarded"] = guarded
     return out
+
+
+def bench_convergence(steps=150, tail=20):
+    """Measured perplexity/loss delta vs BF16 on the real chip (the
+    north star's 'match TE's no-significant-difference envelope',
+    BASELINE.md; reference README.rst:379). Trains the tiny Llama stack
+    on a fixed batch for ``steps`` under each recipe and reports the
+    final-``tail``-step mean loss deltas. CPU covers this in
+    tests/test_convergence.py; this rung pins the number on hardware."""
+    import dataclasses
+
+    import numpy as np
+    import optax
+
+    from transformerengine_tpu.flax.module import QUANTIZE_META
+    from transformerengine_tpu.models.llama import (
+        LLAMA_TINY, LlamaModel, cross_entropy_loss)
+
+    def train(recipe, seed=0):
+        cfg = dataclasses.replace(LLAMA_TINY, num_layers=2)
+        model = LlamaModel(config=cfg)
+        tokens = jax.random.randint(
+            jax.random.PRNGKey(seed), (4, 64), 0, cfg.vocab_size)
+        opt = optax.adam(1e-3)
+        with te.autocast(enabled=recipe is not None, recipe=recipe):
+            variables = jax.jit(model.init)(jax.random.PRNGKey(seed + 1),
+                                            tokens)
+            params = variables["params"]
+            qmeta = variables.get(QUANTIZE_META, {})
+            opt_state = opt.init(params)
+
+            @jax.jit
+            def step(params, qmeta, opt_state):
+                def loss_fn(params, qmeta):
+                    v = {"params": params}
+                    if qmeta:
+                        v[QUANTIZE_META] = qmeta
+                    logits = model.apply(v, tokens)
+                    return cross_entropy_loss(logits[:, :-1], tokens[:, 1:])
+
+                if qmeta:
+                    loss, (gp, gq) = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1))(params, qmeta)
+                else:
+                    loss, gp = jax.value_and_grad(loss_fn)(params, qmeta)
+                    gq = qmeta
+                updates, opt_state = opt.update(gp, opt_state, params)
+                return (optax.apply_updates(params, updates), gq, opt_state,
+                        loss)
+
+            losses = []
+            for _ in range(steps):
+                params, qmeta, opt_state, loss = step(params, qmeta,
+                                                      opt_state)
+                losses.append(loss)
+        return np.asarray(jax.device_get(losses), np.float32)
+
+    bf16 = train(None)
+    out = {"bf16_final_loss": round(float(bf16[-tail:].mean()), 4),
+           "steps": steps}
+    for name, recipe in (
+            ("fp8", te.DelayedScaling(amax_history_len=16)),
+            ("mxfp8", te.MXFP8BlockScaling()),
+            ("nvfp4", te.NVFP4BlockScaling())):
+        try:
+            tr = train(recipe)
+            d = float(tr[-tail:].mean() - bf16[-tail:].mean())
+            out[f"{name}_final_loss"] = round(float(tr[-tail:].mean()), 4)
+            out[f"{name}_loss_delta"] = round(d, 4)
+        except Exception as e:   # one recipe failing must not sink the rung
+            out[f"{name}_error"] = str(e)[:160]
+    return out
