@@ -19,7 +19,10 @@ from benchmarks.ladder import _normal, chain_carry
 
 
 def main():
-    B, S, H, F, E, topk = 2, 2048, 4096, 7168, 8, 2
+    # F halved vs the bench rung: the full-size fwd+bwd MXFP8 compile
+    # broke the remote compiler after 40 min (broken pipe); the
+    # breakdown's RATIOS are what matter.
+    B, S, H, F, E, topk = 2, 2048, 4096, 3584, 8, 2
     from transformerengine_tpu.moe import moe
     from transformerengine_tpu.quantize.microbatch import (
         quantize_grouped_kernel)
@@ -58,27 +61,27 @@ def main():
             return jnp.sum(out.astype(jnp.float32))
 
         x = _normal(7, (T, H))
-        for n in (2, 6):
+        for n in (2, 4):
             float(run(x, n))
         ops, busy = {}, {}
-        for n in (2, 6):
+        for n in (2, 4):
             ops[n], busy[n] = profile(
                 lambda n=n: float(run(x + jnp.bfloat16(n), n)),
                 logdir=f"/tmp/te_xprof_moe_{name}_{n}")
-        per = (busy[6] - busy[2]) / 4 / 1e3
+        per = (busy[4] - busy[2]) / 2 / 1e3
         print(f"\n===== {name}: {per:.3f} ms/step =====")
         fam = defaultdict(float)
-        for k in set(ops[2]) | set(ops[6]):
+        for k in set(ops[2]) | set(ops[4]):
             if k.startswith(("jit_", "while")):
                 continue
             fam[re.sub(r"[.\d]+$", "", k)] += (
-                ops[6].get(k, 0.0) - ops[2].get(k, 0.0)) / 4
+                ops[4].get(k, 0.0) - ops[2].get(k, 0.0)) / 2
         for k, v in sorted(fam.items(), key=lambda kv: -kv[1])[:20]:
             if abs(v) > 20:
                 print(f"  {v/1e3:9.3f} ms  {k}")
         # top individual ops
-        marg = {k: (ops[6].get(k, 0.0) - ops[2].get(k, 0.0)) / 4
-                for k in set(ops[2]) | set(ops[6])
+        marg = {k: (ops[4].get(k, 0.0) - ops[2].get(k, 0.0)) / 2
+                for k in set(ops[2]) | set(ops[4])
                 if not k.startswith(("jit_", "while"))}
         print("  -- top ops --")
         for k, v in sorted(marg.items(), key=lambda kv: -kv[1])[:12]:

@@ -11,7 +11,6 @@ import transformerengine_tpu as te
 from transformerengine_tpu.ops.gemm import tn_dot
 from transformerengine_tpu.ops.quantize_kernels import (
     cast_transpose, mxfp8_quantize_2x)
-from transformerengine_tpu.ops.scaled_matmul import scaled_tn_matmul
 from transformerengine_tpu.quantize import qmath
 from transformerengine_tpu.quantize.dtypes import float8_e4m3
 from transformerengine_tpu.quantize.helper import QuantizerFactory
@@ -76,61 +75,6 @@ class TestMXFP8Fused:
         assert jnp.array_equal(cw.data.astype(jnp.float32),
                                both.colwise.data.astype(jnp.float32))
         assert jnp.array_equal(cw.scale_inv, both.colwise.scale_inv)
-
-
-class TestScaledMatmul:
-    def _check_mode(self, recipe, atol=0.0):
-        """tn_dot with the Pallas kernel forced on vs off must agree."""
-        m = k = n = 256
-        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
-        w = jax.random.normal(jax.random.PRNGKey(1), (n, k), jnp.float32) * 0.1
-        qset = QuantizerFactory.create_set(recipe)
-        qx = qset.x.quantize(x)
-        qw = qset.kernel.quantize(w)
-        from transformerengine_tpu.quantize.tensor import get_rowwise
-        qx, qw = get_rowwise(qx), get_rowwise(qw)
-        os.environ["TE_TPU_SCALED_MATMUL"] = "1"
-        try:
-            out_pallas = tn_dot(qx, qw)
-        finally:
-            os.environ["TE_TPU_SCALED_MATMUL"] = "0"
-        out_xla = tn_dot(qx, qw)
-        os.environ.pop("TE_TPU_SCALED_MATMUL", None)
-        err = jnp.max(jnp.abs(out_pallas - out_xla))
-        ref = jnp.maximum(jnp.max(jnp.abs(out_xla)), 1e-3)
-        assert err / ref <= atol + 1e-6, float(err / ref)
-
-    def test_mxfp8(self):
-        # bf16 dequant path identical in both implementations -> tiny tol
-        self._check_mode(te.MXFP8BlockScaling(), atol=1e-5)
-
-    def test_float8_block(self):
-        self._check_mode(te.Float8BlockScaling(), atol=1e-5)
-
-    def test_nvfp4(self):
-        self._check_mode(te.NVFP4BlockScaling(), atol=1e-5)
-
-    def test_direct_kernel_vs_einsum(self):
-        m = n = 128
-        k = 256
-        bs = 32
-        data_a = jax.random.normal(jax.random.PRNGKey(0), (m, k)).astype(
-            float8_e4m3)
-        data_b = jax.random.normal(jax.random.PRNGKey(1), (n, k)).astype(
-            float8_e4m3)
-        sa = jnp.exp2(jax.random.randint(
-            jax.random.PRNGKey(2), (m, k // bs), -3, 3).astype(jnp.float32))
-        sb = jnp.exp2(jax.random.randint(
-            jax.random.PRNGKey(3), (n, k // bs), -3, 3).astype(jnp.float32))
-        out = scaled_tn_matmul(data_a, sa, data_b, sb, block_size=bs,
-                               tile=(128, 128, 256))
-        af = data_a.astype(jnp.float32).reshape(m, k // bs, bs) * sa[:, :, None]
-        bf = data_b.astype(jnp.float32).reshape(n, k // bs, bs) * sb[:, :, None]
-        ref = jnp.einsum("mk,nk->mn", af.reshape(m, k).astype(jnp.bfloat16)
-                         .astype(jnp.float32),
-                         bf.reshape(n, k).astype(jnp.bfloat16)
-                         .astype(jnp.float32))
-        assert jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)) < 2e-2
 
 
 class TestFusedQuantizerPath:

@@ -15,12 +15,14 @@ jax/cpp_extensions/gemm.py:487):
 * Block scaling (MXFP8 / FP8-block / NVFP4): dequantize-to-bf16 fused
   into the matmul. With power-of-two scales this is *exact* (pow2
   scaling preserves the mantissa), so numerics match a true in-kernel
-  scaled matmul. A Pallas MXU kernel with in-VMEM dequant is the
-  optimization path and is numerically identical.
+  scaled matmul. (An in-VMEM-dequant Pallas MXU kernel was built and
+  benchmarked in r2-r3: 247 ms vs XLA's 58 ms on its target rung even
+  after the expansion-matrix dequant rewrite — DELETED in r4 per the r1
+  matvec precedent; XLA's materialized-dequant + near-peak matmul IS
+  the block-scaled path on v5e.)
 """
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -28,62 +30,6 @@ import jax.numpy as jnp
 
 from ..quantize.scaling_modes import ScalingMode
 from ..quantize.tensor import ScaledTensor1x, is_scaled
-
-
-def _use_pallas_matmul() -> bool:
-    env = os.environ.get("TE_TPU_SCALED_MATMUL", "auto")
-    if env == "0":
-        return False
-    if env == "1":
-        return True
-    # Default OFF (v5e, 2026-08-17): the in-VMEM dequant kernel measured
-    # 247 ms vs 58 ms for XLA dequant+dot on the MXFP8 TransformerLayer
-    # rung — XLA's materialized-dequant + near-peak matmul wins until the
-    # Pallas kernel is tuned. Opt back in with TE_TPU_SCALED_MATMUL=1.
-    return False
-
-
-def _block_scale_grid(t: ScaledTensor1x, rows: int, cols: int):
-    """Decoded f32 scale multipliers shaped (rows, cols // bs_col),
-    expanding 2D-block row dimension. Returns (grid, bs_col) or None."""
-    br, bc = t.scaling_mode.block_shape
-    s = t.scaling_mode.decode_scale_inv(t.scale_inv)
-    gr, gc = -(-rows // br), -(-cols // bc)
-    s = s[:gr, :gc]
-    if br > 1:
-        s = jnp.repeat(s, br, axis=0)[:rows]
-    return s, bc
-
-
-def _pallas_block_dot(lhs: ScaledTensor1x, rhs: ScaledTensor1x):
-    """Block-scaled MXU matmul with in-VMEM dequant; None if unsupported."""
-    from .scaled_matmul import scaled_tn_matmul
-    lm, lk = lhs._2d_shape()
-    rn, rk = rhs._2d_shape()
-    if lk != rk:
-        return None
-    ls, lbs = _block_scale_grid(lhs, lm, lk)
-    rs, rbs = _block_scale_grid(rhs, rn, rk)
-    if lbs != rbs:
-        return None
-    bs = lbs
-    # Tile-alignment requirements of the kernel.
-    if lm % 8 or rn % 8 or lk % max(bs, 128):
-        return None
-    tile_m = 256 if lm % 256 == 0 else (lm if lm <= 256 else None)
-    tile_n = 256 if rn % 256 == 0 else (rn if rn <= 256 else None)
-    tile_k = 512 if lk % 512 == 0 else lk
-    if tile_m is None or tile_n is None:
-        return None
-    post = jnp.float32(1.0)
-    for t in (lhs, rhs):
-        if t.tensor_scale_inv is not None:
-            post = post * t.tensor_scale_inv.astype(jnp.float32).reshape(())
-    out = scaled_tn_matmul(
-        lhs.data.reshape(lm, lk), ls, rhs.data.reshape(rn, rk), rs,
-        block_size=bs, post_scale=post.reshape(1),
-        tile=(tile_m, tile_n, tile_k))
-    return out
 
 
 def _dq_block_to_bf16(t: ScaledTensor1x) -> jax.Array:
@@ -131,14 +77,6 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
     XLA's dot_general does not). Block-scaled operands must contract
     along their stored last axis (the scaled axis).
     """
-    if (_use_pallas_matmul() and is_scaled(lhs) and is_scaled(rhs)
-            and lhs.scaling_mode.is_block_scaling
-            and rhs.scaling_mode.is_block_scaling
-            and lhs_cdim == 1 and rhs_cdim == 1):
-        out = _pallas_block_dot(lhs, rhs)
-        if out is not None:
-            return out
-
     # (A custom small-M FP8 matvec kernel was benchmarked here in round 1:
     # 75 GB/s vs XLA's 755 GB/s direct-fp8 dot, and it crashed the remote
     # compiler on some tilings — removed. XLA's convert-fused dot with a
