@@ -76,7 +76,13 @@ def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set,
             qk, ak = kernel_cache.q, None
         else:
             qk, ak = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
-        out = grouped_gemm_tn(qx, qk, group_sizes)
+        from .quantize.microbatch import GroupedQDQKernel
+        if isinstance(qk, GroupedQDQKernel):
+            # Workspace holds the dequantized bf16 fwd form directly —
+            # no per-microbatch dequant or (E,M,K)->(E,K,M) transpose.
+            out = grouped_gemm(qx, qk.nn, group_sizes)
+        else:
+            out = grouped_gemm_tn(qx, qk, group_sizes)
         res = (qx, qk, group_sizes, ax, ak)
     meta = Static((x.shape, kernel.shape, x.dtype, kernel.dtype))
     return out.astype(x.dtype), (res, meta, quantizer_set, kernel_cache)
@@ -105,6 +111,9 @@ def _gd_bwd(num_experts, residuals, g):
     if (quantizer_set.x is not None
             and not quantizer_set.x.scaling_mode.is_tensor_scaling):
         # TN storage: kq is already (E, M, K); contract M directly.
+        from .quantize.microbatch import GroupedQDQKernel
+        if isinstance(kq, GroupedQDQKernel):
+            kq = kq.tn
         dx = grouped_gemm_dgrad(gq, kq, group_sizes).astype(x_dtype)
     else:
         # dX[n] = G[n] @ W[e]^T  — ragged dot against transposed kernels.

@@ -106,6 +106,25 @@ def zero_cotangent(tree):
     return jax.tree_util.tree_map(z, tree)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupedQDQKernel:
+    """Block-scaled expert-weight workspace: BOTH dequantized bf16
+    orientations of the once-per-step quantized kernels.
+
+    On TPUs without a low-precision MXU the block-scaled grouped GEMM
+    dequantizes to bf16 anyway; caching the dequantized values directly
+    removes the per-microbatch dequant pass AND the (E, M, K)->(E, K, M)
+    transpose copy of the full expert weights from the fwd hot path
+    (~1.4 GB of relayout per microbatch on the Mixtral-geometry rung),
+    at the cost of holding two bf16 weight copies — the same trade the
+    reference's FP8 weight workspace makes (pytorch/module/base.py:744).
+    Numerics are IDENTICAL to dequant-in-GEMM (pow2 dequant is exact)."""
+
+    nn: jax.Array    # (E, K, M) QDQ'd bf16 — fwd ragged_dot form
+    tn: jax.Array    # (E, M, K) QDQ'd bf16 — dgrad (contract M) form
+
+
 def quantize_grouped_kernel(
     kernel: jax.Array,               # (E, K, M) stacked expert kernels
     quantizer_set: QuantizerSet,
@@ -113,14 +132,17 @@ def quantize_grouped_kernel(
     """Grouped analog of :func:`quantize_kernel` for
     ``grouped_dense(..., kernel_cache=...)`` (reference:
     pytorch/module/base.py quantize_weight covers GroupedLinear too).
-    Block-scaled recipes store the kernel TN as (E, M, K) so scales run
-    along the contraction axis; per-tensor recipes keep (E, K, M)."""
+    Per-tensor recipes cache the (E, K, M) payload; block-scaled recipes
+    cache a :class:`GroupedQDQKernel` (see its docstring)."""
     if quantizer_set.x is None or quantizer_set.kernel is None:
         return None, quantizer_set
     from ..grouped_dense import _q1x
     if quantizer_set.x.scaling_mode.is_tensor_scaling:
         q, _ = _q1x(quantizer_set.kernel, kernel)
-    else:
-        q, _ = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
+        amax = getattr(q, "amax", None)
+        return KernelCache(q=q, amax=amax), quantizer_set
+    q, _ = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
     amax = getattr(q, "amax", None)
-    return KernelCache(q=q, amax=amax), quantizer_set
+    tn = q.dequantize().astype(jnp.bfloat16)
+    qdq = GroupedQDQKernel(nn=jnp.swapaxes(tn, 1, 2), tn=tn)
+    return KernelCache(q=qdq, amax=amax), quantizer_set
