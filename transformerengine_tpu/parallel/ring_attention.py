@@ -79,8 +79,15 @@ def all_gather_attn(
     softmax_sink=None,
     bias=None,          # (B|1, Hq, L_local, S_total) post-scale bias
     score_mod=None,
+    fp8_dpa: bool = False,
 ) -> jax.Array:
     """(reference: AttnFuncWithCPAndKVAllGather, context_parallel.py:3018)
+
+    ``fp8_dpa``: quantize Q/K/V per-tensor e4m3 against globally-reduced
+    amaxes, all-gather the fp8 KV payloads (HALF the ICI bytes) and run
+    the fp8 flash kernel on them (reference: FP8 attention under CP).
+    Ignored when a bias/score_mod is present (the fp8 kernel takes
+    neither).
 
     ``sequence_descriptor`` describes the LOCAL shard; the kv segment
     ids ride the same all-gather as K/V so ragged/packed batches mask
@@ -92,8 +99,33 @@ def all_gather_attn(
 
     idx = jax.lax.axis_index(axis_name)
     L = q.shape[1]
-    k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
-    v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    use_fp8 = fp8_dpa and bias is None and score_mod is None
+    qkv_quantizers = None
+    if use_fp8:
+        from ..quantize.dtypes import float8_e4m3
+        from ..quantize.quantizer import (CurrentScaleQuantizer,
+                                          QuantizeLayout)
+        from ..quantize.scaling_modes import ScalingMode
+        # Quantize K/V against the global amax BEFORE the gather so the
+        # fp8 payloads ride the ICI (half the gather bytes) and share
+        # one scale; flash re-quantizes nothing (payload-direct via
+        # qkv_quantizers would re-quantize, so call the kernel path
+        # explicitly through a quantizer whose scale is pinned).
+        k_pay, ks = _kv_q_global(k, axis_name)
+        v_pay, vs = _kv_q_global(v, axis_name)
+        k = _kv_dq(jax.lax.all_gather(k_pay, axis_name, axis=1, tiled=True),
+                   ks, q.dtype)
+        v = _kv_dq(jax.lax.all_gather(v_pay, axis_name, axis=1, tiled=True),
+                   vs, q.dtype)
+        k_full, v_full = k, v
+        mk = lambda: CurrentScaleQuantizer(
+            scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE,
+            q_dtype=jnp.dtype(float8_e4m3))
+        qkv_quantizers = (mk(), mk(), mk())
+    else:
+        k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
     qseg, kseg = _local_segments(sequence_descriptor, axis_name, L)
     sd = None
     if qseg is not None:
@@ -102,6 +134,7 @@ def all_gather_attn(
                                 kv_segment_ids=kseg_full)
     return flash_attention(
         q, k_full, v_full, sd,
+        qkv_quantizers=qkv_quantizers,
         attn_mask_type=(AttnMaskType.CAUSAL if causal
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor,
@@ -175,6 +208,19 @@ def _kv_dq(payload, scale_inv, dtype):
             * scale_inv.astype(jnp.bfloat16)).astype(dtype)
 
 
+def _kv_q_global(t, axis_name):
+    """Per-tensor e4m3 quantize against the GLOBALLY (pmax) reduced
+    amax: every rank's payload shares one scale, so gathered/a2a'd
+    payloads form a single consistently-scaled tensor (the same
+    contract as collectives.sequence_parallel_gather_quantize)."""
+    from ..quantize.dtypes import float8_e4m3
+    amax = jax.lax.pmax(jnp.max(jnp.abs(t.astype(jnp.float32))), axis_name)
+    scale_inv = jnp.where(amax > 0, amax / 448.0, 1.0)
+    payload = (t.astype(jnp.float32) / scale_inv).astype(
+        jnp.dtype(float8_e4m3))
+    return payload, scale_inv.astype(jnp.float32)
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def ring_attn(q, k, v, qseg, kseg, sink, bias, axis_name: str, causal: bool,
@@ -191,9 +237,13 @@ def ring_attn(q, k, v, qseg, kseg, sink, bias, axis_name: str, causal: bool,
     comes from the merged lse).
 
     ``fp8_kv``: rotate K/V around the ring as e4m3 payloads with one
-    per-chunk scale each — halves the P2P bytes (the reference's FP8
-    context parallelism). The local flash step runs on the dequantized
-    bf16 chunk.
+    per-chunk scale each — halves the P2P bytes — AND run the local
+    flash step on the fp8 payloads directly (q quantized once per rank;
+    the per-chunk K/V scales fold into the kernel's score multiplier) —
+    the reference's FP8 attention compute under CP
+    (context_parallel.py FP8 paths + fused_attn_fp8.cu). With a bias or
+    score_mod the local step falls back to dequantized bf16 compute
+    (the fp8 kernel takes neither).
 
     ``bias``: optional post-scale bias for the LOCAL q rows over the
     FULL kv length, (B|1, Hq, L, S_total) — each ring step slices the
@@ -225,12 +275,17 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, sink, bias, axis_name, causal,
     num = jnp.zeros((b, hq, L, d), jnp.float32)
     den = jnp.zeros((b, hq, L), jnp.float32)
     m_run = jnp.full((b, hq, L), NEG_INF, jnp.float32)
+    # fp8 COMPUTE is possible when the kernel's fp8 path applies
+    # (no bias / score_mod — it takes neither).
+    fp8_compute = fp8_kv and bias is None and score_mod is None
     if fp8_kv:
         k_cur, ks_cur = _kv_q(kt)
         v_cur, vs_cur = _kv_q(vt)
     else:
         k_cur, v_cur = kt, vt
         ks_cur = vs_cur = jnp.float32(1.0)
+    if fp8_compute:
+        q_pay, qs_inv = _kv_q(qt)
     kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp                       # chunk resident this step
@@ -238,18 +293,31 @@ def _ring_attn_fwd(q, k, v, qseg, kseg, sink, bias, axis_name, causal,
         win_s = window
         if striped and (window[0] >= 0 or window[1] >= 0):
             win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
-        k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
-        v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         bias_s = None
         if bias is not None:
             bias_s = jax.lax.dynamic_slice_in_dim(bias, j * L, L, axis=3)
-        o_s, lse_s = _flash_fwd(
-            qt, k_use, v_use,
-            qseg if use_segs else None,
-            kseg_cur if use_segs else None,
-            qoff, bias_s, scale=scale, causal=causal,
-            window=win_s, offset=0, block_q=512, block_k=512,
-            score_mod=score_mod)
+        if fp8_compute:
+            # FP8 local flash step: payloads straight into the kernel,
+            # per-chunk scales folded into the score multiplier.
+            o_s, lse_s = _flash_fwd(
+                q_pay, k_cur, v_cur,
+                qseg if use_segs else None,
+                kseg_cur if use_segs else None,
+                qoff, None, scale=scale, causal=causal,
+                window=win_s, offset=0, block_q=512, block_k=512,
+                scale_invs=jnp.stack([qs_inv, ks_cur, vs_cur]
+                                     ).astype(jnp.float32),
+                out_dtype=q.dtype)
+        else:
+            k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
+            v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
+            o_s, lse_s = _flash_fwd(
+                qt, k_use, v_use,
+                qseg if use_segs else None,
+                kseg_cur if use_segs else None,
+                qoff, bias_s, scale=scale, causal=causal,
+                window=win_s, offset=0, block_q=512, block_k=512,
+                score_mod=score_mod)
         m_new = jnp.maximum(m_run, lse_s)
         m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
         alpha = jnp.where(m_run <= NEG_INF / 2, 0.0,
@@ -301,14 +369,17 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv,
     dv_acc = jnp.zeros_like(vt, jnp.float32)
     dbias = (jnp.zeros((b, hq, L, bias.shape[3]), jnp.float32)
              if bias is not None else None)
+    fp8_compute = fp8_kv and bias is None and score_mod is None
     if fp8_kv:
         # Same quantization as fwd: the local flash bwd differentiates
-        # the exact fwd computation (which saw dequantized chunks).
+        # the exact fwd computation.
         k_cur, ks_cur = _kv_q(kt)
         v_cur, vs_cur = _kv_q(vt)
     else:
         k_cur, v_cur = kt, vt
         ks_cur = vs_cur = jnp.float32(1.0)
+    if fp8_compute:
+        q_pay, qs_inv = _kv_q(qt)
     kseg_cur = kseg if use_segs else jnp.zeros((b, L), jnp.int32)
     for s in range(cp):
         j = (idx - s) % cp
@@ -316,18 +387,31 @@ def _ring_attn_bwd(axis_name, causal, scale, window, striped, fp8_kv,
         win_s = window
         if striped and (window[0] >= 0 or window[1] >= 0):
             win_s = _ring_striped_window(window, idx, j, cp, qoff[0])
-        k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
-        v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
         bias_s = None
         if bias is not None:
             bias_s = jax.lax.dynamic_slice_in_dim(bias, j * L, L, axis=3)
-        dq_s, dk_s, dv_s, dbias_s = _flash_bwd(
-            qt, k_use, v_use, o, lse, dot,
-            qseg if use_segs else None,
-            kseg_cur if use_segs else None,
-            qoff, bias_s, scale=scale,
-            causal=causal, window=win_s, offset=0, block_q=512, block_k=512,
-            score_mod=score_mod)
+        if fp8_compute:
+            dq_s, dk_s, dv_s, dbias_s = _flash_bwd(
+                q_pay, k_cur, v_cur, o, lse, dot,
+                qseg if use_segs else None,
+                kseg_cur if use_segs else None,
+                qoff, None, scale=scale,
+                causal=causal, window=win_s, offset=0, block_q=512,
+                block_k=512,
+                scale_invs=jnp.stack([qs_inv, ks_cur, vs_cur]
+                                     ).astype(jnp.float32),
+                grad_dtype=q.dtype)
+        else:
+            k_use = _kv_dq(k_cur, ks_cur, kt.dtype) if fp8_kv else k_cur
+            v_use = _kv_dq(v_cur, vs_cur, vt.dtype) if fp8_kv else v_cur
+            dq_s, dk_s, dv_s, dbias_s = _flash_bwd(
+                qt, k_use, v_use, o, lse, dot,
+                qseg if use_segs else None,
+                kseg_cur if use_segs else None,
+                qoff, bias_s, scale=scale,
+                causal=causal, window=win_s, offset=0, block_q=512,
+                block_k=512,
+                score_mod=score_mod)
         if dbias is not None:
             dbias = jax.lax.dynamic_update_slice_in_dim(
                 dbias, dbias_s.astype(jnp.float32), j * L, axis=3)
@@ -414,6 +498,7 @@ def ulysses_attn(
     window_size=None,
     sequence_descriptor=None,
     softmax_sink=None,
+    fp8_dpa: bool = False,
 ) -> jax.Array:
     """Ulysses-style context parallelism: all-to-all reshards
     heads<->sequence so each device runs full-sequence attention on a
@@ -454,7 +539,29 @@ def ulysses_attn(
                                              tiled=True),
             kv_segment_ids=jax.lax.all_gather(kseg, axis_name, axis=1,
                                               tiled=True))
-    qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    qkv_quantizers = None
+    if fp8_dpa:
+        # FP8 payloads on the a2a wires (half the ICI bytes) + fp8 flash
+        # compute; quantized against globally-reduced amaxes so the
+        # resharded payloads share one scale. The dequant-then-
+        # requantize inside flash is exact (same amax -> same scale).
+        from ..quantize.dtypes import float8_e4m3
+        from ..quantize.quantizer import (CurrentScaleQuantizer,
+                                          QuantizeLayout)
+        from ..quantize.scaling_modes import ScalingMode
+        q_pay, qs = _kv_q_global(q, axis_name)
+        k_pay, ks = _kv_q_global(k, axis_name)
+        v_pay, vs = _kv_q_global(v, axis_name)
+        qg = _kv_dq(seq_to_head(q_pay), qs, q.dtype)
+        kg = _kv_dq(seq_to_head(k_pay), ks, q.dtype)
+        vg = _kv_dq(seq_to_head(v_pay), vs, q.dtype)
+        mk = lambda: CurrentScaleQuantizer(
+            scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE,
+            q_dtype=jnp.dtype(float8_e4m3))
+        qkv_quantizers = (mk(), mk(), mk())
+    else:
+        qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
     sink_local = None
     if softmax_sink is not None:
         idx = jax.lax.axis_index(axis_name)
@@ -466,6 +573,7 @@ def ulysses_attn(
         attn_mask_type=(AttnMaskType.CAUSAL if causal
                         else AttnMaskType.NO_MASK),
         scaling_factor=scaling_factor, window_size=window_size,
+        qkv_quantizers=qkv_quantizers,
         softmax_type=(SoftmaxType.LEARNABLE if sink_local is not None
                       else None),
         softmax_offset=sink_local)
