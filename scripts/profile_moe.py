@@ -19,10 +19,7 @@ from benchmarks.ladder import _normal, chain_carry
 
 
 def main():
-    # F halved vs the bench rung: the full-size fwd+bwd MXFP8 compile
-    # broke the remote compiler after 40 min (broken pipe); the
-    # breakdown's RATIOS are what matter.
-    B, S, H, F, E, topk = 2, 2048, 4096, 3584, 8, 2
+    B, S, H, F, E, topk = 2, 2048, 4096, 7168, 8, 2
     from transformerengine_tpu.moe import moe
     from transformerengine_tpu.quantize.microbatch import (
         quantize_grouped_kernel)
@@ -44,29 +41,36 @@ def main():
                 caches = (quantize_grouped_kernel(w_up, qsets[0])[0],
                           quantize_grouped_kernel(w_down, qsets[1])[0])
 
-        def step(c, _):
+        # Weights MUST be jit ARGUMENTS: closed-over arrays embed as
+        # HLO constants and blow the remote-compile request body
+        # (timing.py:128 — observed HTTP 413 / broken pipe at ~350 MB).
+        def step(c, params):
+            wu, wd, cc = params
+
             def loss(x, wu, wd):
                 y, aux = moe(x, router, wu, wd, topk=topk,
                              activation_type="swiglu",
-                             quantizer_sets=qsets, kernel_caches=caches)
+                             quantizer_sets=qsets, kernel_caches=cc)
                 return jnp.sum(y.astype(jnp.float32)) + aux
-            grads = jax.grad(loss, argnums=(0, 1, 2))(c, w_up, w_down)
+            grads = jax.grad(loss, argnums=(0, 1, 2))(c, wu, wd)
             return chain_carry(c, grads), ()
 
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def run(x, n):
-            out, _ = jax.lax.scan(step, x, None, length=n)
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(x, params, n):
+            out, _ = jax.lax.scan(lambda c, _: step(c, params), x, None,
+                                  length=n)
             return jnp.sum(out.astype(jnp.float32))
 
+        params = (w_up, w_down, caches)
         x = _normal(7, (T, H))
         for n in (2, 4):
-            float(run(x, n))
+            float(run(x, params, n))
         ops, busy = {}, {}
         for n in (2, 4):
             ops[n], busy[n] = profile(
-                lambda n=n: float(run(x + jnp.bfloat16(n), n)),
+                lambda n=n: float(run(x + jnp.bfloat16(n), params, n)),
                 logdir=f"/tmp/te_xprof_moe_{name}_{n}")
         per = (busy[4] - busy[2]) / 2 / 1e3
         print(f"\n===== {name}: {per:.3f} ms/step =====")

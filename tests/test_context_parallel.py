@@ -415,8 +415,10 @@ def test_fp8_kv_ring_close_to_bf16_ring(what):
         # ~one V row, so per-element error scales with |out|; bound
         # relatively, plus a tight mean bound for the bulk.
         diff = jnp.abs(out8 - out16)
-        assert float(jnp.max(diff / (1.0 + jnp.abs(out16)))) < 0.08
-        assert float(diff.mean()) < 0.02
+        # r4: the fp8 ring runs fp8 COMPUTE (Q quantized too, scales
+        # folded in-kernel) -> ~3 quantized operands of rel-noise.
+        assert float(jnp.max(diff / (1.0 + jnp.abs(out16)))) < 0.16
+        assert float(diff.mean()) < 0.03
     else:
         def loss(fn):
             return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32)
@@ -425,7 +427,7 @@ def test_fp8_kv_ring_close_to_bf16_ring(what):
         g16 = jax.grad(loss(mk(False)), argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g8, g16):
             denom = float(jnp.abs(b).max()) + 1e-6
-            assert float(jnp.abs(a - b).max()) / denom < 0.1
+            assert float(jnp.abs(a - b).max()) / denom < 0.15
 
 
 def test_segments_under_hierarchical_cp():
@@ -747,3 +749,30 @@ def test_fp8_compute_ring_grads_close_to_bf16():
         a, b = a.astype(jnp.float32), b.astype(jnp.float32)
         m = float(jnp.abs(b).max()) or 1.0
         assert float(jnp.abs(a - b).max()) / m < 0.15, name
+
+
+def test_hierarchical_cp_striped_matches_single_device():
+    """Striped load balancing on the OUTER ring of hierarchical CP: the
+    global sequence is striped over the outer axis (inner a2a preserves
+    the outer interleave — outer rank r still holds global positions
+    r + i*cp_out after gathering its inner shards)."""
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    from transformerengine_tpu.parallel.ring_attention import (
+        hierarchical_attn)
+    q, k, v = _data(b=1, s=128, hq=4, hkv=4, d=32)
+    cpo, cpi = 2, 2
+    mesh = Mesh(mesh_utils.create_device_mesh(
+        (cpo, cpi), jax.devices()[:4]), ("cpo", "cpi"))
+    spec = P(None, ("cpo", "cpi"), None, None)
+
+    def local_fn(q, k, v):
+        return hierarchical_attn(q, k, v, "cpi", "cpo", causal=True,
+                                 striped=True)
+
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    qs, ks, vs = (reorder_causal_striped(x, cpo) for x in (q, k, v))
+    out = inverse_reorder_causal_striped(fn(qs, ks, vs), cpo)
+    ref = _reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-5
