@@ -69,6 +69,13 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
     q = QuantizerFactory.create(recipe, "kernel", QuantizeLayout.COLWISE)
     t = q.quantize(kernel.reshape(k, n), dq_dtype=kernel.dtype)
     t = _dc.replace(t, resident=True)
+    from .dtypes import float8_e4m3, is_fp4_dtype
+    if is_fp4_dtype(t.data.dtype):
+        # fp4 is BYTE-backed in XLA (no packing), so re-encoding the
+        # e2m1 grid points in e4m3 costs zero bytes and is EXACT —
+        # while the decode-path convert becomes the hardware-fast
+        # e4m3->bf16 instead of a software fp4 expansion.
+        t = _dc.replace(t, data=t.data.astype(jnp.dtype(float8_e4m3)))
     return PrequantizedKernel(colwise=t, logical_shape=tuple(kernel.shape))
 
 
