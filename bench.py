@@ -195,22 +195,27 @@ def main():
         wedged tunnel would cascade the failure down the whole ladder."""
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < deadline_s:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jnp.dot(jnp.ones((8,8)), jnp.ones((8,8)))"
-                 ".sum()))"],
-                capture_output=True, text=True, timeout=120)
-            if r.returncode == 0:
-                return True
-            time.sleep(20)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float(jnp.dot(jnp.ones((8,8)), jnp.ones((8,8)))"
+                     ".sum()))"],
+                    capture_output=True, text=True, timeout=240)
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                # A killed mid-call probe re-wedges the tunnel for a few
+                # minutes — back off before trying again.
+                pass
+            time.sleep(30)
         return False
 
     def run_rung_child(name):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--child", "--rungs", name],
-            capture_output=True, text=True, timeout=600)
+            capture_output=True, text=True, timeout=900)
         line = next((l for l in reversed(proc.stdout.splitlines())
                      if l.startswith("RUNG_JSON ")), None)
         if proc.returncode == 0 and line:
@@ -233,7 +238,7 @@ def main():
                     break
                 errors[name] = err
             except subprocess.TimeoutExpired:
-                errors[name] = "rung timed out (600s); child killed"
+                errors[name] = "rung timed out (900s); child killed"
                 probe_tunnel()
             except Exception as e:  # a rung failing must not kill the round
                 errors[name] = "".join(
