@@ -166,3 +166,39 @@ class TestNVFP4Fused:
             assert a.shape == b.shape
             assert jnp.array_equal(a.astype(jnp.float32),
                                    b.astype(jnp.float32))
+
+
+class TestDecodeMatvec:
+    """N-tiled Pallas decode GEMM vs the XLA resident-payload dot
+    (ops/decode_matmul.py; opt-in TE_TPU_DECODE_MATVEC)."""
+
+    def test_matches_xla_resident_dot(self):
+        import os
+
+        from transformerengine_tpu.ops.decode_matmul import decode_tn_matvec
+        from transformerengine_tpu.ops.gemm import tn_dot
+        from transformerengine_tpu.quantize.tensor import make_scaled_tensor
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+
+        m, k, n = 8, 1024, 2048
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (n, k), jnp.float32)
+        amax = jnp.max(jnp.abs(w))
+        s_inv = (amax / 448.0).reshape(1)
+        payload = (w / s_inv).astype(float8_e4m3)
+        t = make_scaled_tensor(payload, s_inv,
+                               scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+                               dq_dtype=jnp.bfloat16, resident=True)
+        ref = tn_dot(x, t)
+        out = decode_tn_matvec(x, payload, s_inv, block_n=512)
+        d = float(jnp.max(jnp.abs(out - ref)))
+        mref = float(jnp.max(jnp.abs(ref))) or 1.0
+        assert d / mref < 2e-2, (d, mref)
+        # gated q_dot path produces the same values
+        os.environ["TE_TPU_DECODE_MATVEC"] = "1"
+        try:
+            out2 = tn_dot(x, t)
+        finally:
+            os.environ.pop("TE_TPU_DECODE_MATVEC", None)
+        d2 = float(jnp.max(jnp.abs(out2 - ref)))
+        assert d2 / mref < 2e-2, (d2, mref)

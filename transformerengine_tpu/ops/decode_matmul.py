@@ -1,0 +1,92 @@
+"""Pallas decode-GEMM: small-M activations against an HBM-resident
+quantized weight, N-tiled so Mosaic double-buffers the weight DMA.
+
+Motivation (r4 decode profile): at B=8 the XLA path stages each big
+fp8 weight through VMEM with async slice-copies that do NOT overlap the
+MXU work (~0.8 ms/step total), and the M=8 GEMM itself is
+MXU-occupancy-bound. A grid over N tiles makes the weight DMA explicit
+and PIPELINED: step i DMAs the (block_n, K) stripe while step i-1
+computes, so the kernel runs at max(DMA, MXU) per stripe instead of
+DMA + MXU.
+
+History: an r1 small-M matvec lost 10x to XLA (75 GB/s) — it tiled K
+with a tiny accumulator and serialized on DMA latency. This kernel
+keeps K whole per stripe (up to 7 MB of VMEM per buffer) and tiles N
+only. Gated behind TE_TPU_DECODE_MATVEC (default auto-on for resident
+tensor-scaling payloads with M <= 16 on TPU); the r1 deletion rule
+stands — if the A/B does not win on hardware, delete this file.
+
+Reference analog: cuBLASLt FP8 GEMV/decode path (cublaslt_gemm.cu).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def use_decode_matvec(m: int, n: int, k: int) -> bool:
+    env = os.environ.get("TE_TPU_DECODE_MATVEC", "0")
+    if env == "0":
+        return False
+    return m <= 16 and n >= 1024 and k >= 1024 and k % 128 == 0
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, out_scale: bool):
+    # x: (M, K) bf16 resident in VMEM across all grid steps;
+    # w: (block_n, K) quantized payload stripe; o: (M, block_n) f32.
+    x = x_ref[...]
+    w = w_ref[...]
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if out_scale:
+        acc = acc * s_ref[0]
+    o_ref[...] = acc
+
+
+def decode_tn_matvec(
+    x: jax.Array,            # (M, K) bf16/f32 activations (small M)
+    w_payload: jax.Array,    # (N, K) quantized payload (fp8) or bf16
+    scale_inv: Optional[jax.Array] = None,   # scalar dequant scale
+    *,
+    block_n: int = 512,
+) -> jax.Array:              # (M, N) f32
+    m, k = x.shape
+    n = w_payload.shape[0]
+    assert w_payload.shape[1] == k, (x.shape, w_payload.shape)
+    assert n % block_n == 0, (n, block_n)
+    s = (jnp.asarray(scale_inv, jnp.float32).reshape(1)
+         if scale_inv is not None else jnp.ones((1,), jnp.float32))
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, out_scale=scale_inv is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=n * k * w_payload.dtype.itemsize + m * k * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x.astype(jnp.bfloat16) if x.dtype != jnp.float32 else x, w_payload, s)
+    return out

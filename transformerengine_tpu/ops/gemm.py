@@ -77,6 +77,25 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
     XLA's dot_general does not). Block-scaled operands must contract
     along their stored last axis (the scaled axis).
     """
+    # Resident quantized weight x small-M activation (decode): explicit
+    # N-tiled Pallas GEMM with pipelined weight DMA (ops/decode_matmul).
+    # Opt-in (TE_TPU_DECODE_MATVEC=1) pending a hardware win.
+    if (is_scaled(rhs) and rhs.scaling_mode.is_tensor_scaling
+            and rhs.resident and rhs.data.ndim == 2
+            and rhs_cdim % rhs.data.ndim == 1):
+        from .decode_matmul import decode_tn_matvec, use_decode_matvec
+        lhs_plain = not is_scaled(lhs)
+        lhs2d = lhs if lhs_plain else lhs.data
+        if (lhs2d.ndim == 2 and lhs_cdim % 2 == 1
+                and (lhs_plain or (lhs.scaling_mode.is_tensor_scaling
+                                   and not lhs.scaling_mode.is_block_scaling))
+                and use_decode_matvec(lhs2d.shape[0], rhs.data.shape[0],
+                                      lhs2d.shape[1])):
+            s = rhs.scale_inv.astype(jnp.float32).reshape(())
+            if not lhs_plain:
+                s = s * lhs.scale_inv.astype(jnp.float32).reshape(())
+            return decode_tn_matvec(lhs2d, rhs.data, s)
+
     # (A custom small-M FP8 matvec kernel was benchmarked here in round 1:
     # 75 GB/s vs XLA's 755 GB/s direct-fp8 dot, and it crashed the remote
     # compiler on some tilings — removed. XLA's convert-fused dot with a
