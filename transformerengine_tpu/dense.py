@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.gemm import q_dot, tn_dot
+from .ops.gemm import q_dot, resident_dot, tn_dot
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
 from .quantize.quantizer import (QuantizeLayout, QuantizerSet,
                                  noop_quantizer_set)
@@ -118,7 +118,7 @@ def _dense_fwd(cfg, x, kernel, bias, quantizer_set, kernel_cache,
             qx = quantizer_set.x.quantize(x2d)
             out2d = tn_dot(get_rowwise(qx), kernel.colwise)
         else:
-            out2d = tn_dot(x2d, kernel.colwise)
+            out2d = resident_dot(x2d, kernel.colwise)
         res = (Static("prequant"), None, None, None, None, None)
     elif quantizer_set.x is None:
         k2d = kernel.reshape(k, n)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .dense import all_tensor_scaling
-from .ops.gemm import q_dot, tn_dot
+from .ops.gemm import q_dot, resident_dot, tn_dot
 from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
@@ -74,7 +74,7 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
             qx = quantizer_set.x.quantize(ln2d)
             out2d = tn_dot(get_rowwise(qx), kernel.colwise)
         else:
-            out2d = tn_dot(ln2d, kernel.colwise)
+            out2d = resident_dot(ln2d, kernel.colwise)
         res_q = (Static("prequant"), None, None, None)
     elif quantizer_set.x is None:
         k2d = kernel.reshape(k, n)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .dense import all_tensor_scaling
 from .ops.activation import act_lu, dact_lu, normalize_activation_type
-from .ops.gemm import q_dot, tn_dot
+from .ops.gemm import q_dot, resident_dot, tn_dot
 from .ops.normalization import (
     layernorm_bwd, layernorm_fwd, rmsnorm_bwd, rmsnorm_fwd)
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
@@ -99,7 +99,7 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
             qx = qset1.x.quantize(ln2d)
             z2d = tn_dot(get_rowwise(qx), kernel1.colwise)
         else:
-            z2d = tn_dot(ln2d, kernel1.colwise)
+            z2d = resident_dot(ln2d, kernel1.colwise)
         res1 = (Static("prequant"), None, None, None)
     elif qset1.x is None:
         k1 = kernel1.reshape(hidden, n_act * ffn)
@@ -164,7 +164,7 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
             qa = qset2.x.quantize(a2d)
             out2d = tn_dot(get_rowwise(qa), kernel2.colwise)
         else:
-            out2d = tn_dot(a2d, kernel2.colwise)
+            out2d = resident_dot(a2d, kernel2.colwise)
         res2 = (Static("prequant"), None, None, None)
     elif qset2.x is None:
         k2 = kernel2.reshape(ffn, hidden)

@@ -64,12 +64,18 @@ def decode_tn_matvec(
     w_payload: jax.Array,    # (N, K) quantized payload (fp8) or bf16
     scale_inv: Optional[jax.Array] = None,   # scalar dequant scale
     *,
-    block_n: int = 512,
+    block_n: Optional[int] = None,
 ) -> jax.Array:              # (M, N) f32
     m, k = x.shape
     n = w_payload.shape[0]
     assert w_payload.shape[1] == k, (x.shape, w_payload.shape)
-    assert n % block_n == 0, (n, block_n)
+    if block_n is None:
+        # 512 stripes for 1-byte payloads (measured config); halve for
+        # bf16 so the double-buffered stripes stay within scoped VMEM.
+        block_n = 512 if w_payload.dtype.itemsize == 1 else 256
+    while n % block_n:
+        block_n //= 2
+    assert block_n >= 128, (n, block_n)
     s = (jnp.asarray(scale_inv, jnp.float32).reshape(1)
          if scale_inv is not None else jnp.ones((1,), jnp.float32))
     grid = (n // block_n,)

@@ -153,6 +153,19 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
     return out * post_scale
 
 
+def resident_dot(x2d, colwise) -> jax.Array:
+    """fwd GEMM against a PrequantizedKernel.colwise — a quantized
+    ScaledTensor OR a plain resident (N, K) array (bf16 layout prep,
+    prequantize_kernels(recipe=None)). Small-M decode shapes route to
+    the N-tiled Pallas kernel (ops/decode_matmul) for BOTH."""
+    if not is_scaled(colwise) and not is_scaled(x2d):
+        from .decode_matmul import decode_tn_matvec, use_decode_matvec
+        m, k = x2d.shape
+        if use_decode_matvec(m, colwise.shape[0], k):
+            return decode_tn_matvec(x2d, colwise, None)
+    return tn_dot(x2d, colwise)
+
+
 def tn_dot(lhs, rhs, precision=None) -> jax.Array:
     """out[i, j] = sum_k lhs[i, k] * rhs[j, k], with lhs/rhs either plain
     arrays or ScaledTensor1x. Leading dims of each operand are flattened
