@@ -72,7 +72,12 @@ def decode_tn_matvec(
     if block_n is None:
         # 512 stripes for 1-byte payloads (measured config); halve for
         # bf16 so the double-buffered stripes stay within scoped VMEM.
-        block_n = 512 if w_payload.dtype.itemsize == 1 else 256
+        # TE_TPU_DECODE_MATVEC_BN overrides for sweeps.
+        env_bn = os.environ.get("TE_TPU_DECODE_MATVEC_BN")
+        if env_bn:
+            block_n = int(env_bn)
+        else:
+            block_n = 512 if w_payload.dtype.itemsize == 1 else 256
     while n % block_n:
         block_n //= 2
     assert block_n >= 128, (n, block_n)
