@@ -1,13 +1,13 @@
 """Pallas decode-GEMM: small-M activations against an HBM-resident
-quantized weight, N-tiled so Mosaic double-buffers the weight DMA.
+quantized weight, N-tiled.
 
-Motivation (r4 decode profile): at B=8 the XLA path stages each big
-fp8 weight through VMEM with async slice-copies that do NOT overlap the
-MXU work (~0.8 ms/step total), and the M=8 GEMM itself is
-MXU-occupancy-bound. A grid over N tiles makes the weight DMA explicit
-and PIPELINED: step i DMAs the (block_n, K) stripe while step i-1
-computes, so the kernel runs at max(DMA, MXU) per stripe instead of
-DMA + MXU.
+Motivation (r4 decode profile): at B=8 the decode GEMMs are
+MXU-occupancy-bound (M=8 uses 8/128 systolic rows) and XLA's small-M
+lowering adds per-op overheads on top. This kernel runs the (M, K) x
+(block_n, K)^T stripes directly; XLA's memory-space-assignment still
+stages the weight into scoped VMEM around the call with async slices
+that overlap ACROSS ops (that staging measured FASTER than in-kernel
+HBM DMA — see _kernel_hbm).
 
 History: an r1 small-M matvec lost 10x to XLA (75 GB/s) — it tiled K
 with a tiny accumulator and serialized on DMA latency. This kernel
@@ -59,6 +59,40 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, out_scale: bool):
     o_ref[...] = acc
 
 
+def _kernel_hbm(x_ref, w_hbm, s_ref, o_ref, w_buf, sem, *,
+                out_scale: bool, block_n: int, num_steps: int):
+    # Manual double-buffered HBM->VMEM stripe DMA (ANY-space weight).
+    # MEASURED SLOWER than the blocked-BlockSpec variant (6.02 vs 5.83
+    # ms/step on the 16L fp8 decode rung): with blocked specs XLA's
+    # memory-space-assignment stages the weights into scoped VMEM with
+    # async slices that overlap ACROSS ops (layer L+1's weights load
+    # during layer L's compute) — cross-op overlap an in-kernel DMA
+    # cannot express. Kept as TE_TPU_DECODE_MATVEC_HBM=1 for future
+    # compilers; default off.
+    i = pl.program_id(0)
+
+    def copy_in(step, slot):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(step * block_n, block_n), :],
+            w_buf.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _prologue():
+        copy_in(0, 0).start()
+
+    @pl.when(i + 1 < num_steps)
+    def _prefetch():
+        copy_in(i + 1, (i + 1) % 2).start()
+
+    copy_in(i, i % 2).wait()
+    acc = jax.lax.dot_general(
+        x_ref[...], w_buf[i % 2], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if out_scale:
+        acc = acc * s_ref[0]
+    o_ref[...] = acc
+
+
 def decode_tn_matvec(
     x: jax.Array,            # (M, K) bf16/f32 activations (small M)
     w_payload: jax.Array,    # (N, K) quantized payload (fp8) or bf16
@@ -84,6 +118,44 @@ def decode_tn_matvec(
     s = (jnp.asarray(scale_inv, jnp.float32).reshape(1)
          if scale_inv is not None else jnp.ones((1,), jnp.float32))
     grid = (n // block_n,)
+    xin = x.astype(jnp.bfloat16) if x.dtype != jnp.float32 else x
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=n * k * w_payload.dtype.itemsize + m * k * 2,
+        transcendentals=0)
+    hbm_mode = os.environ.get("TE_TPU_DECODE_MATVEC_HBM", "0") == "1"
+    if hbm_mode and not _interpret():
+        # Double buffer must fit scoped VMEM alongside x and the out
+        # stripe: cap the two stripes at ~8 MB.
+        while (2 * block_n * k * w_payload.dtype.itemsize > 8 * 2 ** 20
+               and block_n > 128):
+            block_n //= 2
+        while n % block_n:
+            block_n //= 2
+        grid = (n // block_n,)
+        return pl.pallas_call(
+            functools.partial(_kernel_hbm,
+                              out_scale=scale_inv is not None,
+                              block_n=block_n, num_steps=grid[0]),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, block_n, k), w_payload.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=cost,
+            interpret=False,
+        )(xin, w_payload, s)
     out = pl.pallas_call(
         functools.partial(_kernel, out_scale=scale_inv is not None),
         grid=grid,
@@ -99,10 +171,7 @@ def decode_tn_matvec(
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=n * k * w_payload.dtype.itemsize + m * k * 2,
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=_interpret(),
-    )(x.astype(jnp.bfloat16) if x.dtype != jnp.float32 else x, w_payload, s)
+    )(xin, w_payload, s)
     return out
