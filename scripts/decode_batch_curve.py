@@ -26,7 +26,9 @@ def main():
                       max_seq_len=1024, rope_base=500000.0)
     PROMPT, NS, NL = 512, 4, 24
     model = LlamaModel(config=cfg)
-    for B in (1, 4, 8, 16, 32):
+    import os
+    bs = os.environ.get("TE_TPU_CURVE_BATCHES", "1,4,8,16,32")
+    for B in (int(x) for x in bs.split(",")):
         tokens = jax.random.randint(jax.random.PRNGKey(0), (B, PROMPT), 1,
                                     cfg.vocab_size)
         lengths = jnp.full((B,), PROMPT, jnp.int32)
