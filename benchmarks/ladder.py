@@ -96,27 +96,42 @@ def bench_ln_mlp(B=2, S=2048, H=4096, FFN=14336):
     # dgrad + wgrad per GEMM => 3x the forward GEMM FLOPs.
     flops = 3 * (2.0 * B * S * H * 2 * FFN + 2.0 * B * S * FFN * H)
 
-    def step(c, params):
-        k1, k2, gamma, qsets = params
+    def make_step(cached=False):
+        def step(c, params):
+            k1, k2, gamma, qsets, caches = params
 
-        def loss(x, kk1, kk2, g):
-            y = te.layernorm_mlp(
-                x, g, None, kk1, kk2, norm_type="rmsnorm",
-                activation_type="swiglu", quantizer_sets=qsets)
-            return jnp.sum(y.astype(jnp.float32))
-        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(c, k1, k2, gamma)
-        return chain_carry(c, grads)
+            def loss(x, kk1, kk2, g):
+                y = te.layernorm_mlp(
+                    x, g, None, kk1, kk2, norm_type="rmsnorm",
+                    activation_type="swiglu", quantizer_sets=qsets,
+                    kernel_caches=caches if cached else None)
+                return jnp.sum(y.astype(jnp.float32))
+            grads = jax.grad(loss, argnums=(0, 1, 2, 3))(c, k1, k2, gamma)
+            return chain_carry(c, grads)
+        return step
 
     mk = te.QuantizerFactory.create_set
     recipe = te.DelayedScaling(amax_history_len=16)
+    qsets = (mk(recipe), mk(recipe))
+    # Microbatch variant: weights quantized once per optimizer step
+    # (the reference's is_first_microbatch FP8 weight workspace).
+    from transformerengine_tpu.quantize.microbatch import quantize_kernel
+    caches = (quantize_kernel(k1.reshape(H, 2 * FFN), qsets[0])[0],
+              quantize_kernel(k2, qsets[1])[0])
     t, guarded = _timed(
-        {"fp8": (step, (k1, k2, gamma, (mk(recipe), mk(recipe)))),
-         "bf16": (step, (k1, k2, gamma, (mk(None), mk(None))))},
+        {"fp8": (make_step(), (k1, k2, gamma, qsets, caches)),
+         "fp8_mb": (make_step(cached=True), (k1, k2, gamma, qsets, caches)),
+         "bf16": (make_step(), (k1, k2, gamma, (mk(None), mk(None)),
+                                caches))},
         lambda s: _normal(s, (B, S, H)), n_short=2, n_long=8)
     out = {"fp8_step_ms": round(t["fp8"] * 1e3, 3),
+           "fp8_microbatch_step_ms": round(t["fp8_mb"] * 1e3, 3),
            "bf16_step_ms": round(t["bf16"] * 1e3, 3),
            "fp8_tflops": round(flops / t["fp8"] / 1e12, 1),
-           "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3)}
+           "fp8_vs_bf16": round(t["bf16"] / t["fp8"], 3),
+           "fp8_microbatch_vs_bf16": round(t["bf16"] / t["fp8_mb"], 3)}
+    sanity_check_ratio(out, "fp8_microbatch_vs_bf16", 1.3,
+                       "v5e has no FP8 MXU")
     sanity_check_ratio(out, "fp8_vs_bf16", 1.3,
                        "v5e has no FP8 MXU: same-FLOP GEMMs, quantize "
                        "is pure overhead")
