@@ -149,15 +149,26 @@ def is_scaled(x) -> bool:
     return isinstance(x, ScaledTensor)
 
 
+def _qdq_kernel_cls():
+    from .microbatch import QDQKernel
+    return QDQKernel
+
+
 def get_rowwise(x):
     if isinstance(x, ScaledTensor2x):
         return x.rowwise
+    if isinstance(x, _qdq_kernel_cls()):
+        # Block-scaled weight workspace (microbatch.QDQKernel): the
+        # rowwise usage is the pre-dequantized bf16 (K, N) array.
+        return x.row
     return x
 
 
 def get_colwise(x):
     if isinstance(x, ScaledTensor2x):
         return x.colwise
+    if isinstance(x, _qdq_kernel_cls()):
+        return x.col
     return x
 
 
