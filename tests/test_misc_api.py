@@ -202,6 +202,105 @@ class TestPrequant:
                        kv_cache_dtype=float8_e4m3)
         assert (ref == out).mean() > 0.7  # fp8 may flip rare near-ties
 
+    def test_kn_block_resident_nvfp4_matches_dequant_reference(self):
+        """Block-scaled recipes prequantize to the contraction-major
+        (K, N) BlockResidentKernel; the fwd GEMM must equal the plain
+        dequantize-then-dot on the SAME quantized values."""
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+        from transformerengine_tpu.quantize.prequant import (
+            BlockResidentKernel, prequantize_kernel_array)
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        for recipe in (te.NVFP4BlockScaling(), te.MXFP8BlockScaling()):
+            k = jax.random.normal(jax.random.PRNGKey(0), (128, 64),
+                                  jnp.bfloat16)
+            x = jax.random.normal(jax.random.PRNGKey(1), (4, 128),
+                                  jnp.bfloat16)
+            pk = prequantize_kernel_array(k, recipe)
+            assert isinstance(pk.colwise, BlockResidentKernel), recipe
+            q = QuantizerFactory.create(recipe, "kernel",
+                                        QuantizeLayout.COLWISE)
+            qt = q.quantize(k, dq_dtype=jnp.bfloat16)
+            ref = (x.astype(jnp.float32)
+                   @ qt.dequantize().astype(jnp.float32).T)
+            import os
+            os.environ["TE_TPU_PREQUANT_X_QUANT"] = "0"
+            try:
+                out = te.dense(x, pk)
+            finally:
+                del os.environ["TE_TPU_PREQUANT_X_QUANT"]
+            assert jnp.max(jnp.abs(out - ref)) < 2e-2 * (
+                1 + jnp.max(jnp.abs(ref))), recipe
+
+    def test_kn_packed_nibbles_match_unpacked(self):
+        """Split-plane nibble packing stores the SAME e2m1 values in
+        half the bytes; fwd outputs must agree (only the K-halves dot
+        split reorders the f32 accumulation)."""
+        import os
+        from transformerengine_tpu.quantize.prequant import (
+            prequantize_kernel_array)
+        k = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
+                              jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 256), jnp.bfloat16)
+        outs = {}
+        for pack in ("0", "1"):
+            os.environ["TE_TPU_PREQUANT_PACK4"] = pack
+            os.environ["TE_TPU_PREQUANT_X_QUANT"] = "0"
+            try:
+                pk = prequantize_kernel_array(k, te.NVFP4BlockScaling())
+                assert pk.colwise.packed == (pack == "1")
+                if pack == "1":
+                    assert pk.colwise.payload.shape == (128, 128)
+                    assert pk.colwise.payload.dtype == jnp.uint8
+                outs[pack] = te.dense(x, pk)
+            finally:
+                del os.environ["TE_TPU_PREQUANT_PACK4"]
+                del os.environ["TE_TPU_PREQUANT_X_QUANT"]
+        assert jnp.allclose(outs["0"], outs["1"], atol=1e-3, rtol=1e-3)
+
+    def test_e2m1_code_e4m3_roundtrip(self):
+        """The arithmetic code<->byte maps are exact inverses over all
+        16 e2m1 codes, and the bytes decode to the e2m1 value grid."""
+        import numpy as np
+        from transformerengine_tpu.ops.decode_matmul import (
+            _e2m1_code_to_e4m3_bits)
+        from transformerengine_tpu.quantize.prequant import (
+            _e4m3_bits_to_e2m1_code)
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        codes = jnp.arange(16, dtype=jnp.int32).reshape(1, 16)
+        bits = _e2m1_code_to_e4m3_bits(codes)
+        back = _e4m3_bits_to_e2m1_code(bits.astype(jnp.uint8))
+        assert jnp.array_equal(back, codes)
+        vals = jax.lax.bitcast_convert_type(
+            bits.astype(jnp.uint8), jnp.dtype(float8_e4m3)).astype(
+            jnp.float32).reshape(-1)
+        grid = np.array([0, .5, 1, 1.5, 2, 3, 4, 6])
+        expect = np.concatenate([grid, -grid])
+        assert np.array_equal(np.asarray(vals), expect)
+
+    def test_kn_decode_matvec_kernel_parity(self):
+        """Forced decode_kn_matvec (interpret mode) matches the XLA
+        fallback bit-for-bit on the packed AND unpacked storages."""
+        import os
+        from transformerengine_tpu.ops.gemm import block_resident_dot
+        from transformerengine_tpu.quantize.prequant import (
+            prequantize_kernel_array)
+        k = jax.random.normal(jax.random.PRNGKey(2), (1024, 1024),
+                              jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(3), (8, 1024), jnp.bfloat16)
+        for pack in ("0", "1"):
+            os.environ["TE_TPU_PREQUANT_PACK4"] = pack
+            try:
+                pk = prequantize_kernel_array(k, te.NVFP4BlockScaling())
+            finally:
+                del os.environ["TE_TPU_PREQUANT_PACK4"]
+            ref = block_resident_dot(x, pk.colwise)
+            os.environ["TE_TPU_DECODE_MATVEC"] = "1"
+            try:
+                out = block_resident_dot(x, pk.colwise)
+            finally:
+                del os.environ["TE_TPU_DECODE_MATVEC"]
+            assert jnp.allclose(out, ref, atol=2e-2, rtol=1e-2), pack
+
     def test_training_through_prequant_raises(self):
         from transformerengine_tpu.quantize.prequant import (
             prequantize_kernel_array)

@@ -49,6 +49,88 @@ class TestFusedAdam:
         assert not jnp.allclose(state.master["w"],
                                 params["w"].astype(jnp.float32))
 
+    def test_param_remainders_bit_exact_f32_trajectory(self):
+        """bf16 params + int16 remainders reconstruct the EXACT f32
+        Adam trajectory (reference store_param_remainders,
+        pytorch/optimizers/fused_adam.py:36)."""
+        from transformerengine_tpu.optimizers.fused_adam import (
+            _combine_master)
+        p32 = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16).astype(jnp.float32),
+            self._params())
+        p16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), p32)
+        lp = fused_adam(1e-2, weight_decay=0.01,
+                        store_param_remainders=True)
+        ref = fused_adam(1e-2, weight_decay=0.01)
+        s_lp, s_ref = lp.init(p16), ref.init(p32)
+        g = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.PRNGKey(3), p.shape),
+            p32)
+        for _ in range(10):
+            p16, s_lp = lp.step(g, s_lp, p16)
+            p32, s_ref = ref.step(g, s_ref, p32)
+        for pw, rem, pr in zip(jax.tree.leaves(p16),
+                               jax.tree.leaves(s_lp.master),
+                               jax.tree.leaves(p32)):
+            assert rem.dtype == jnp.int16
+            recon = _combine_master(pw, rem)
+            assert jnp.array_equal(recon, pr), (recon, pr)
+
+    def test_fp8_param_leaves_track_master(self):
+        """fp8 ScaledTensor1x param leaves are re-quantized from the f32
+        master each step (reference: FP8 model params + FusedAdam
+        master_weights)."""
+        from transformerengine_tpu.quantize import qmath
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+        from transformerengine_tpu.quantize.tensor import make_scaled_tensor
+
+        w32 = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+        data, sinv, amax = qmath.current_scale_quantize(w32, float8_e4m3)
+        p = {"w": make_scaled_tensor(
+            data, sinv, scaling_mode=ScalingMode.CURRENT_TENSOR_SCALING,
+            dq_dtype=jnp.bfloat16, amax=amax.reshape(1))}
+        opt = fused_adam(1e-2, use_master_weights=True)
+        ref = fused_adam(1e-2)
+        s, s_ref = opt.init(p), ref.init({"w": w32})
+        pr = {"w": p["w"].dequantize().astype(jnp.float32)}
+        g = {"w": jnp.full((16, 16), 0.05)}
+        for _ in range(5):
+            p, s = opt.step(g, s, p)
+            pr, s_ref = ref.step(g, s_ref, pr)
+        # payload stays fp8, dequantizes to within e4m3 tolerance of the
+        # f32 trajectory, and the master IS the f32 trajectory.
+        assert p["w"].data.dtype == jnp.dtype(float8_e4m3)
+        assert jnp.array_equal(s.master["w"],
+                               s_ref.master["w"]
+                               if s_ref.master["w"] is not None else pr["w"])
+        dq = p["w"].dequantize().astype(jnp.float32)
+        tol = jnp.max(jnp.abs(pr["w"])) / 16  # e4m3: 3 mantissa bits
+        assert jnp.max(jnp.abs(dq - pr["w"])) < tol
+
+    def test_low_precision_states(self):
+        """bf16 exp_avg + fp8 scaled exp_avg_sq stay close to the f32
+        state trajectory (reference: scaled fp8/f16 optimizer states)."""
+        from transformerengine_tpu.optimizers.fused_adam import ScaledState
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        p32 = self._params()
+        lp = fused_adam(1e-2, exp_avg_dtype=jnp.bfloat16,
+                        exp_avg_sq_dtype=float8_e4m3)
+        ref = fused_adam(1e-2)
+        s_lp, s_ref = lp.init(p32), ref.init(p32)
+        p_lp, p_ref = p32, p32
+        key = jax.random.PRNGKey(7)
+        for i in range(8):
+            g = jax.tree.map(
+                lambda p, k=jax.random.fold_in(key, i):
+                jax.random.normal(k, p.shape) * 0.1, p32)
+            p_lp, s_lp = lp.step(g, s_lp, p_lp)
+            p_ref, s_ref = ref.step(g, s_ref, p_ref)
+        assert isinstance(s_lp.nu["w"], ScaledState)
+        assert s_lp.mu["w"].dtype == jnp.bfloat16
+        err = jnp.max(jnp.abs(p_lp["w"] - p_ref["w"]))
+        assert err < 3e-3, err
+
     def test_fused_sgd_momentum(self):
         params = self._params()
         opt = fused_sgd(0.1, momentum=0.9)

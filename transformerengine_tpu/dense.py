@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.gemm import q_dot, resident_dot, tn_dot
+from .ops.gemm import prequant_dot, q_dot, resident_dot, tn_dot
 from .parallel.sharding import with_sharding_constraint_by_logical_axes
 from .quantize.quantizer import (QuantizeLayout, QuantizerSet,
                                  noop_quantizer_set)
@@ -114,11 +114,9 @@ def _dense_fwd(cfg, x, kernel, bias, quantizer_set, kernel_cache,
 
     if prequant:
         # FP8-resident weight (quantize/prequant.py): fwd-only fast path.
-        if quantizer_set.x is not None and prequant_x_quantize():
-            qx = quantizer_set.x.quantize(x2d)
-            out2d = tn_dot(get_rowwise(qx), kernel.colwise)
-        else:
-            out2d = resident_dot(x2d, kernel.colwise)
+        xq = (quantizer_set.x if quantizer_set.x is not None
+              and prequant_x_quantize() else None)
+        out2d = prequant_dot(x2d, kernel.colwise, xq)
         res = (Static("prequant"), None, None, None, None, None)
     elif quantizer_set.x is None:
         k2d = kernel.reshape(k, n)

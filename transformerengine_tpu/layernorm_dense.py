@@ -70,11 +70,10 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
 
     if isinstance(kernel, PrequantizedKernel):
         from .dense import prequant_x_quantize
-        if quantizer_set.x is not None and prequant_x_quantize():
-            qx = quantizer_set.x.quantize(ln2d)
-            out2d = tn_dot(get_rowwise(qx), kernel.colwise)
-        else:
-            out2d = resident_dot(ln2d, kernel.colwise)
+        from .ops.gemm import prequant_dot
+        xq = (quantizer_set.x if quantizer_set.x is not None
+              and prequant_x_quantize() else None)
+        out2d = prequant_dot(ln2d, kernel.colwise, xq)
         res_q = (Static("prequant"), None, None, None)
     elif quantizer_set.x is None:
         k2d = kernel.reshape(k, n)

@@ -95,11 +95,10 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
     # --- GEMM1 ---
     if isinstance(kernel1, PrequantizedKernel):
         from .dense import prequant_x_quantize
-        if qset1.x is not None and prequant_x_quantize():
-            qx = qset1.x.quantize(ln2d)
-            z2d = tn_dot(get_rowwise(qx), kernel1.colwise)
-        else:
-            z2d = resident_dot(ln2d, kernel1.colwise)
+        from .ops.gemm import prequant_dot
+        xq1 = (qset1.x if qset1.x is not None
+               and prequant_x_quantize() else None)
+        z2d = prequant_dot(ln2d, kernel1.colwise, xq1)
         res1 = (Static("prequant"), None, None, None)
     elif qset1.x is None:
         k1 = kernel1.reshape(hidden, n_act * ffn)
@@ -160,11 +159,10 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
 
     # --- GEMM2 ---
     if isinstance(kernel2, PrequantizedKernel):
-        if qset2.x is not None and prequant_x_quantize():
-            qa = qset2.x.quantize(a2d)
-            out2d = tn_dot(get_rowwise(qa), kernel2.colwise)
-        else:
-            out2d = resident_dot(a2d, kernel2.colwise)
+        from .ops.gemm import prequant_dot
+        xq2 = (qset2.x if qset2.x is not None
+               and prequant_x_quantize() else None)
+        out2d = prequant_dot(a2d, kernel2.colwise, xq2)
         res2 = (Static("prequant"), None, None, None)
     elif qset2.x is None:
         k2 = kernel2.reshape(ffn, hidden)

@@ -153,11 +153,59 @@ def q_dot(lhs, rhs, lhs_cdim: int, rhs_cdim: int, precision=None) -> jax.Array:
     return out * post_scale
 
 
+def block_resident_dot(x2d, kern) -> jax.Array:
+    """fwd GEMM against a BlockResidentKernel ((K, N) block-scaled
+    resident payload). Small-M decode shapes run the KN-layout Pallas
+    kernel (in-VMEM dequant, ops/decode_matmul.decode_kn_matvec);
+    everything else materializes the bf16 dequant once behind a
+    barrier (prefill reads each weight for many rows, so the
+    materialization amortizes — and XLA's input fusion would otherwise
+    recompute the dequant per output tile, the r3 MXFP8 finding)."""
+    from .decode_matmul import decode_kn_matvec, use_decode_matvec
+    m, k = x2d.shape
+    n = kern.n
+    if k == kern.k and use_decode_matvec(m, n, k):
+        return decode_kn_matvec(
+            x2d, kern.payload, kern.scale, kern.out_scale,
+            block=kern.block, packed=kern.packed)
+    w = kern.dequantize_kn()
+    if m > 1024:
+        w = jax.lax.optimization_barrier(w)
+    out = jax.lax.dot_general(
+        x2d, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if kern.out_scale is not None:
+        out = out * kern.out_scale.astype(jnp.float32).reshape(())
+    return out
+
+
+def prequant_dot(x2d, colwise, x_quantizer=None) -> jax.Array:
+    """fwd GEMM against any PrequantizedKernel.colwise storage, with the
+    optional activation quantize (TE_TPU_PREQUANT_X_QUANT) applied in
+    whatever form the storage supports: ScaledTensor storages take the
+    quantized activation into the dot; the KN block-resident storage
+    QDQs the activation (same operand values — both paths dequantize to
+    bf16 before the MXU on v5e) and feeds the Pallas dequant kernel."""
+    from ..quantize.prequant import BlockResidentKernel
+    from ..quantize.tensor import get_rowwise
+    if isinstance(colwise, BlockResidentKernel):
+        if x_quantizer is not None:
+            qx = get_rowwise(x_quantizer.quantize(x2d))
+            x2d = qx.dequantize().astype(jnp.bfloat16)
+        return block_resident_dot(x2d, colwise)
+    if x_quantizer is not None:
+        return tn_dot(get_rowwise(x_quantizer.quantize(x2d)), colwise)
+    return resident_dot(x2d, colwise)
+
+
 def resident_dot(x2d, colwise) -> jax.Array:
     """fwd GEMM against a PrequantizedKernel.colwise — a quantized
-    ScaledTensor OR a plain resident (N, K) array (bf16 layout prep,
-    prequantize_kernels(recipe=None)). Small-M decode shapes route to
-    the N-tiled Pallas kernel (ops/decode_matmul) for BOTH."""
+    ScaledTensor, a BlockResidentKernel, OR a plain resident (N, K)
+    array (bf16 layout prep, prequantize_kernels(recipe=None)).
+    Small-M decode shapes route to the N-tiled Pallas kernels for ALL."""
+    from ..quantize.prequant import BlockResidentKernel
+    if isinstance(colwise, BlockResidentKernel):
+        return block_resident_dot(x2d, colwise)
     if not is_scaled(colwise) and not is_scaled(x2d):
         from .decode_matmul import decode_tn_matvec, use_decode_matvec
         m, k = x2d.shape

@@ -52,6 +52,50 @@ class PrequantizedKernel:
         return getattr(self.colwise, "dq_dtype", None) or self.colwise.dtype
 
 
+def _e4m3_bits_to_e2m1_code(byte_u8):
+    """Inverse of ops.decode_matmul._e2m1_code_to_e4m3_bits: e4m3 bytes
+    holding exact e2m1 grid values -> 4-bit codes (int32)."""
+    b = byte_u8.astype(jnp.int32)
+    m7 = b & 0x7F
+    mag = jnp.where(m7 == 0, 0,
+                    jnp.where(m7 == 48, 1, (m7 - 48) >> 2))
+    return ((b >> 7) << 3) | mag
+
+
+def _pack4_default() -> bool:
+    import os
+    return os.environ.get("TE_TPU_PREQUANT_PACK4", "1") == "1"
+
+
+def _build_kn_kernel(t, kernel_dtype) -> BlockResidentKernel:
+    """Colwise block-scaled ScaledTensor1x (stored (N, K), scales along
+    K) -> the contraction-major decode representation."""
+    from .dtypes import float8_e4m3, is_fp4_dtype
+    n, k = t._2d_shape()
+    bc = t.scaling_mode.block_shape[1]
+    s = t.scaling_mode.decode_scale_inv(t.scale_inv)[:n, : k // bc]
+    scale_kn = jnp.asarray(s.T, jnp.bfloat16)          # (K/bc, N)
+    data = t.data.reshape(n, k)
+    if is_fp4_dtype(data.dtype):
+        data = data.astype(jnp.dtype(float8_e4m3))     # exact re-encode
+    if t.scaling_mode.is_nvfp4:
+        # e2m1-grid values (stored as e4m3 bytes, FP4_STORAGE_DTYPE):
+        # packable to 2 codes/byte — the actual 4-bit byte diet.
+        if _pack4_default() and k % (2 * bc) == 0:
+            codes = _e4m3_bits_to_e2m1_code(
+                jax.lax.bitcast_convert_type(data, jnp.uint8)).T  # (K, N)
+            packed = (codes[: k // 2] | (codes[k // 2:] << 4)).astype(
+                jnp.uint8)
+            return BlockResidentKernel(
+                payload=packed, scale=scale_kn,
+                out_scale=t.tensor_scale_inv, block=bc, packed=True,
+                dq_dtype=jnp.dtype(kernel_dtype))
+    return BlockResidentKernel(
+        payload=jnp.asarray(data.T), scale=scale_kn,
+        out_scale=t.tensor_scale_inv, block=bc, packed=False,
+        dq_dtype=jnp.dtype(kernel_dtype))
+
+
 def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
                              n_cdims: int = 1) -> PrequantizedKernel:
     """Quantize one kernel (contracting dims leading) to its colwise
@@ -70,6 +114,15 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
     t = q.quantize(kernel.reshape(k, n), dq_dtype=kernel.dtype)
     t = _dc.replace(t, resident=True)
     from .dtypes import float8_e4m3, is_fp4_dtype
+    br, bc = t.scaling_mode.block_shape
+    if (t.scaling_mode.is_block_scaling and br == 1 and k % bc == 0
+            and t.data.ndim == 2):
+        # Contraction-major (K, N) resident layout: the decode scan
+        # dequantizes block-scaled weights in VMEM instead of
+        # materializing bf16 copies per step (r4 NVFP4 profile:
+        # ~12.7 ms/step of multiply_convert_fusion + broadcast).
+        return PrequantizedKernel(colwise=_build_kn_kernel(t, kernel.dtype),
+                                  logical_shape=tuple(kernel.shape))
     if is_fp4_dtype(t.data.dtype):
         # fp4 is BYTE-backed in XLA (no packing), so re-encoding the
         # e2m1 grid points in e4m3 costs zero bytes and is EXACT —
@@ -77,6 +130,61 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
         # e4m3->bf16 instead of a software fp4 expansion.
         t = _dc.replace(t, data=t.data.astype(jnp.dtype(float8_e4m3)))
     return PrequantizedKernel(colwise=t, logical_shape=tuple(kernel.shape))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockResidentKernel:
+    """A block-scaled resident weight stored CONTRACTION-MAJOR (K, N)
+    for the decode path.
+
+    The r4 NVFP4 decode profile showed the (N, K) ScaledTensor layout
+    costs ~12.7 ms/step of per-step dequant materialization inside the
+    decode scan (16x multiply_convert_fusion ~470 us + 16x broadcast
+    ~322 us — XLA materializes the full bf16 weight and the expanded
+    scales every step). Stored (K, N), the in-kernel scale expansion
+    of ops/decode_matmul.decode_kn_matvec splits the sublane axis (a
+    free view), so dequant runs in VMEM with zero HBM round-trips.
+
+    ``payload``: (K, N) fp8-byte codes, or (K/2, N) uint8 split-plane
+    packed e2m1 nibbles (``packed=True``: byte row r = code row r low,
+    code row r+K/2 high — the reference NVFP4 byte diet,
+    common/cast/nvfp4/, realized TPU-side as 2 codes/byte).
+    ``scale``: (K/block, N) bf16 pre-decoded block scales (exact: MXFP8
+    e8m0 and NVFP4 e4m3 scales are bf16-representable).
+    ``out_scale``: optional scalar second-level scale (NVFP4)."""
+
+    payload: Any
+    scale: Any
+    out_scale: Any
+    block: int = dataclasses.field(metadata=dict(static=True))
+    packed: bool = dataclasses.field(metadata=dict(static=True))
+    dq_dtype: Any = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self):
+        return self.payload.shape[0] * (2 if self.packed else 1)
+
+    @property
+    def n(self):
+        return self.payload.shape[1]
+
+    def dequantize_kn(self) -> jax.Array:
+        """(K, N) bf16 with block scales applied — the XLA-fallback
+        operand (prefill / off-TPU); numerics identical to the Pallas
+        kernel's in-VMEM dequant (bf16 multiplies are exact for <=4-bit
+        significand payloads x pow2/e4m3 scales). ``out_scale`` is NOT
+        folded in — both paths apply it to the f32 dot output."""
+        k, n = self.k, self.n
+        if self.packed:
+            from ..ops.decode_matmul import _unpack_nibbles_to_bf16
+            lo, hi = _unpack_nibbles_to_bf16(self.payload)
+            w = jnp.concatenate([lo, hi], axis=0)
+        else:
+            w = self.payload.astype(jnp.bfloat16)
+        gk = k // self.block
+        return (w.reshape(gk, self.block, n)
+                * self.scale.astype(jnp.bfloat16)[:, None, :]).reshape(k, n)
 
 
 _KERNEL_NAMES = ("kernel", "wi_kernel", "wo_kernel")
