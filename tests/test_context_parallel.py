@@ -776,3 +776,82 @@ def test_hierarchical_cp_striped_matches_single_device():
     out = inverse_reorder_causal_striped(fn(qs, ks, vs), cpo)
     ref = _reference(q, k, v)
     assert jnp.max(jnp.abs(out - ref)) < 5e-5
+
+
+def test_ring_striped_with_seqlens_matches_single_device():
+    """Ragged (seqlens-only THD descriptor) under the STRIPED ring:
+    local padding segments derive from the global lengths through the
+    striped position map r + i*cp (reference: nvte_cp_thd_* helpers,
+    common/fused_attn/context_parallel.cu)."""
+    from transformerengine_tpu.attention import (
+        CPStrategy, SequenceDescriptor)
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    b, s = 2, 256
+    q, k, v = _data(b=b, s=s)
+    lens = jnp.array([200, 136])
+    ref = fused_attn(
+        (q, k, v), sequence_descriptor=SequenceDescriptor.from_seqlens(lens),
+        attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+        backend=AttnBackend.UNFUSED)
+
+    mesh = _mesh()
+    spec = P(None, "cp", None, None)
+
+    def local_fn(q, k, v, lens):
+        from transformerengine_tpu.attention import SequenceDescriptor as SD
+        return fused_attn(
+            (q, k, v), sequence_descriptor=SD.from_seqlens(lens),
+            attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+            context_parallel_strategy=CPStrategy.RING_STRIPED,
+            context_parallel_axis="cp")
+
+    qs, ks, vs = (reorder_causal_striped(x, CP) for x in (q, k, v))
+    out_s = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=spec, check_vma=False)(qs, ks, vs, lens)
+    out = inverse_reorder_causal_striped(out_s, CP)
+    valid = (jnp.arange(s)[None] < lens[:, None])[..., None, None]
+    diff = jnp.where(valid, jnp.abs(out - ref), 0)
+    assert float(diff.max()) < 5e-5
+
+
+@pytest.mark.parametrize("striped", [False, True])
+def test_hierarchical_with_seqlens_matches_single_device(striped):
+    """Seqlens-only descriptors under hierarchical (a2a+p2p) CP: the
+    two-level position map (outer contiguous-or-striped x inner
+    contiguous) recovers the local padding segments."""
+    from transformerengine_tpu.attention import SequenceDescriptor
+    from transformerengine_tpu.parallel.cp_utils import (
+        inverse_reorder_causal_striped, reorder_causal_striped)
+    from transformerengine_tpu.parallel.ring_attention import (
+        hierarchical_attn)
+    b, s = 2, 128
+    q, k, v = _data(b=b, s=s, hq=4, hkv=4, d=32)
+    lens = jnp.array([100, 68])
+    ref = fused_attn(
+        (q, k, v), sequence_descriptor=SequenceDescriptor.from_seqlens(lens),
+        attn_mask_type=AttnMaskType.PADDING_CAUSAL,
+        backend=AttnBackend.UNFUSED)
+    cpo, cpi = 2, 2
+    mesh = Mesh(mesh_utils.create_device_mesh(
+        (cpo, cpi), jax.devices()[:4]), ("cpo", "cpi"))
+    spec = P(None, ("cpo", "cpi"), None, None)
+
+    def local_fn(q, k, v, lens):
+        from transformerengine_tpu.attention import SequenceDescriptor as SD
+        return hierarchical_attn(
+            q, k, v, "cpi", "cpo", causal=True, striped=striped,
+            sequence_descriptor=SD.from_seqlens(lens))
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(spec, spec, spec, P()),
+                       out_specs=spec, check_vma=False)
+    if striped:
+        qs, ks, vs = (reorder_causal_striped(x, cpo) for x in (q, k, v))
+        out = inverse_reorder_causal_striped(fn(qs, ks, vs, lens), cpo)
+    else:
+        out = fn(q, k, v, lens)
+    valid = (jnp.arange(s)[None] < lens[:, None])[..., None, None]
+    diff = jnp.where(valid, jnp.abs(out - ref), 0)
+    assert float(diff.max()) < 5e-5

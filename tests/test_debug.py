@@ -117,3 +117,61 @@ class TestFeatures:
             variables = mlp.init(jax.random.PRNGKey(1), x)
             mlp.apply(variables, x)
         assert len(get_state().stats.entries()) > 0
+
+
+class TestDistributedStats:
+    """Stats under a device mesh must equal the single-device values:
+    the quantizers see the GLOBAL logical tensor inside pjit, so XLA
+    inserts the cross-device reductions for amax/underflow%/dynamic
+    range (reference: debug/features/utils/stats_computation.py +
+    docs/debug/4_distributed.rst — stats reduced over the TP/DP
+    groups)."""
+
+    def _config(self, feature, **kw):
+        return {"stats_test": {
+            "enabled": True,
+            "layers": {"layer_name_regex_pattern": ".*"},
+            "transformer_engine": {
+                feature: {"enabled": True, **kw}}}}
+
+    def test_log_tensor_stats_match_single_device(self):
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from transformerengine_tpu.debug import initialize, get_state, \
+            wrap_quantizer_set
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 0.3
+        # make underflow% non-trivial
+        x = x.at[:8].multiply(1e-6)
+
+        def run(tag, xin):
+            initialize(self._config("LogTensorStats", tensors=["x"],
+                                    freq=1))
+            qset = QuantizerFactory.create_set(te.Float8CurrentScaling())
+            w = wrap_quantizer_set(qset, tag)
+
+            from transformerengine_tpu.quantize.tensor import \
+                get_rowwise
+
+            @jax.jit
+            def f(x):
+                return get_rowwise(w.x.quantize(x)).data
+
+            f(xin).block_until_ready()
+            jax.effects_barrier()
+            entries = get_state().stats.entries(tag)
+            get_state().reset()
+            assert len(entries) == 1, entries
+            return entries[0][2]
+
+        ref = run("single", x)
+
+        mesh = Mesh(mesh_utils.create_device_mesh(
+            (2, 4), jax.devices()[:8]), ("dp", "tp"))
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "tp")))
+        dist = run("dist", xs)
+        for key in ("amax", "underflow_pct", "dynamic_range", "l2norm",
+                    "zero_pct"):
+            assert abs(float(ref[key]) - float(dist[key])) <= 1e-4 * (
+                1 + abs(float(ref[key]))), (key, ref[key], dist[key])

@@ -35,7 +35,7 @@ def _bhsd(x):
 
 
 def _local_segments(sequence_descriptor, axis_name, L, *,
-                    allow_seqlens=True):
+                    allow_seqlens=True, positions=None):
     """(qseg, kseg) (B, L) int32 for the LOCAL shard, or (None, None).
     Segment ids are used as-is; seqlens are interpreted as GLOBAL
     lengths under contiguous sharding (rank idx keeps positions
@@ -49,11 +49,13 @@ def _local_segments(sequence_descriptor, axis_name, L, *,
                 else sd.q_segment_ids).astype(jnp.int32)
         return qseg, kseg
     if sd.q_seqlens is not None:
-        assert allow_seqlens, (
-            "this CP strategy needs segment ids (positions are "
-            "interleaved)")
-        idx = jax.lax.axis_index(axis_name)
-        pos = idx * L + jnp.arange(L)
+        if positions is None:
+            assert allow_seqlens, (
+                "this CP strategy needs segment ids or an explicit "
+                "position map for its sharding layout")
+            idx = jax.lax.axis_index(axis_name)
+            positions = idx * L + jnp.arange(L)
+        pos = positions
         qlens = sd.q_seqlens
         klens = sd.kv_seqlens if sd.kv_seqlens is not None else qlens
         qseg = (pos[None, :] < qlens[:, None]).astype(jnp.int32)
@@ -476,8 +478,19 @@ def ring_attn_under_shard_map(
     scale = scaling_factor if scaling_factor is not None \
         else 1.0 / q.shape[-1] ** 0.5
     window = tuple(window_size) if window_size is not None else (-1, -1)
+    positions = None
+    if striped and sequence_descriptor is not None \
+            and getattr(sequence_descriptor, "q_segment_ids", None) is None:
+        # Ragged (seqlens-only) THD batches under the striped layout:
+        # rank r's token i sits at global position r + i*cp, so local
+        # padding segments derive directly from the global lengths
+        # (reference: nvte_cp_thd_* helpers, common/fused_attn/
+        # context_parallel.cu — THD descriptors under CP).
+        cp = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        positions = idx + jnp.arange(q.shape[1]) * cp
     qseg, kseg = _local_segments(sequence_descriptor, axis_name,
-                                 q.shape[1], allow_seqlens=not striped)
+                                 q.shape[1], positions=positions)
     return ring_attn(q, k, v, qseg, kseg, softmax_sink, bias, axis_name,
                      causal, float(scale), window, striped, fp8_kv,
                      score_mod)
@@ -617,9 +630,25 @@ def hierarchical_attn(
                                   tiled=True)
 
     # Segment ids gathered to inner-full length ride the OUTER ring with
-    # their KV chunks inside ring_attn.
+    # their KV chunks inside ring_attn. Seqlens-only (THD) descriptors
+    # derive local segments from the two-level position map: outer
+    # chunks are contiguous (or striped), inner a2a concatenation is
+    # contiguous within each outer chunk.
+    positions = None
+    if sequence_descriptor is not None \
+            and getattr(sequence_descriptor, "q_segment_ids", None) is None \
+            and getattr(sequence_descriptor, "q_seqlens", None) is not None:
+        L = q.shape[1]
+        i_in = jax.lax.axis_index(inner_axis)
+        i_out = jax.lax.axis_index(outer_axis)
+        p_out = jax.lax.axis_size(outer_axis)
+        if striped:
+            positions = i_out + (i_in * L + jnp.arange(L)) * p_out
+        else:
+            positions = (i_out * p_in + i_in) * L + jnp.arange(L)
     qseg, kseg = _local_segments(sequence_descriptor, inner_axis,
-                                 q.shape[1], allow_seqlens=False)
+                                 q.shape[1], allow_seqlens=False,
+                                 positions=positions)
     if qseg is not None:
         qseg = jax.lax.all_gather(qseg, inner_axis, axis=1, tiled=True)
         kseg = jax.lax.all_gather(kseg, inner_axis, axis=1, tiled=True)
