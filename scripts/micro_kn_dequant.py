@@ -39,6 +39,13 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, variant, chunk_rows):
     gc = chunk_rows // BS
     for i in range(K // chunk_rows):
         rows = slice(i * chunk_rows, (i + 1) * chunk_rows)
+        if variant == "direct":
+            # fp8 operand straight into the dot (NO scale — wrong
+            # numerics, isolates the mixed NN dot speed).
+            acc = acc + jax.lax.dot_general(
+                x[:, rows], w_ref[rows, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
         w = w_ref[rows, :].astype(jnp.bfloat16)
         sl = s[i * gc:(i + 1) * gc]
         if variant == "bcast":

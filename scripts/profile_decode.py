@@ -41,11 +41,15 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), tokens)
 
     for name in variants:
+        last = name == variants[-1]
         if name == "fp8":
             vv = prequantize_kernels(variables, te.Float8CurrentScaling())
             kv = float8_e4m3
         elif name == "nvfp4":
-            vv = prequantize_kernels(variables, te.NVFP4BlockScaling())
+            # bf16-resident block-decode doubles the copy; donate the
+            # source kernels when this is the final variant (16 GB HBM).
+            vv = prequantize_kernels(variables, te.NVFP4BlockScaling(),
+                                     donate=last)
             kv = float8_e4m3
         elif name == "bf16_raw":
             vv, kv = variables, jnp.bfloat16

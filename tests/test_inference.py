@@ -348,16 +348,33 @@ class TestContinuousBatching:
                            inference_params=ip)
             assert out[rid] == [int(t) for t in ref[0]], (rid, out[rid])
 
-    def test_fp8_cache_rejected(self):
-        from transformerengine_tpu.inference import ContinuousBatchingEngine
+    def test_fp8_auto_calibration_matches_generate(self):
+        """Per-slot FP8 KV calibration: each admission calibrates its
+        own prefill amax into its slot's scale lane — outputs must
+        equal the whole-batch generate() (which uses the same per-row
+        scales) exactly (reference: inference.py:403 per-cache-manager
+        recalibration)."""
+        from transformerengine_tpu.inference import (
+            ContinuousBatchingEngine, generate)
         model = LlamaModel(config=LLAMA_TINY)
+        P, NEW, B = 16, 5, 2
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 8), jnp.int32))
-        with pytest.raises(NotImplementedError, match="KV scale"):
-            ContinuousBatchingEngine(
-                model, variables, max_batch_size=2,
-                max_sequence_length=64, prompt_len=8, max_new_tokens=4,
-                kv_cache_dtype=float8_e4m3)
+                               jnp.zeros((1, P), jnp.int32))
+        prompts = [list(range(3, 3 + P)), list(range(40, 40 + 9)),
+                   list(range(101, 101 + P))]
+        eng = ContinuousBatchingEngine(
+            model, variables, max_batch_size=B,
+            max_sequence_length=P + NEW + 8, prompt_len=P,
+            max_new_tokens=NEW, kv_cache_dtype=float8_e4m3)
+        rids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        for rid, prompt in zip(rids, prompts):
+            toks = jnp.zeros((1, P), jnp.int32).at[0, :len(prompt)].set(
+                jnp.asarray(prompt, jnp.int32))
+            ref = generate(model, variables, toks,
+                           jnp.asarray([len(prompt)], jnp.int32), NEW,
+                           kv_cache_dtype=float8_e4m3)
+            assert out[rid] == [int(t) for t in ref[0]], (rid, out[rid])
 
 
 class TestTPShardedDecode:

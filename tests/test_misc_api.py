@@ -215,7 +215,12 @@ class TestPrequant:
                                   jnp.bfloat16)
             x = jax.random.normal(jax.random.PRNGKey(1), (4, 128),
                                   jnp.bfloat16)
-            pk = prequantize_kernel_array(k, recipe)
+            import os
+            os.environ["TE_TPU_BLOCK_DECODE"] = "quantized"
+            try:
+                pk = prequantize_kernel_array(k, recipe)
+            finally:
+                del os.environ["TE_TPU_BLOCK_DECODE"]
             assert isinstance(pk.colwise, BlockResidentKernel), recipe
             q = QuantizerFactory.create(recipe, "kernel",
                                         QuantizeLayout.COLWISE)
@@ -245,6 +250,7 @@ class TestPrequant:
         for pack in ("0", "1"):
             os.environ["TE_TPU_PREQUANT_PACK4"] = pack
             os.environ["TE_TPU_PREQUANT_X_QUANT"] = "0"
+            os.environ["TE_TPU_BLOCK_DECODE"] = "quantized"
             try:
                 pk = prequantize_kernel_array(k, te.NVFP4BlockScaling())
                 assert pk.colwise.packed == (pack == "1")
@@ -255,6 +261,7 @@ class TestPrequant:
             finally:
                 del os.environ["TE_TPU_PREQUANT_PACK4"]
                 del os.environ["TE_TPU_PREQUANT_X_QUANT"]
+                del os.environ["TE_TPU_BLOCK_DECODE"]
         assert jnp.allclose(outs["0"], outs["1"], atol=1e-3, rtol=1e-3)
 
     def test_e2m1_code_e4m3_roundtrip(self):
@@ -289,10 +296,12 @@ class TestPrequant:
         x = jax.random.normal(jax.random.PRNGKey(3), (8, 1024), jnp.bfloat16)
         for pack in ("0", "1"):
             os.environ["TE_TPU_PREQUANT_PACK4"] = pack
+            os.environ["TE_TPU_BLOCK_DECODE"] = "quantized"
             try:
                 pk = prequantize_kernel_array(k, te.NVFP4BlockScaling())
             finally:
                 del os.environ["TE_TPU_PREQUANT_PACK4"]
+                del os.environ["TE_TPU_BLOCK_DECODE"]
             ref = block_resident_dot(x, pk.colwise)
             os.environ["TE_TPU_DECODE_MATVEC"] = "1"
             try:
@@ -300,6 +309,25 @@ class TestPrequant:
             finally:
                 del os.environ["TE_TPU_DECODE_MATVEC"]
             assert jnp.allclose(out, ref, atol=2e-2, rtol=1e-2), pack
+
+    def test_block_recipe_bf16_default_matches_recipe_values(self):
+        """Default block-recipe prequantization (TE_TPU_BLOCK_DECODE=
+        bf16) stores the EXACT recipe-snapped values dequantized once
+        at load — the fast decode representation on v5e (see
+        quantize/prequant.py measurement notes)."""
+        from transformerengine_tpu.quantize.helper import QuantizerFactory
+        from transformerengine_tpu.quantize.prequant import (
+            prequantize_kernel_array)
+        from transformerengine_tpu.quantize.quantizer import QuantizeLayout
+        k = jax.random.normal(jax.random.PRNGKey(0), (128, 64),
+                              jnp.bfloat16)
+        pk = prequantize_kernel_array(k, te.NVFP4BlockScaling())
+        assert isinstance(pk.colwise, jax.Array)
+        assert pk.colwise.dtype == jnp.bfloat16
+        q = QuantizerFactory.create(te.NVFP4BlockScaling(), "kernel",
+                                    QuantizeLayout.COLWISE)
+        ref = q.quantize(k, dq_dtype=jnp.bfloat16).dequantize()
+        assert jnp.array_equal(pk.colwise, ref.astype(jnp.bfloat16))
 
     def test_training_through_prequant_raises(self):
         from transformerengine_tpu.quantize.prequant import (

@@ -202,3 +202,79 @@ class TestDecodeMatvec:
             os.environ.pop("TE_TPU_DECODE_MATVEC", None)
         d2 = float(jnp.max(jnp.abs(out2 - ref)))
         assert d2 / mref < 2e-2, (d2, mref)
+
+
+class TestNormCastTranspose:
+    """Fused norm + dual-orientation quantize == the unfused chain
+    bit-for-bit (reference: common/normalization/ FP8-output fusion)."""
+
+    def test_matches_chain_rmsnorm_and_layernorm(self):
+        import jax
+        import jax.numpy as jnp
+        from transformerengine_tpu.ops.normalization import (
+            layernorm_fwd, rmsnorm_fwd)
+        from transformerengine_tpu.ops.quantize_kernels import (
+            norm_cast_transpose)
+        from transformerengine_tpu.quantize import qmath
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        x = jax.random.normal(jax.random.PRNGKey(0), (256, 384),
+                              jnp.bfloat16)
+        gamma = jax.random.normal(jax.random.PRNGKey(1), (384,),
+                                  jnp.bfloat16)
+        beta = jax.random.normal(jax.random.PRNGKey(2), (384,),
+                                 jnp.bfloat16)
+        scale = jnp.asarray([1.7], jnp.float32)
+
+        ln, rs = rmsnorm_fwd(x, gamma, epsilon=1e-6)
+        data, _, amax = qmath.tensor_scale_quantize(ln, float8_e4m3,
+                                                    scale[0])
+        row, col, am, rsig = norm_cast_transpose(
+            x, gamma, None, scale, float8_e4m3)
+        assert jnp.array_equal(row, data)
+        assert jnp.array_equal(col, data.T)
+        assert float(am[0]) == float(amax)
+        assert jnp.allclose(rsig.reshape(-1), rs, rtol=2e-7)
+
+        ln2, mu2, rs2 = layernorm_fwd(x, gamma, beta, epsilon=1e-6)
+        d2, _, a2 = qmath.tensor_scale_quantize(ln2, float8_e4m3, scale[0])
+        row2, col2, am2, rsig2, mu = norm_cast_transpose(
+            x, gamma, beta, scale, float8_e4m3, norm="layernorm")
+        assert jnp.array_equal(row2, d2)
+        assert jnp.array_equal(col2, d2.T)
+        assert float(am2[0]) == float(a2)
+        assert jnp.allclose(mu.reshape(-1), mu2, rtol=2e-7,
+                            atol=1e-7)
+        assert jnp.allclose(rsig2.reshape(-1), rs2, rtol=2e-7)
+
+    def test_quantize_normed_helper(self):
+        import jax
+        import jax.numpy as jnp
+        import os
+        from transformerengine_tpu.quantize.quantizer import (
+            DelayedScaleQuantizer, QuantizeLayout)
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        from transformerengine_tpu.ops.normalization import rmsnorm_fwd
+        q = DelayedScaleQuantizer(
+            q_dtype=jnp.dtype(float8_e4m3),
+            scaling_mode=ScalingMode.DELAYED_TENSOR_SCALING,
+            q_layout=QuantizeLayout.ROWWISE_COLWISE,
+            scale=jnp.asarray([2.0], jnp.float32))
+        x = jax.random.normal(jax.random.PRNGKey(3), (256, 256),
+                              jnp.bfloat16)
+        gamma = jnp.ones((256,), jnp.bfloat16)
+        os.environ["TE_TPU_FUSED_LN_QUANTIZE"] = "1"
+        try:
+            out = q.quantize_normed(x, gamma, None, norm="rmsnorm",
+                                    zero_centered_gamma=False,
+                                    epsilon=1e-6)
+        finally:
+            del os.environ["TE_TPU_FUSED_LN_QUANTIZE"]
+        assert out is not None
+        q2x, mu, rsigma = out
+        ln, rs = rmsnorm_fwd(x, gamma, epsilon=1e-6)
+        ref = q.quantize(ln)
+        assert jnp.array_equal(q2x.rowwise.data, ref.rowwise.data)
+        assert jnp.array_equal(q2x.colwise.data, ref.colwise.data)
+        assert mu is None
+        assert jnp.allclose(rsigma, rs, rtol=2e-7)

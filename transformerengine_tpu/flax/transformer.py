@@ -465,15 +465,19 @@ class MultiHeadAttention(TransformerEngineBase):
             "cache", "cached_value", jnp.zeros, cshape, cache_dtype)
         clen = self.variable(
             "cache", "cache_length", jnp.zeros, (b,), jnp.int32)
+        # Per-SLOT scales (B,): continuous-batching admission calibrates
+        # each request's prefill amax into its own slot lane; whole-batch
+        # generate gets per-row scales for free (reference:
+        # inference.py:403 per-cache-manager recalibration).
         kv_scale = self.variable(
-            "cache", "kv_scale", jnp.ones, (1,), jnp.float32)
+            "cache", "kv_scale", jnp.ones, (b,), jnp.float32)
 
         is_prefill = s > 1
         if is_prefill and ip.is_fp8:
             kv_scale.value = (
-                jnp.full((1,), ip.fixed_kv_scale, jnp.float32)
+                jnp.full((b,), ip.fixed_kv_scale, jnp.float32)
                 if ip.fixed_kv_scale is not None
-                else calibrate_kv_scale(k, v))
+                else calibrate_kv_scale(k, v, per_slot=True))
         qscale = kv_scale.value if ip.is_fp8 else None
         append = cache_append if layout == "bshd" else cache_append_bhsd
         new_k, new_v, new_len = append(

@@ -18,12 +18,11 @@ nothing reads (batch rows are independent through every layer), and
 their clamped cache writes stay in-bounds by XLA's dynamic-slice
 semantics.
 
-FP8 caches are supported via ``fixed_kv_scale``: the per-layer KV scale
-is shared across slots, so admitting a new prompt must not rescale
-payloads other slots still read — the engine therefore requires a
-dequant scale pinned at construction (e.g. from an offline calibration
-run). Without ``fixed_kv_scale`` an FP8 cache raises; use the
-whole-batch ``generate()`` path if you want per-prefill calibration.
+FP8 caches: KV scales are PER SLOT ((B,) lanes in the cache collection,
+reference: inference.py:403 per-cache-manager recalibration), so each
+admission calibrates the request's own prefill amax into its slot lane
+— live neighbors are never rescaled. ``fixed_kv_scale`` still pins one
+scale for all slots (offline-calibrated serving).
 """
 from __future__ import annotations
 
@@ -41,13 +40,11 @@ from .kv_cache import InferenceParams
 
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_slot(big_cache, small_cache, slot):
-    """Write a batch-1 cache into row ``slot`` of the batch-B cache.
-    Leaves without a batch dimension (per-layer kv_scale) keep the big
-    cache's value."""
+    """Write a batch-1 cache into row ``slot`` of the batch-B cache —
+    including the slot's ``kv_scale`` lane (per-slot FP8 calibration)."""
     def fix(path, big, small):
         if (big.ndim >= 1 and small.ndim == big.ndim
-                and small.shape[0] == 1 and big.shape[1:] == small.shape[1:]
-                and path[-1].key != "kv_scale"):
+                and small.shape[0] == 1 and big.shape[1:] == small.shape[1:]):
             return jax.lax.dynamic_update_slice_in_dim(
                 big, small.astype(big.dtype), slot, axis=0)
         return big
@@ -95,13 +92,6 @@ class ContinuousBatchingEngine:
             max_sequence_length=max_sequence_length,
             kv_cache_dtype=jnp.dtype(kv_cache_dtype),
             fixed_kv_scale=fixed_kv_scale)
-        if self.ip.is_fp8 and fixed_kv_scale is None:
-            raise NotImplementedError(
-                "continuous batching shares one KV scale across slots; "
-                "FP8 caches need fixed_kv_scale= (per-layer dequant "
-                "scale pinned at admission, e.g. from an offline "
-                "calibration run) — or use the whole-batch generate() "
-                "path, which calibrates per prefill")
         self.ip1 = dataclasses.replace(self.ip, max_batch_size=1)
 
         # B-sized cache skeleton from a dummy full-batch prefill, then

@@ -42,23 +42,33 @@ class InferenceParams:
 
 
 def quantize_for_cache(x: jax.Array, scale: jax.Array, dtype) -> jax.Array:
-    """Scale-and-saturate cast into the cache payload dtype."""
+    """Scale-and-saturate cast into the cache payload dtype. ``scale``
+    is (1,) (whole batch) or (B,) (per slot) against (B, S, H, D)."""
     if not is_fp8_dtype(dtype):
         return x.astype(dtype)
     m = dtype_max(dtype)
-    return jnp.clip(x.astype(jnp.float32) * scale, -m, m).astype(dtype)
+    s = jnp.asarray(scale, jnp.float32).reshape(
+        (-1,) + (1,) * (x.ndim - 1))
+    return jnp.clip(x.astype(jnp.float32) * s, -m, m).astype(dtype)
 
 
 def calibrate_kv_scale(k: jax.Array, v: jax.Array,
-                       margin: float = 2.0) -> jax.Array:
-    """Per-layer scalar scale from the prefill amax with headroom —
-    appended decode tokens reuse it (delayed-scaling philosophy; the
-    reference keeps per-tensor KV scales in the recipe state)."""
-    amax = jnp.maximum(jnp.max(jnp.abs(k.astype(jnp.float32))),
-                       jnp.max(jnp.abs(v.astype(jnp.float32))))
+                       margin: float = 2.0,
+                       per_slot: bool = False) -> jax.Array:
+    """Per-layer scale from the prefill amax with headroom — appended
+    decode tokens reuse it (delayed-scaling philosophy; the reference
+    keeps per-tensor KV scales in the recipe state and recalibrates per
+    cache manager, inference.py:403). ``per_slot`` returns a (B,) scale
+    per batch row so continuous-batching admission calibrates each
+    request into ITS slot without rescaling live neighbors."""
+    kf, vf = jnp.abs(k.astype(jnp.float32)), jnp.abs(v.astype(jnp.float32))
+    if per_slot:
+        amax = jnp.maximum(jnp.max(kf, axis=(1, 2, 3)),
+                           jnp.max(vf, axis=(1, 2, 3)))
+    else:
+        amax = jnp.maximum(jnp.max(kf), jnp.max(vf)).reshape(1)
     q_max = dtype_max(float8_e4m3)
-    scale = jnp.where(amax > 0, q_max / (amax * margin), 1.0)
-    return scale.reshape(1)
+    return jnp.where(amax > 0, q_max / (amax * margin), 1.0)
 
 
 def cache_append_bhsd(

@@ -54,7 +54,7 @@ def _decode_kernel(lengths_ref, scales_ref, q_ref, k_ref, v_ref, sink_ref,
 
     @pl.when(run)
     def _body():
-        kv_scale = scales_ref[0]
+        kv_scale = scales_ref[bi]
         q = q_ref[0].astype(jnp.float32)                     # (Hkv, G, D)
         k = k_ref[0].astype(jnp.float32) * kv_scale          # (Hkv, S, D)
         # batched over kv heads: (Hkv, G, S)
@@ -123,7 +123,7 @@ def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
     qg = q[:, 0].reshape(b, hkv, g, d).astype(op_dtype)
     s = jnp.einsum(f"bhgd,{kv_spec}->bhgs", qg, k_cache,
                    preferred_element_type=jnp.float32) * scale
-    s = s * kv_scale[0]
+    s = s * kv_scale.reshape(-1, 1, 1, 1)
     kpos = jnp.arange(s_len)[None, None, None, :]
     mask = kpos < lengths[:, None, None, None]
     if window_left >= 0:
@@ -139,7 +139,7 @@ def _xla_decode_attention(q, k_cache, v_cache, lengths, *, kv_scale,
         p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum(f"bhgs,{kv_spec}->bhgd", p.astype(op_dtype), v_cache,
                    preferred_element_type=jnp.float32)
-    o = o * kv_scale[0]
+    o = o * kv_scale.reshape(-1, 1, 1, 1)
     return o.reshape(b, 1, hq, d).astype(out_dtype)
 
 
@@ -174,7 +174,8 @@ def decode_attention(
         q.dtype if q.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16)
     if kv_scale is None:
         kv_scale = jnp.ones((1,), jnp.float32)
-    kv_scale = jnp.asarray(kv_scale, jnp.float32).reshape(1)
+    # (1,) whole-batch or (B,) per-slot dequant scales.
+    kv_scale = jnp.asarray(kv_scale, jnp.float32).reshape(-1)
 
     import os
     if backend == "auto":
@@ -257,6 +258,7 @@ def decode_attention(
             bytes_accessed=2 * b * hkv * s_max * d * k_cache.dtype.itemsize,
             transcendentals=b * hq * s_max),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), kv_scale, qg, kt, vt, sink)
+    )(lengths.astype(jnp.int32),
+      jnp.broadcast_to(kv_scale, (b,)), qg, kt, vt, sink)
     out = out.reshape(b, 1, hq, d)
     return out if not squeeze else out

@@ -4,9 +4,16 @@ TPU counterpart of the reference normalization kernels (reference:
 common/normalization/ — nvte_layernorm_fwd/bwd, nvte_rmsnorm_fwd/bwd,
 zero-centered gamma, FP8-output fusion). Stats are computed in f32 and
 returned as residuals (mu, rsigma) exactly like the reference so the
-backward never recomputes them. The fused quantized-output variant just
-feeds the normalized output to a quantizer — XLA fuses the cast chain;
-the Pallas path does the same in one VMEM pass.
+backward never recomputes them.
+
+FP8-output fusion (reference: nvte_layernorm_fwd fp8 epilogue): for
+ROWWISE-only quantizes (the per-tensor-scaling layer path) XLA fuses
+norm -> scale -> cast into one loop, so these pure-JAX functions ARE
+the fused kernel. For dual-orientation quantizes the Pallas boundary
+of cast_transpose forces an HBM round-trip of the normalized output;
+ops/quantize_kernels.norm_cast_transpose fuses the norm into that
+kernel instead (bit-identical to this chain; used by
+DelayedScaleQuantizer.quantize_normed when profitable).
 """
 from __future__ import annotations
 

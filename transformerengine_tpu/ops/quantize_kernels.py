@@ -119,6 +119,113 @@ def cast_transpose(
     return row, col, amax
 
 
+def _norm_cast_transpose_kernel(scale_ref, x_ref, gamma_ref, beta_ref,
+                                row_ref, col_ref, amax_ref, rsig_ref,
+                                mu_ref, *, q_max: float, q_dtype,
+                                norm: str, zcg: bool, eps: float):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        amax_ref[0] = jnp.float32(0.0)
+
+    x = x_ref[...].astype(jnp.float32)
+    g = gamma_ref[...].astype(jnp.float32)
+    if zcg:
+        g = g + 1.0
+    if norm == "layernorm":
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        mu_ref[...] = mu
+    else:
+        xc = x
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    rsig_ref[...] = rsig
+    y = xc * rsig * g
+    if beta_ref is not None:
+        y = y + beta_ref[...].astype(jnp.float32)
+    # Match the unfused chain bit-exactly (repo invariant: kernels ==
+    # qmath): normalization_fwd casts to the input dtype before the
+    # quantizer sees the values.
+    y = y.astype(x_ref.dtype).astype(jnp.float32)
+    amax_ref[0] = jnp.maximum(amax_ref[0], jnp.max(jnp.abs(y)))
+    q = jnp.clip(y * scale_ref[0], -q_max, q_max)
+    row_ref[...] = q.astype(q_dtype)
+    col_ref[...] = q.T.astype(q_dtype)
+
+
+def norm_cast_transpose(
+    x2d: jax.Array,              # (M, H)
+    gamma: jax.Array,            # (H,)
+    beta: Optional[jax.Array],   # (H,) or None
+    scale: jax.Array,            # (1,) f32 quantize scale (delayed)
+    q_dtype,
+    *,
+    norm: str = "rmsnorm",       # "rmsnorm" | "layernorm"
+    zero_centered_gamma: bool = False,
+    epsilon: float = 1e-6,
+):
+    """Fused normalization + dual-orientation quantize: one HBM read of
+    ``x`` yields the rowwise payload, the colwise payload, the amax of
+    the NORMALIZED values, and the (mu,) rsigma residuals — the
+    normalized bf16 intermediate is never written to HBM (reference:
+    common/normalization/ FP8-output fusion, nvte_layernorm_fwd fp8).
+    Returns (row (M,H), col (H,M), amax (1,), rsigma (M,1)[, mu (M,1)]).
+    """
+    m, h = x2d.shape
+    assert h % 128 == 0 and m % 8 == 0, (m, h)
+    tm = 256
+    while tm > 8 and (tm * h * 4 > 6 * 2 ** 20 or m % tm):
+        tm //= 2
+    assert m % tm == 0, (m, tm)
+    with_beta = beta is not None
+    ln = norm == "layernorm"
+
+    def kern(scale_ref, x_ref, gamma_ref, *rest):
+        if with_beta:
+            beta_ref, *outs = rest
+        else:
+            beta_ref, outs = None, list(rest)
+        row_ref, col_ref, amax_ref, rsig_ref = outs[:4]
+        mu_ref = outs[4] if ln else None
+        _norm_cast_transpose_kernel(
+            scale_ref, x_ref, gamma_ref, beta_ref, row_ref, col_ref,
+            amax_ref, rsig_ref, mu_ref, q_max=dtype_max(q_dtype),
+            q_dtype=q_dtype, norm=norm, zcg=zero_centered_gamma,
+            eps=epsilon)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [scale.reshape(1), x2d, gamma.reshape(1, h)]
+    if with_beta:
+        in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(beta.reshape(1, h))
+    out_specs = [
+        pl.BlockSpec((tm, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, h), q_dtype),
+        jax.ShapeDtypeStruct((h, m), q_dtype),
+        jax.ShapeDtypeStruct((1,), jnp.float32),
+        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+    ]
+    if ln:
+        out_specs.append(pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((m, 1), jnp.float32))
+    return pl.pallas_call(
+        kern, grid=(m // tm,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=_interpret())(*args)
+
+
 # ---------------------------------------------------------------------------
 # MXFP8 fused dual-orientation quantize
 # ---------------------------------------------------------------------------

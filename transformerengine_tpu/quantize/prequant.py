@@ -115,14 +115,32 @@ def prequantize_kernel_array(kernel: jax.Array, recipe: Optional[Recipe],
     t = _dc.replace(t, resident=True)
     from .dtypes import float8_e4m3, is_fp4_dtype
     br, bc = t.scaling_mode.block_shape
-    if (t.scaling_mode.is_block_scaling and br == 1 and k % bc == 0
-            and t.data.ndim == 2):
-        # Contraction-major (K, N) resident layout: the decode scan
-        # dequantizes block-scaled weights in VMEM instead of
-        # materializing bf16 copies per step (r4 NVFP4 profile:
-        # ~12.7 ms/step of multiply_convert_fusion + broadcast).
-        return PrequantizedKernel(colwise=_build_kn_kernel(t, kernel.dtype),
-                                  logical_shape=tuple(kernel.shape))
+    if t.scaling_mode.is_block_scaling and t.data.ndim == 2:
+        import os
+        mode = os.environ.get("TE_TPU_BLOCK_DECODE", "bf16")
+        if mode == "bf16":
+            # SPEED default: dequantize the recipe-snapped values ONCE
+            # at load into the bf16 (N, K) resident layout. Measured r5
+            # (v5e, 16L 8B-geometry decode): every in-graph touch of a
+            # quantized block-scaled payload loses — the r5 KN Pallas
+            # kernel's explicit e4m3->bf16 convert runs at 80 GB/s
+            # payload rate vs 750 for the fp8-direct TN dot
+            # (scripts/micro_kn_dequant.py: noscale 1467 us vs tn_fp8
+            # 157 us on the wi GEMM; even scale-free), and XLA's fused
+            # dequant chain costs ~12.7 ms/step of materialization.
+            # Block scales only pay on the wire/at rest; at decode the
+            # exact bf16 values are the fast representation.
+            return PrequantizedKernel(
+                colwise=jnp.asarray(t.dequantize().astype(jnp.bfloat16)),
+                logical_shape=tuple(kernel.shape))
+        if br == 1 and k % bc == 0:
+            # CAPACITY option (TE_TPU_BLOCK_DECODE=quantized): keep the
+            # 1-byte (or nibble-packed 0.5-byte) payload resident and
+            # dequantize in VMEM per step (decode_kn_matvec) — 2-4x
+            # weight-HBM capacity at lower tok/s.
+            return PrequantizedKernel(
+                colwise=_build_kn_kernel(t, kernel.dtype),
+                logical_shape=tuple(kernel.shape))
     if is_fp4_dtype(t.data.dtype):
         # fp4 is BYTE-backed in XLA (no packing), so re-encoding the
         # e2m1 grid points in e4m3 costs zero bytes and is EXACT —
@@ -190,14 +208,21 @@ class BlockResidentKernel:
 _KERNEL_NAMES = ("kernel", "wi_kernel", "wo_kernel")
 
 
-def prequantize_kernels(variables: Any, recipe: Optional[Recipe]) -> Any:
+def prequantize_kernels(variables: Any, recipe: Optional[Recipe],
+                        donate: bool = False) -> Any:
     """Convert a Flax variables dict for FP8-resident inference: every
     projection kernel moves from ``params`` into a ``prequant``
     collection as a :class:`PrequantizedKernel`; the modules
     (TransformerEngineBase.kernel_param) read that collection first.
 
     Embedding and norm parameters stay high-precision (matching the
-    reference, which only converts Linear-family weights)."""
+    reference, which only converts Linear-family weights).
+
+    ``donate=True`` frees each source kernel's device buffer as soon as
+    its resident form is built, capping peak HBM at ~one weight copy
+    plus per-kernel temporaries instead of two full copies (an 8B-class
+    model on a 16 GB chip OOMs otherwise). The input ``variables`` tree
+    must not be used afterwards."""
     import flax.linen as nn
     params = nn.meta.unbox(variables["params"])
 
@@ -210,7 +235,11 @@ def prequantize_kernels(variables: Any, recipe: Optional[Recipe]) -> Any:
                 if q:
                     quant[name] = q
             elif name in _KERNEL_NAMES and getattr(sub, "ndim", 0) >= 2:
-                quant[name] = prequantize_kernel_array(sub, recipe)
+                pk = prequantize_kernel_array(sub, recipe)
+                if donate and isinstance(sub, jax.Array):
+                    jax.block_until_ready(pk)
+                    sub.delete()
+                quant[name] = pk
             else:
                 kept[name] = sub
         return kept, quant

@@ -220,6 +220,45 @@ class DelayedScaleQuantizer(Quantizer):
         s_inv = (1.0 / self.scale).reshape(1)
         return row, s_inv, col, s_inv, None, amax[0]
 
+    def quantize_normed(self, x2d, gamma, beta, *, norm: str,
+                        zero_centered_gamma: bool, epsilon: float,
+                        dq_dtype=None):
+        """Fused normalization + dual-orientation quantize
+        (ops/quantize_kernels.norm_cast_transpose): returns
+        (ScaledTensor2x, mu | None, rsigma) without materializing the
+        normalized bf16 intermediate, bit-identical to
+        normalization.*_fwd -> quantize (reference:
+        common/normalization/ FP8-output fusion). Returns None when the
+        fused kernel does not apply (off-TPU auto, unaligned shapes)."""
+        import os
+        from ..ops.quantize_kernels import (_fused_enabled,
+                                            norm_cast_transpose)
+        env = os.environ.get("TE_TPU_FUSED_LN_QUANTIZE", "auto")
+        if env == "0":
+            return None
+        if env != "1" and (not _fused_enabled()
+                           or jax.default_backend() != "tpu"):
+            return None
+        m, h = x2d.shape
+        if m % 8 or h % 128 or m < 256:
+            return None
+        outs = norm_cast_transpose(
+            x2d, gamma, beta, self.scale.reshape(1), self.q_dtype,
+            norm=norm, zero_centered_gamma=zero_centered_gamma,
+            epsilon=epsilon)
+        row, col, amax = outs[0], outs[1], outs[2]
+        rsigma = outs[3].reshape(m)
+        mu = outs[4].reshape(m) if norm == "layernorm" else None
+        dq_dtype = jnp.dtype(dq_dtype or x2d.dtype)
+        s_inv = (1.0 / self.scale).reshape(1)
+        rw = make_scaled_tensor(
+            row, s_inv, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+            amax=amax[0], layout="N", flatten_axis=1)
+        cw = make_scaled_tensor(
+            col, s_inv, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+            amax=amax[0], layout="T", flatten_axis=1)
+        return ScaledTensor2x(rowwise=rw, colwise=cw), mu, rsigma
+
     def update(self, amax: jax.Array) -> "DelayedScaleQuantizer":
         """Record this step's (possibly all-reduced) amax, roll the history,
         and recompute the scale — the reference's
