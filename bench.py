@@ -154,7 +154,12 @@ def bench_decode_and_ttft():
     # NVFP4 numerics/perf on the one real chip, same timing window as
     # the FP8/BF16 variants so the ratios survive tunnel drift.
     try:
-        nv_vars = prequantize_kernels(variables, te.NVFP4BlockScaling())
+        # donate: the bf16-resident block-decode default (r5) makes the
+        # NVFP4 copy weight-sized; freeing the source kernels as they
+        # convert keeps the 8B-geometry rung under 16 GB HBM. variables
+        # has no users after this.
+        nv_vars = prequantize_kernels(variables, te.NVFP4BlockScaling(),
+                                      donate=True)
         t_nv, ttft_nv, _ = bench_variant(nv_vars, float8_e4m3)
         out["nvfp4_decode_tokens_per_s"] = round(B / t_nv, 1)
         out["nvfp4_vs_bf16"] = round(t_bf16 / t_nv, 3)

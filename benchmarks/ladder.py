@@ -313,16 +313,29 @@ def bench_convergence(steps=150, tail=20):
     from transformerengine_tpu.models.llama import (
         LLAMA_TINY, LlamaModel, cross_entropy_loss)
 
-    def train(recipe, seed=0):
+    def train(recipe, seed=0, low_prec_opt=False):
         cfg = dataclasses.replace(LLAMA_TINY, num_layers=2)
         model = LlamaModel(config=cfg)
         tokens = jax.random.randint(
             jax.random.PRNGKey(seed), (4, 64), 0, cfg.vocab_size)
-        opt = optax.adam(1e-3)
+        if low_prec_opt:
+            # bf16 params + int16 remainder masters + bf16 exp_avg
+            # (reference: FusedAdam store_param_remainders + fp16
+            # exp_avg) — the at-scale memory configuration; trajectory
+            # must stay inside the recipe's convergence envelope.
+            from transformerengine_tpu.optimizers import fused_adam
+            opt = fused_adam(1e-3, store_param_remainders=True,
+                             exp_avg_dtype=jnp.bfloat16)
+        else:
+            opt = optax.adam(1e-3)
         with te.autocast(enabled=recipe is not None, recipe=recipe):
             variables = jax.jit(model.init)(jax.random.PRNGKey(seed + 1),
                                             tokens)
             params = variables["params"]
+            if low_prec_opt:
+                params = jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if p.dtype == jnp.float32 else p, params)
             qmeta = variables.get(QUANTIZE_META, {})
             opt_state = opt.init(params)
 
@@ -341,6 +354,9 @@ def bench_convergence(steps=150, tail=20):
                 else:
                     loss, gp = jax.value_and_grad(loss_fn)(params, qmeta)
                     gq = qmeta
+                if low_prec_opt:
+                    new_params, opt_state = opt.step(gp, opt_state, params)
+                    return new_params, gq, opt_state, loss
                 updates, opt_state = opt.update(gp, opt_state, params)
                 return (optax.apply_updates(params, updates), gq, opt_state,
                         loss)
@@ -366,4 +382,16 @@ def bench_convergence(steps=150, tail=20):
             out[f"{name}_loss_delta"] = round(d, 4)
         except Exception as e:   # one recipe failing must not sink the rung
             out[f"{name}_error"] = str(e)[:160]
+    try:
+        # fp8 recipe + low-precision optimizer (bf16 params, int16
+        # remainder masters, bf16 exp_avg): the reference FusedAdam
+        # at-scale memory configuration, checked against the same
+        # envelope (VERDICT r4 #5).
+        tr = train(te.DelayedScaling(amax_history_len=16),
+                   low_prec_opt=True)
+        out["fp8_lpadam_final_loss"] = round(float(tr[-tail:].mean()), 4)
+        out["fp8_lpadam_loss_delta"] = round(
+            float(tr[-tail:].mean() - bf16[-tail:].mean()), 4)
+    except Exception as e:
+        out["fp8_lpadam_error"] = str(e)[:160]
     return out
