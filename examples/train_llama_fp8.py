@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--recipe", choices=RECIPES, default="delayed")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--low-precision-optimizer", action="store_true",
+                    help="bf16 params + int16 remainder masters + bf16 "
+                         "exp_avg (reference FusedAdam "
+                         "store_param_remainders — half the master "
+                         "bytes, bit-exact f32 trajectory)")
     args = ap.parse_args()
 
     recipe = RECIPES[args.recipe]()
@@ -56,7 +61,9 @@ def main():
     model = LlamaModel(config=LLAMA_TINY)
     tokens = jax.random.randint(
         jax.random.PRNGKey(0), (args.batch, args.seq), 0, 256)
-    opt = fused_adam(3e-4)
+    opt = (fused_adam(3e-4, store_param_remainders=True,
+                      exp_avg_dtype=jnp.bfloat16)
+           if args.low_precision_optimizer else fused_adam(3e-4))
 
     with mesh, nn.logical_axis_rules(rules), \
             te.autocast(enabled=recipe is not None, recipe=recipe), \
@@ -68,6 +75,10 @@ def main():
             jax.random.PRNGKey(1), tokens)
         tokens = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
         params = variables["params"]
+        if args.low_precision_optimizer:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
         qmeta = variables.get(QUANTIZE_META, {})
         opt_state = opt.init(params)
 
@@ -86,6 +97,9 @@ def main():
             else:
                 loss, gp = jax.value_and_grad(loss_fn)(params, qmeta)
                 gq = qmeta
+            if args.low_precision_optimizer:
+                new_params, opt_state = opt.step(gp, opt_state, params)
+                return new_params, gq, opt_state, loss
             updates, opt_state = opt.update(gp, opt_state, params)
             return optax.apply_updates(params, updates), gq, opt_state, loss
 

@@ -52,6 +52,37 @@ class TestCheckpoint:
         assert r["rowwise_data"].dtype == t.rowwise.data.dtype
 
 
+class TestLowPrecAdamCheckpoint:
+    def test_adam_state_remainders_roundtrip(self):
+        """AdamState with int16 remainder masters + bf16/fp8 scaled
+        states survives an orbax save/restore bitwise (reference:
+        FusedAdam state_dict with param remainders)."""
+        from transformerengine_tpu.optimizers import fused_adam
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        p = {"w": jax.random.normal(jax.random.PRNGKey(0), (16, 16)
+                                    ).astype(jnp.bfloat16)}
+        opt = fused_adam(1e-2, store_param_remainders=True,
+                         exp_avg_dtype=jnp.bfloat16,
+                         exp_avg_sq_dtype=float8_e4m3)
+        st = opt.init(p)
+        g = {"w": jnp.full((16, 16), 0.1)}
+        p, st = opt.step(g, st, p)
+        flat = {
+            "step": st.step, "mu": st.mu["w"],
+            "nu_payload": st.nu["w"].payload,
+            "nu_scale": st.nu["w"].scale_inv,
+            "rem": st.master["w"], "param": p["w"],
+        }
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(d + "/adam", flat)
+            r = restore_checkpoint(path)
+        for k in flat:
+            assert r[k].dtype == jnp.asarray(flat[k]).dtype, k
+            assert jnp.array_equal(
+                jnp.asarray(r[k]).astype(jnp.float32),
+                jnp.asarray(flat[k]).astype(jnp.float32)), k
+
+
 class TestRemat:
     def test_remat_model_matches_no_remat(self):
         import dataclasses

@@ -542,15 +542,17 @@ class MultiHeadAttention(TransformerEngineBase):
                              jnp.int32)
         free = self.variable("cache", "free_head", jnp.zeros, (),
                              jnp.int32)
-        kv_scale = self.variable("cache", "kv_scale", jnp.ones, (1,),
+        # Per-slot (B,) scales — same contract as the non-paged cache
+        # (continuous batching admits per-request calibrations).
+        kv_scale = self.variable("cache", "kv_scale", jnp.ones, (b,),
                                  jnp.float32)
 
         is_prefill = s > 1
         if is_prefill and ip.is_fp8:
             kv_scale.value = (
-                jnp.full((1,), ip.fixed_kv_scale, jnp.float32)
+                jnp.full((b,), ip.fixed_kv_scale, jnp.float32)
                 if ip.fixed_kv_scale is not None
-                else calibrate_kv_scale(k, v))
+                else calibrate_kv_scale(k, v, per_slot=True))
         qscale = kv_scale.value if ip.is_fp8 else None
         state = PagedKVState(pages_k=pk.value, pages_v=pv.value,
                              page_table=pt.value, lengths=clen.value,

@@ -45,7 +45,7 @@ def _paged_kernel(table_ref, lengths_ref, scale_ref, q_ref, k_ref, v_ref,
 
     @pl.when(s_start < length)
     def _body():
-        kv_scale = scale_ref[0]
+        kv_scale = scale_ref[bi]
         q = q_ref[0, 0].astype(jnp.float32)                  # (G, D)
         k = k_ref[0, 0].astype(jnp.float32) * kv_scale       # (page, D)
         s = jax.lax.dot_general(
@@ -158,5 +158,6 @@ def paged_decode_attention(
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), out_dtype),
         interpret=_interpret(),
     )(table, lengths.astype(jnp.int32),
-      jnp.asarray(kv_scale, jnp.float32).reshape(1), qg, kt, vt, sink)
+      jnp.broadcast_to(jnp.asarray(kv_scale, jnp.float32).reshape(-1),
+                       (q.shape[0],)), qg, kt, vt, sink)
     return out.reshape(b, 1, hq, d)
