@@ -54,19 +54,40 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
     if not isinstance(kernel, PrequantizedKernel):
         kernel = with_sharding_constraint_by_logical_axes(kernel, kernel_axes)
 
-    if norm_type == "layernorm":
-        ln_out, mu, rsigma = layernorm_fwd(
-            x, gamma, beta, zero_centered_gamma=zero_centered_gamma,
-            epsilon=epsilon)
-    else:
-        ln_out, rsigma = rmsnorm_fwd(
-            x, gamma, zero_centered_gamma=zero_centered_gamma, epsilon=epsilon)
-        mu = None
-
     m = _prod(x.shape[:-1])
     k = x.shape[-1]
     n = _prod(kernel.shape[1:])
-    ln2d = ln_out.reshape(m, k)
+
+    # Fused norm + dual-orientation quantize (see layernorm_mlp).
+    fused_norm_q = None
+    if (not isinstance(kernel, PrequantizedKernel)
+            and quantizer_set.x is not None
+            and not all_tensor_scaling(quantizer_set) and not inference):
+        qn = getattr(quantizer_set.x, "quantize_normed", None)
+        if qn is not None:
+            fused_norm_q = qn(
+                x.reshape(m, k), gamma,
+                beta if norm_type == "layernorm" else None,
+                norm=norm_type, zero_centered_gamma=zero_centered_gamma,
+                epsilon=epsilon)
+    if fused_norm_q is not None:
+        qx_fused, mu, rsigma = fused_norm_q
+        rsigma = rsigma.reshape(x.shape[:-1])
+        if mu is not None:
+            mu = mu.reshape(x.shape[:-1])
+        ln_out = ln2d = None
+    else:
+        qx_fused = None
+        if norm_type == "layernorm":
+            ln_out, mu, rsigma = layernorm_fwd(
+                x, gamma, beta, zero_centered_gamma=zero_centered_gamma,
+                epsilon=epsilon)
+        else:
+            ln_out, rsigma = rmsnorm_fwd(
+                x, gamma, zero_centered_gamma=zero_centered_gamma,
+                epsilon=epsilon)
+            mu = None
+        ln2d = ln_out.reshape(m, k)
 
     if isinstance(kernel, PrequantizedKernel):
         from .dense import prequant_x_quantize
@@ -101,7 +122,8 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))
         res_q = (None, None, None, None)
     else:
-        qx = quantizer_set.x.quantize(ln2d)
+        qx = (qx_fused if qx_fused is not None
+              else quantizer_set.x.quantize(ln2d))
         qk = (kernel_cache.q if kernel_cache is not None
               else quantizer_set.kernel.quantize(kernel.reshape(k, n)))
         out2d = tn_dot(get_rowwise(qx), get_colwise(qk))

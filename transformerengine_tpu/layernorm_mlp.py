@@ -78,19 +78,41 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
     if not isinstance(kernel2, PrequantizedKernel):
         kernel2 = with_sharding_constraint_by_logical_axes(kernel2, dot2_kernel_axes)
 
-    if norm_type == "layernorm":
-        ln_out, mu, rsigma = layernorm_fwd(
-            x, gamma, beta, zero_centered_gamma=zcg, epsilon=eps)
-    else:
-        ln_out, rsigma = rmsnorm_fwd(
-            x, gamma, zero_centered_gamma=zcg, epsilon=eps)
-        mu = None
-
     m = _prod(x.shape[:-1])
     hidden = x.shape[-1]
     n_act = kernel1.shape[-2] if kernel1.ndim == 3 else 1
     ffn = kernel1.shape[-1]
-    ln2d = ln_out.reshape(m, hidden)
+
+    # Fused norm + dual-orientation quantize (one VMEM pass; reference:
+    # nvte_layernorm_fwd FP8 epilogue) — applies exactly when GEMM1
+    # takes the 2x-quantize branch below and the quantizer provides a
+    # fused kernel (MXFP8 / delayed scaling).
+    fused_norm_q = None
+    if (not isinstance(kernel1, PrequantizedKernel)
+            and qset1.x is not None and not all_tensor_scaling(qset1)
+            and not inference):
+        qn = getattr(qset1.x, "quantize_normed", None)
+        if qn is not None:
+            fused_norm_q = qn(
+                x.reshape(m, hidden), gamma,
+                beta if norm_type == "layernorm" else None,
+                norm=norm_type, zero_centered_gamma=zcg, epsilon=eps)
+    if fused_norm_q is not None:
+        qx_fused, mu, rsigma = fused_norm_q
+        rsigma = rsigma.reshape(x.shape[:-1])
+        if mu is not None:
+            mu = mu.reshape(x.shape[:-1])
+        ln_out = ln2d = None
+    else:
+        qx_fused = None
+        if norm_type == "layernorm":
+            ln_out, mu, rsigma = layernorm_fwd(
+                x, gamma, beta, zero_centered_gamma=zcg, epsilon=eps)
+        else:
+            ln_out, rsigma = rmsnorm_fwd(
+                x, gamma, zero_centered_gamma=zcg, epsilon=eps)
+            mu = None
+        ln2d = ln_out.reshape(m, hidden)
 
     # --- GEMM1 ---
     if isinstance(kernel1, PrequantizedKernel):
@@ -124,7 +146,7 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         z2d = tn_dot(get_rowwise(qx), get_colwise(qk1))
         res1 = (None, None, None, None)
     else:
-        qx = qset1.x.quantize(ln2d)
+        qx = qx_fused if qx_fused is not None else qset1.x.quantize(ln2d)
         qk1 = (kc1.q if kc1 is not None
                else qset1.kernel.quantize(
                    kernel1.reshape(hidden, n_act * ffn)))

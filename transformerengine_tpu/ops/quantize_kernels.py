@@ -516,6 +516,122 @@ def nvfp4_quantize_2x(
             col, scol.T.astype(float8_e4m3))
 
 
+def _mxfp8_norm_kernel(expand_n_ref, expand_m_ref, x_ref, gamma_ref,
+                       beta_ref, row_ref, col_ref, srow_ref, scol_ref,
+                       rsig_ref, mu_ref, *, q_dtype, emax_elem: int,
+                       norm: str, zcg: bool, eps: float):
+    x = x_ref[...].astype(jnp.float32)
+    g = gamma_ref[...].astype(jnp.float32)
+    if zcg:
+        g = g + 1.0
+    if norm == "layernorm":
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        mu_ref[...] = mu
+    else:
+        xc = x
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    rsig_ref[...] = rsig
+    y = xc * rsig * g
+    if beta_ref is not None:
+        y = y + beta_ref[...].astype(jnp.float32)
+    # Chain parity: normalization_fwd rounds to the input dtype before
+    # the quantizer reads the values.
+    y = y.astype(x_ref.dtype).astype(jnp.float32)
+    yt = y.T
+    row, srow_t = _mxfp8_pair(y, yt, expand_n_ref[...], q_dtype, emax_elem)
+    row_ref[...] = row
+    srow_ref[...] = srow_t
+    col, scol_t = _mxfp8_pair(yt, y, expand_m_ref[...], q_dtype, emax_elem)
+    col_ref[...] = col
+    scol_ref[...] = scol_t
+
+
+def mxfp8_norm_quantize_2x(
+    x2d: jax.Array,             # (M, H); H = normalized axis
+    gamma: jax.Array,           # (H,)
+    beta: Optional[jax.Array],  # (H,) or None
+    q_dtype=float8_e4m3,
+    *,
+    norm: str = "rmsnorm",
+    zero_centered_gamma: bool = False,
+    epsilon: float = 1e-6,
+):
+    """Fused normalization + MXFP8 dual-orientation quantize: one HBM
+    read of ``x`` yields both payloads, both E8M0 scale grids, and the
+    norm residuals — the normalized bf16 intermediate never round-trips
+    HBM between the XLA norm and the Pallas quantize (reference:
+    common/normalization/ FP8-output fusion + cast_transpose_fusion).
+    Bit-identical to normalization.*_fwd -> mxfp8_quantize_2x.
+    Returns (row, col, srow, scol, rsigma (M,1)[, mu (M,1)])."""
+    m, h = x2d.shape
+    assert m % 32 == 0 and h % 32 == 0, x2d.shape
+    # Full-width tiles (LN needs whole rows); three f32 stripe-sized
+    # temporaries (x, y, yt) + the H-wide expander bound VMEM.
+    tm = 256
+    while tm > 32 and (3 * tm * h * 4 + (h // 32) * h * 4 > 10 * 2 ** 20
+                       or m % tm):
+        tm //= 2
+    assert m % tm == 0, (m, tm)
+    emax = 8  # e4m3
+    expand_n = _expand_mat(h // 32)
+    expand_m = _expand_mat(tm // 32)
+    ln = norm == "layernorm"
+    with_beta = beta is not None
+
+    def kern(en_ref, em_ref, x_ref, gamma_ref, *rest):
+        if with_beta:
+            beta_ref, *outs = rest
+        else:
+            beta_ref, outs = None, list(rest)
+        _mxfp8_norm_kernel(
+            en_ref, em_ref, x_ref, gamma_ref, beta_ref, outs[0], outs[1],
+            outs[2], outs[3], outs[4], outs[5] if ln else None,
+            q_dtype=q_dtype, emax_elem=emax, norm=norm,
+            zcg=zero_centered_gamma, eps=epsilon)
+
+    in_specs = [
+        pl.BlockSpec(expand_n.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(expand_m.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [expand_n, expand_m, x2d, gamma.reshape(1, h)]
+    if with_beta:
+        in_specs.append(pl.BlockSpec((1, h), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(beta.reshape(1, h))
+    out_specs = [
+        pl.BlockSpec((tm, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h // 32, tm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm // 32, h), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, h), q_dtype),
+        jax.ShapeDtypeStruct((h, m), q_dtype),
+        jax.ShapeDtypeStruct((h // 32, m), jnp.int32),
+        jax.ShapeDtypeStruct((m // 32, h), jnp.int32),
+        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+    ]
+    if ln:
+        out_specs.append(pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((m, 1), jnp.float32))
+    outs = pl.pallas_call(
+        kern, grid=(m // tm,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=_interpret())(*args)
+    row, col, srow, scol = outs[0], outs[1], outs[2], outs[3]
+    return ((row, col, srow.T.astype(jnp.uint8), scol.T.astype(jnp.uint8))
+            + tuple(outs[4:]))
+
+
 def _mxfp8_1x_kernel(expand_ref, x_ref, out_ref, s_ref, *, q_dtype,
                      emax_elem: int, colwise: bool):
     x = x_ref[...].astype(jnp.float32)

@@ -306,6 +306,42 @@ class BlockScaleQuantizer(Quantizer):
             x2d, self.q_dtype, tile=(tm, tn))
         return row, srow, col, scol, None, None
 
+    def quantize_normed(self, x2d, gamma, beta, *, norm: str,
+                        zero_centered_gamma: bool, epsilon: float,
+                        dq_dtype=None):
+        """Fused normalization + MXFP8 dual-orientation quantize
+        (ops/quantize_kernels.mxfp8_norm_quantize_2x); returns
+        (ScaledTensor2x, mu | None, rsigma) or None when not
+        applicable. Bit-identical to normalization.*_fwd -> quantize."""
+        import os
+        from ..ops.quantize_kernels import (_fused_enabled,
+                                            mxfp8_norm_quantize_2x)
+        if self.scaling_mode is not ScalingMode.MXFP8_1D_SCALING:
+            return None
+        env = os.environ.get("TE_TPU_FUSED_LN_QUANTIZE", "auto")
+        if env == "0":
+            return None
+        if env != "1" and (not _fused_enabled()
+                           or jax.default_backend() != "tpu"):
+            return None
+        m, h = x2d.shape
+        if m % 256 or h % 128:
+            return None
+        outs = mxfp8_norm_quantize_2x(
+            x2d, gamma, beta, self.q_dtype, norm=norm,
+            zero_centered_gamma=zero_centered_gamma, epsilon=epsilon)
+        row, col, srow, scol = outs[:4]
+        rsigma = outs[4].reshape(m)
+        mu = outs[5].reshape(m) if norm == "layernorm" else None
+        dq_dtype = jnp.dtype(dq_dtype or x2d.dtype)
+        rw = make_scaled_tensor(
+            row, srow, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+            layout="N", flatten_axis=1)
+        cw = make_scaled_tensor(
+            col, scol, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
+            layout="T", flatten_axis=1)
+        return ScaledTensor2x(rowwise=rw, colwise=cw), mu, rsigma
+
     def _fused_1x(self, x2d, key, is_colwise):
         if self.scaling_mode is not ScalingMode.MXFP8_1D_SCALING:
             return None
