@@ -69,7 +69,8 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
                 x.reshape(m, k), gamma,
                 beta if norm_type == "layernorm" else None,
                 norm=norm_type, zero_centered_gamma=zero_centered_gamma,
-                epsilon=epsilon)
+                epsilon=epsilon,
+                layout=(QuantizeLayout.ROWWISE if inference else None))
     if fused_norm_q is not None:
         qx_fused, mu, rsigma = fused_norm_q
         rsigma = rsigma.reshape(x.shape[:-1])
@@ -113,7 +114,9 @@ def _ln_dense_fwd(cfg, x, kernel, gamma, beta, bias, quantizer_set,
         out2d = q_dot(qx, qk, 1, 0)
         res_q = (qx, qk, _amax_of(qx), _amax_of(qk), Static("1x"))
     elif inference:
-        qx = quantizer_set.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qx = (qx_fused if qx_fused is not None
+              else quantizer_set.x.quantize(ln2d,
+                                            layout=QuantizeLayout.ROWWISE))
         if kernel_cache is not None:
             qk = get_colwise(kernel_cache.q)
         else:

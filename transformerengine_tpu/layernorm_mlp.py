@@ -89,14 +89,16 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
     # fused kernel (MXFP8 / delayed scaling).
     fused_norm_q = None
     if (not isinstance(kernel1, PrequantizedKernel)
-            and qset1.x is not None and not all_tensor_scaling(qset1)
-            and not inference):
+            and qset1.x is not None and not all_tensor_scaling(qset1)):
+        # Training: fused 2x; inference primal: fused ROWWISE-only
+        # (single-orientation quantize, r2 convention).
         qn = getattr(qset1.x, "quantize_normed", None)
         if qn is not None:
             fused_norm_q = qn(
                 x.reshape(m, hidden), gamma,
                 beta if norm_type == "layernorm" else None,
-                norm=norm_type, zero_centered_gamma=zcg, epsilon=eps)
+                norm=norm_type, zero_centered_gamma=zcg, epsilon=eps,
+                layout=(QuantizeLayout.ROWWISE if inference else None))
     if fused_norm_q is not None:
         qx_fused, mu, rsigma = fused_norm_q
         rsigma = rsigma.reshape(x.shape[:-1])
@@ -138,7 +140,8 @@ def _ln_mlp_fwd(cfg, x, gamma, beta, kernel1, kernel2, bias1, bias2, qsets,
         z2d = q_dot(qx, qk1, 1, 0)
         res1 = (qx, qk1, _amax_of(qx), _amax_of(qk1), Static("1x"))
     elif inference:
-        qx = qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE)
+        qx = (qx_fused if qx_fused is not None
+              else qset1.x.quantize(ln2d, layout=QuantizeLayout.ROWWISE))
         qk1 = (get_colwise(kc1.q) if kc1 is not None
                else qset1.kernel.quantize(
                    kernel1.reshape(hidden, n_act * ffn),

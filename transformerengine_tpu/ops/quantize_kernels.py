@@ -543,9 +543,11 @@ def _mxfp8_norm_kernel(expand_n_ref, expand_m_ref, x_ref, gamma_ref,
     row, srow_t = _mxfp8_pair(y, yt, expand_n_ref[...], q_dtype, emax_elem)
     row_ref[...] = row
     srow_ref[...] = srow_t
-    col, scol_t = _mxfp8_pair(yt, y, expand_m_ref[...], q_dtype, emax_elem)
-    col_ref[...] = col
-    scol_ref[...] = scol_t
+    if col_ref is not None:
+        col, scol_t = _mxfp8_pair(yt, y, expand_m_ref[...], q_dtype,
+                                  emax_elem)
+        col_ref[...] = col
+        scol_ref[...] = scol_t
 
 
 def mxfp8_norm_quantize_2x(
@@ -557,14 +559,17 @@ def mxfp8_norm_quantize_2x(
     norm: str = "rmsnorm",
     zero_centered_gamma: bool = False,
     epsilon: float = 1e-6,
+    rowwise_only: bool = False,
 ):
-    """Fused normalization + MXFP8 dual-orientation quantize: one HBM
-    read of ``x`` yields both payloads, both E8M0 scale grids, and the
-    norm residuals — the normalized bf16 intermediate never round-trips
-    HBM between the XLA norm and the Pallas quantize (reference:
-    common/normalization/ FP8-output fusion + cast_transpose_fusion).
-    Bit-identical to normalization.*_fwd -> mxfp8_quantize_2x.
-    Returns (row, col, srow, scol, rsigma (M,1)[, mu (M,1)])."""
+    """Fused normalization + MXFP8 quantize: one HBM read of ``x``
+    yields the payload(s), E8M0 scale grid(s), and the norm residuals —
+    the normalized bf16 intermediate never round-trips HBM between the
+    XLA norm and the Pallas quantize (reference: common/normalization/
+    FP8-output fusion + cast_transpose_fusion). Bit-identical to
+    normalization.*_fwd -> mxfp8_quantize_2x / _1x.
+    Returns (row, col, srow, scol, rsigma (M,1)[, mu (M,1)]); with
+    ``rowwise_only`` col/scol are None (the inference primal's
+    single-orientation path)."""
     m, h = x2d.shape
     assert m % 32 == 0 and h % 32 == 0, x2d.shape
     # Full-width tiles (LN needs whole rows); three f32 stripe-sized
@@ -585,9 +590,16 @@ def mxfp8_norm_quantize_2x(
             beta_ref, *outs = rest
         else:
             beta_ref, outs = None, list(rest)
+        if rowwise_only:
+            row_ref, srow_ref, rsig_ref = outs[:3]
+            col_ref = scol_ref = None
+            mu_ref = outs[3] if ln else None
+        else:
+            row_ref, col_ref, srow_ref, scol_ref, rsig_ref = outs[:5]
+            mu_ref = outs[5] if ln else None
         _mxfp8_norm_kernel(
-            en_ref, em_ref, x_ref, gamma_ref, beta_ref, outs[0], outs[1],
-            outs[2], outs[3], outs[4], outs[5] if ln else None,
+            en_ref, em_ref, x_ref, gamma_ref, beta_ref, row_ref, col_ref,
+            srow_ref, scol_ref, rsig_ref, mu_ref,
             q_dtype=q_dtype, emax_elem=emax, norm=norm,
             zcg=zero_centered_gamma, eps=epsilon)
 
@@ -606,20 +618,22 @@ def mxfp8_norm_quantize_2x(
         args.append(beta.reshape(1, h))
     out_specs = [
         pl.BlockSpec((tm, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h // 32, tm), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm // 32, h), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((m, h), q_dtype),
-        jax.ShapeDtypeStruct((h, m), q_dtype),
-        jax.ShapeDtypeStruct((h // 32, m), jnp.int32),
-        jax.ShapeDtypeStruct((m // 32, h), jnp.int32),
-        jax.ShapeDtypeStruct((m, 1), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((m, h), q_dtype)]
+    if not rowwise_only:
+        out_specs.append(pl.BlockSpec((h, tm), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((h, m), q_dtype))
+    out_specs.append(pl.BlockSpec((h // 32, tm), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((h // 32, m), jnp.int32))
+    if not rowwise_only:
+        out_specs.append(pl.BlockSpec((tm // 32, h), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((m // 32, h), jnp.int32))
+    out_specs.append(pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((m, 1), jnp.float32))
     if ln:
         out_specs.append(pl.BlockSpec((tm, 1), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -627,6 +641,9 @@ def mxfp8_norm_quantize_2x(
     outs = pl.pallas_call(
         kern, grid=(m // tm,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=_interpret())(*args)
+    if rowwise_only:
+        row, srow = outs[0], outs[1]
+        return (row, None, srow.T.astype(jnp.uint8), None) + tuple(outs[2:])
     row, col, srow, scol = outs[0], outs[1], outs[2], outs[3]
     return ((row, col, srow.T.astype(jnp.uint8), scol.T.astype(jnp.uint8))
             + tuple(outs[4:]))

@@ -222,7 +222,7 @@ class DelayedScaleQuantizer(Quantizer):
 
     def quantize_normed(self, x2d, gamma, beta, *, norm: str,
                         zero_centered_gamma: bool, epsilon: float,
-                        dq_dtype=None):
+                        dq_dtype=None, layout=None):
         """Fused normalization + dual-orientation quantize
         (ops/quantize_kernels.norm_cast_transpose): returns
         (ScaledTensor2x, mu | None, rsigma) without materializing the
@@ -254,6 +254,8 @@ class DelayedScaleQuantizer(Quantizer):
         rw = make_scaled_tensor(
             row, s_inv, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
             amax=amax[0], layout="N", flatten_axis=1)
+        if layout is QuantizeLayout.ROWWISE:
+            return rw, mu, rsigma
         cw = make_scaled_tensor(
             col, s_inv, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
             amax=amax[0], layout="T", flatten_axis=1)
@@ -308,11 +310,12 @@ class BlockScaleQuantizer(Quantizer):
 
     def quantize_normed(self, x2d, gamma, beta, *, norm: str,
                         zero_centered_gamma: bool, epsilon: float,
-                        dq_dtype=None):
-        """Fused normalization + MXFP8 dual-orientation quantize
+                        dq_dtype=None, layout=None):
+        """Fused normalization + MXFP8 quantize
         (ops/quantize_kernels.mxfp8_norm_quantize_2x); returns
-        (ScaledTensor2x, mu | None, rsigma) or None when not
-        applicable. Bit-identical to normalization.*_fwd -> quantize."""
+        (ScaledTensor2x | rowwise ScaledTensor1x, mu | None, rsigma) or
+        None when not applicable. Bit-identical to
+        normalization.*_fwd -> quantize."""
         import os
         from ..ops.quantize_kernels import (_fused_enabled,
                                             mxfp8_norm_quantize_2x)
@@ -327,9 +330,11 @@ class BlockScaleQuantizer(Quantizer):
         m, h = x2d.shape
         if m % 256 or h % 128:
             return None
+        rowwise_only = layout is QuantizeLayout.ROWWISE
         outs = mxfp8_norm_quantize_2x(
             x2d, gamma, beta, self.q_dtype, norm=norm,
-            zero_centered_gamma=zero_centered_gamma, epsilon=epsilon)
+            zero_centered_gamma=zero_centered_gamma, epsilon=epsilon,
+            rowwise_only=rowwise_only)
         row, col, srow, scol = outs[:4]
         rsigma = outs[4].reshape(m)
         mu = outs[5].reshape(m) if norm == "layernorm" else None
@@ -337,6 +342,8 @@ class BlockScaleQuantizer(Quantizer):
         rw = make_scaled_tensor(
             row, srow, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
             layout="N", flatten_axis=1)
+        if rowwise_only:
+            return rw, mu, rsigma
         cw = make_scaled_tensor(
             col, scol, scaling_mode=self.scaling_mode, dq_dtype=dq_dtype,
             layout="T", flatten_axis=1)
