@@ -278,3 +278,29 @@ class TestNormCastTranspose:
         assert jnp.array_equal(q2x.colwise.data, ref.colwise.data)
         assert mu is None
         assert jnp.allclose(rsigma, rs, rtol=2e-7)
+
+
+class TestMXFP8QDQGrouped:
+    def test_matches_quantize_dequantize_chain(self):
+        """Single-pass QDQ+transpose == quantize(swapaxes) -> dequantize
+        -> swapaxes, bit-for-bit (the plain-step grouped workspace)."""
+        import jax
+        import jax.numpy as jnp
+        from transformerengine_tpu.ops.quantize_kernels import (
+            mxfp8_qdq_2x_grouped)
+        from transformerengine_tpu.quantize.quantizer import (
+            BlockScaleQuantizer, QuantizeLayout)
+        from transformerengine_tpu.quantize.scaling_modes import ScalingMode
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
+        k = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 128),
+                              jnp.bfloat16)
+        q = BlockScaleQuantizer(
+            q_dtype=jnp.dtype(float8_e4m3),
+            scaling_mode=ScalingMode.MXFP8_1D_SCALING,
+            q_layout=QuantizeLayout.ROWWISE)
+        qt = q.quantize(jnp.swapaxes(k, 1, 2), layout=QuantizeLayout.ROWWISE)
+        tn_ref = qt.dequantize().astype(jnp.bfloat16)
+        nn_ref = jnp.swapaxes(tn_ref, 1, 2)
+        nn, tn = mxfp8_qdq_2x_grouped(k)
+        assert jnp.array_equal(tn, tn_ref)
+        assert jnp.array_equal(nn, nn_ref)

@@ -77,16 +77,34 @@ def _gd_fwd(num_experts, x, kernel, group_sizes, quantizer_set,
             qk, ak = kernel_cache.q, None
         else:
             # Build the QDQ workspace INLINE for the plain (non-
-            # microbatch) step too: quantize once, dequantize once to
-            # bf16, and serve BOTH GEMM orientations from bf16 — the
-            # default per-step path otherwise pays two in-GEMM dequant
-            # materializations of the full expert weights on top of the
-            # quantize (r4: plain MXFP8 step 0.643x bf16 vs 0.985x with
-            # the microbatch workspace). Values are identical
-            # (dequant-in-GEMM rounds to bf16 either way).
-            qt, ak = _q1x(quantizer_set.kernel, jnp.swapaxes(kernel, 1, 2))
-            tn = qt.dequantize().astype(jnp.bfloat16)
-            qk = GroupedQDQKernel(nn=jnp.swapaxes(tn, 1, 2), tn=tn)
+            # microbatch) step too: the default per-step path otherwise
+            # pays two in-GEMM dequant materializations of the full
+            # expert weights on top of the quantize (r4: plain MXFP8
+            # step 0.643x bf16 vs 0.985x with the microbatch
+            # workspace). Values are identical (dequant-in-GEMM rounds
+            # to bf16 either way). MXFP8 goes through the single-pass
+            # Pallas QDQ+transpose kernel — the XLA chain materializes
+            # every stage separately (r5 profile: swap copies 13 ms +
+            # quantize 7.8 + dequant mul 6.3 + convert 3.5 + broadcast
+            # 1.9 per step on the Mixtral-geometry rung).
+            qk = ak = None
+            from .quantize.scaling_modes import ScalingMode
+            if (quantizer_set.kernel is not None
+                    and quantizer_set.kernel.scaling_mode
+                    is ScalingMode.MXFP8_1D_SCALING):
+                from .ops.quantize_kernels import (_fused_enabled,
+                                                   mxfp8_qdq_2x_grouped)
+                if _fused_enabled():
+                    out = mxfp8_qdq_2x_grouped(
+                        kernel, quantizer_set.kernel.q_dtype)
+                    if out is not None:
+                        qk = GroupedQDQKernel(nn=out[0], tn=out[1])
+                        ak = jnp.float32(0.0)
+            if qk is None:
+                qt, ak = _q1x(quantizer_set.kernel,
+                              jnp.swapaxes(kernel, 1, 2))
+                tn = qt.dequantize().astype(jnp.bfloat16)
+                qk = GroupedQDQKernel(nn=jnp.swapaxes(tn, 1, 2), tn=tn)
         if isinstance(qk, GroupedQDQKernel):
             # Workspace holds the dequantized bf16 fwd form directly —
             # no per-microbatch dequant or (E,M,K)->(E,K,M) transpose.

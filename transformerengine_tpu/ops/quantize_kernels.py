@@ -649,6 +649,80 @@ def mxfp8_norm_quantize_2x(
             + tuple(outs[4:]))
 
 
+def _mxfp8_qdq_kernel(expand_ref, x_ref, nn_ref, tn_ref, *, q_dtype,
+                      emax_elem: int):
+    """MXFP8 quantize-dequantize + transpose in one pass: the r5 MoE
+    profile showed the plain (non-microbatch) grouped step burning
+    ~32.5 ms/step in XLA-materialized stages (swap copies 13, quantize
+    7.8, dequant mul 6.3, convert 3.5, broadcast 1.9) to produce the
+    two bf16 QDQ orientations the GEMMs actually consume. One tile
+    read yields both. Quantization blocks run along K (the sublane
+    axis of the (K, M) input tile), matching the rowwise quantize of
+    the swapped (M, K) view bit-exactly; the pow2 dequant multiply is
+    exact in bf16."""
+    x = x_ref[0].astype(jnp.float32)            # (tk, tm) — K x M
+    xt = x.T                                     # (tm, tk) — quantize axis on lanes
+    q_max = dtype_max(q_dtype)
+    tk = x.shape[0]
+    es = []
+    for ib in range(tk // 32):
+        pt = x[ib * 32:(ib + 1) * 32, :]
+        amax_t = jnp.max(jnp.abs(pt), axis=0, keepdims=True)   # (1, tm)
+        es.append(_e8m0_exp(amax_t, emax_elem))
+    e_t = jnp.concatenate(es, axis=0)                          # (tk//32, tm)
+    s_inv = jax.lax.dot_general(
+        jnp.exp2(-e_t.astype(jnp.float32)).T, expand_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (tm, tk)
+    s_deq = jax.lax.dot_general(
+        jnp.exp2(e_t.astype(jnp.float32)).T, expand_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = jnp.clip(xt * s_inv, -q_max, q_max).astype(q_dtype)
+    qdq_t = (y.astype(jnp.float32) * s_deq).astype(jnp.bfloat16)  # (tm, tk)
+    tn_ref[0] = qdq_t
+    nn_ref[0] = qdq_t.T
+
+
+def mxfp8_qdq_2x_grouped(kernel_ekm: jax.Array, q_dtype=float8_e4m3):
+    """(E, K, M) expert kernels -> BOTH QDQ'd bf16 GEMM orientations
+    (nn (E, K, M), tn (E, M, K)) in ONE HBM pass, bit-identical to
+    quantize(swapaxes(k)) -> dequantize -> swapaxes (reference weight
+    workspace semantics, pytorch/module/base.py:744). Returns None when
+    shapes are unaligned."""
+    e, k, m = kernel_ekm.shape
+    tk = tm = 256
+    while tk > 32 and k % tk:
+        tk //= 2
+    while tm > 128 and m % tm:
+        tm //= 2
+    if k % tk or m % tm or tk % 32:
+        return None
+    expand = _expand_mat(tk // 32)
+    nn, tn = pl.pallas_call(
+        functools.partial(_mxfp8_qdq_kernel, q_dtype=q_dtype, emax_elem=8),
+        grid=(e, k // tk, m // tm),
+        in_specs=[
+            pl.BlockSpec(expand.shape, lambda ei, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, tm), lambda ei, i, j: (ei, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tk, tm), lambda ei, i, j: (ei, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, tk), lambda ei, i, j: (ei, j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, k, m), jnp.bfloat16),
+            jax.ShapeDtypeStruct((e, m, k), jnp.bfloat16),
+        ],
+        interpret=_interpret(),
+    )(expand, kernel_ekm)
+    return nn, tn
+
+
 def _mxfp8_1x_kernel(expand_ref, x_ref, out_ref, s_ref, *, q_dtype,
                      emax_elem: int, colwise: bool):
     x = x_ref[...].astype(jnp.float32)
