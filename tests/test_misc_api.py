@@ -329,6 +329,39 @@ class TestPrequant:
         ref = q.quantize(k, dq_dtype=jnp.bfloat16).dequantize()
         assert jnp.array_equal(pk.colwise, ref.astype(jnp.bfloat16))
 
+    def test_quantized_capacity_mode_generation(self):
+        """TE_TPU_BLOCK_DECODE=quantized + nibble packing end to end:
+        generation runs off the 0.5-byte resident payloads and stays
+        close to the bf16-resident default (same NVFP4 values, dequant
+        in VMEM vs at load)."""
+        import os
+        from transformerengine_tpu.inference import generate
+        from transformerengine_tpu.models.llama import (
+            LLAMA_TINY, LlamaModel)
+        from transformerengine_tpu.quantize.prequant import (
+            BlockResidentKernel, prequantize_kernels)
+        model = LlamaModel(config=LLAMA_TINY)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 1, 200)
+        lengths = jnp.full((2,), 16, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        pv_bf16 = prequantize_kernels(variables, te.NVFP4BlockScaling())
+        ref = generate(model, pv_bf16, tokens, lengths, 4)
+        os.environ["TE_TPU_BLOCK_DECODE"] = "quantized"
+        os.environ["TE_TPU_PREQUANT_PACK4"] = "1"
+        try:
+            pv_q = prequantize_kernels(variables, te.NVFP4BlockScaling())
+            leaves = jax.tree.leaves(
+                pv_q["prequant"],
+                is_leaf=lambda x: isinstance(x, BlockResidentKernel))
+            assert any(isinstance(l, BlockResidentKernel) and l.packed
+                       for l in leaves)
+            out = generate(model, pv_q, tokens, lengths, 4)
+        finally:
+            del os.environ["TE_TPU_BLOCK_DECODE"]
+            del os.environ["TE_TPU_PREQUANT_PACK4"]
+        # identical NVFP4 values; only f32 accumulation order differs
+        assert (ref == out).mean() > 0.7, (ref, out)
+
     def test_training_through_prequant_raises(self):
         from transformerengine_tpu.quantize.prequant import (
             prequantize_kernel_array)
