@@ -690,8 +690,11 @@ def mxfp8_qdq_2x_grouped(kernel_ekm: jax.Array, q_dtype=float8_e4m3):
     quantize(swapaxes(k)) -> dequantize -> swapaxes (reference weight
     workspace semantics, pytorch/module/base.py:744). Returns None when
     shapes are unaligned."""
+    import os
     e, k, m = kernel_ekm.shape
-    tk = tm = 256
+    env_t = os.environ.get("TE_TPU_QDQ_TILE")     # "tk,tm" sweep knob
+    tk0, tm0 = (map(int, env_t.split(","))) if env_t else (256, 256)
+    tk, tm = tk0, tm0
     while tk > 32 and k % tk:
         tk //= 2
     while tm > 128 and m % tm:
