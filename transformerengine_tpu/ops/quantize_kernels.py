@@ -693,7 +693,8 @@ def mxfp8_qdq_2x_grouped(kernel_ekm: jax.Array, q_dtype=float8_e4m3):
     import os
     e, k, m = kernel_ekm.shape
     env_t = os.environ.get("TE_TPU_QDQ_TILE")     # "tk,tm" sweep knob
-    tk0, tm0 = (map(int, env_t.split(","))) if env_t else (256, 256)
+    # (256, 512) measured ~5% over (256, 256) in the r5 tile sweep.
+    tk0, tm0 = (map(int, env_t.split(","))) if env_t else (256, 512)
     tk, tm = tk0, tm0
     while tk > 32 and k % tk:
         tk //= 2
