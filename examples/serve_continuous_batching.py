@@ -41,11 +41,19 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, prompt_len), jnp.int32))
 
+    # --fp8-kv: e4m3 KV cache with PER-SLOT scales — each admission
+    # calibrates its own prefill amax into its slot lane, so live
+    # neighbors are never rescaled (reference: inference.py:403
+    # per-cache-manager recalibration). No offline calibration needed.
+    fp8_kv = "--fp8-kv" in sys.argv
+    if fp8_kv:
+        from transformerengine_tpu.quantize.dtypes import float8_e4m3
     eng = ContinuousBatchingEngine(
         model, variables, max_batch_size=slots,
         max_sequence_length=prompt_len + max_new + 8,
         prompt_len=prompt_len, max_new_tokens=max_new,
-        kv_cache_dtype=jnp.bfloat16)
+        kv_cache_dtype=(jnp.dtype(float8_e4m3) if fp8_kv
+                        else jnp.bfloat16))
 
     rng = jax.random.PRNGKey(7)
     rids = []
