@@ -438,3 +438,51 @@ class TestTPShardedDecode:
         # fp8 payload collectives reorder f32 accumulations; near-ties
         # may flip on a random tiny model.
         assert (ref == out).mean() > 0.7, (ref, out)
+
+    def test_continuous_batching_under_tp_mesh(self):
+        """The slot-admission engine works unchanged over a tp-sharded
+        model: batch-1 prefill scatter + shared decode step compile
+        under GSPMD, outputs equal the single-device engine's."""
+        from flax import linen as nn
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh
+        from transformerengine_tpu.inference import ContinuousBatchingEngine
+        from transformerengine_tpu.parallel.sharding import (
+            MeshResource, generate_sharding_rules, global_shard_guard)
+
+        model = LlamaModel(config=LLAMA_TINY)
+        P, NEW, B = 16, 4, 2
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, P), jnp.int32))
+        prompts = [list(range(3, 3 + P)), list(range(40, 40 + 9)),
+                   list(range(101, 101 + 12))]
+        eng = ContinuousBatchingEngine(
+            model, variables, max_batch_size=B,
+            max_sequence_length=P + NEW + 8, prompt_len=P,
+            max_new_tokens=NEW, kv_cache_dtype=jnp.float32)
+        rids = [eng.submit(p) for p in prompts]
+        ref = eng.run()
+
+        mesh = Mesh(mesh_utils.create_device_mesh(
+            (4,), jax.devices()[:4]), ("tp",))
+        resource = MeshResource(tp_resource="tp")
+        rules = generate_sharding_rules(resource)
+        with mesh, nn.logical_axis_rules(rules), \
+                global_shard_guard(resource):
+            abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                      jnp.zeros((1, P), jnp.int32))
+            sh = nn.logical_to_mesh_sharding(
+                nn.get_partition_spec(abstract), mesh, rules)
+            svars = jax.jit(model.init, out_shardings=sh)(
+                jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32))
+            eng2 = ContinuousBatchingEngine(
+                model, svars, max_batch_size=B,
+                max_sequence_length=P + NEW + 8, prompt_len=P,
+                max_new_tokens=NEW, kv_cache_dtype=jnp.float32)
+            rids2 = [eng2.submit(p) for p in prompts]
+            out = eng2.run()
+        # f32 cache + f32 math: sharded collectives reorder sums, so
+        # allow rare near-tie flips.
+        agree = sum(out[r2] == ref[r1]
+                    for r1, r2 in zip(rids, rids2))
+        assert agree >= 2, (ref, out)
