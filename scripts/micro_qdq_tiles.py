@@ -19,6 +19,9 @@ E, K, M = 8, 4096, 14336
 
 
 def bench(tile):
+    if ":" in tile:
+        tile, var = tile.split(":")
+        os.environ["TE_TPU_QDQ_VARIANT"] = var
     os.environ["TE_TPU_QDQ_TILE"] = tile
     import importlib
     import transformerengine_tpu.ops.quantize_kernels as qk
@@ -29,9 +32,12 @@ def bench(tile):
     def run(w, n):
         def step(c, _):
             nn, tn = qk.mxfp8_qdq_2x_grouped(c)
-            c2 = (c.astype(jnp.float32) + nn.astype(jnp.float32) * 1e-6
-                  + tn.transpose(0, 2, 1).astype(jnp.float32) * 1e-6
-                  ).astype(c.dtype)
+            # Tiny consumption only: the first micro's full-array carry
+            # (f32 converts + a transpose of tn) cost more than the
+            # kernel itself and drowned the comparison.
+            c2 = c.at[0, 0, 0].add(
+                nn[0, :1, :8].sum().astype(c.dtype) * 1e-6
+                + tn[0, :1, :8].sum().astype(c.dtype) * 1e-6)
             return c2, ()
         out, _ = jax.lax.scan(step, w, None, length=n)
         return jnp.sum(out.astype(jnp.float32))
@@ -49,8 +55,8 @@ def bench(tile):
 
 
 if __name__ == "__main__":
-    for t in sys.argv[1:] or ["256,256", "128,512", "256,512", "512,256",
-                              "128,256"]:
+    variants = sys.argv[1:] or ["256,512", "256,256", "512,512"]
+    for t in variants:
         try:
             bench(t)
         except Exception as e:

@@ -660,28 +660,43 @@ def _mxfp8_qdq_kernel(expand_ref, x_ref, nn_ref, tn_ref, *, q_dtype,
     axis of the (K, M) input tile), matching the rowwise quantize of
     the swapped (M, K) view bit-exactly; the pow2 dequant multiply is
     exact in bf16."""
+    import os
     x = x_ref[0].astype(jnp.float32)            # (tk, tm) — K x M
-    xt = x.T                                     # (tm, tk) — quantize axis on lanes
     q_max = dtype_max(q_dtype)
-    tk = x.shape[0]
+    tk, tm = x.shape
     es = []
     for ib in range(tk // 32):
         pt = x[ib * 32:(ib + 1) * 32, :]
         amax_t = jnp.max(jnp.abs(pt), axis=0, keepdims=True)   # (1, tm)
         es.append(_e8m0_exp(amax_t, emax_elem))
     e_t = jnp.concatenate(es, axis=0)                          # (tk//32, tm)
-    s_inv = jax.lax.dot_general(
-        jnp.exp2(-e_t.astype(jnp.float32)).T, expand_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # (tm, tk)
-    s_deq = jax.lax.dot_general(
-        jnp.exp2(e_t.astype(jnp.float32)).T, expand_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = jnp.clip(xt * s_inv, -q_max, q_max).astype(q_dtype)
-    qdq_t = (y.astype(jnp.float32) * s_deq).astype(jnp.bfloat16)  # (tm, tk)
-    tn_ref[0] = qdq_t
-    nn_ref[0] = qdq_t.T
+    if os.environ.get("TE_TPU_QDQ_VARIANT", "sublane") == "lanes":
+        # Original formulation: transpose x to put K on lanes, expand
+        # scales by MXU stretch, transpose the result back for nn —
+        # two transposes (one f32, one bf16).
+        s_inv = jax.lax.dot_general(
+            jnp.exp2(-e_t.astype(jnp.float32)).T, expand_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (tm, tk)
+        s_deq = jax.lax.dot_general(
+            jnp.exp2(e_t.astype(jnp.float32)).T, expand_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = jnp.clip(x.T * s_inv, -q_max, q_max).astype(q_dtype)
+        qdq_t = (y.astype(jnp.float32) * s_deq).astype(jnp.bfloat16)
+        tn_ref[0] = qdq_t
+        nn_ref[0] = qdq_t.T
+        return
+    # Default: quantize in the input orientation (K blocks on SUBLANES)
+    # with free row-regroup view broadcasts, one bf16 transpose for tn.
+    s_inv = jnp.exp2(-e_t.astype(jnp.float32))[:, None, :]     # (tk/32,1,tm)
+    s_deq = jnp.exp2(e_t.astype(jnp.float32))[:, None, :]
+    x3 = x.reshape(tk // 32, 32, tm)
+    y = jnp.clip(x3 * s_inv, -q_max, q_max).astype(q_dtype)
+    qdq = (y.astype(jnp.float32) * s_deq).astype(jnp.bfloat16)
+    qdq = qdq.reshape(tk, tm)
+    nn_ref[0] = qdq
+    tn_ref[0] = qdq.T
 
 
 def mxfp8_qdq_2x_grouped(kernel_ekm: jax.Array, q_dtype=float8_e4m3):
@@ -693,8 +708,10 @@ def mxfp8_qdq_2x_grouped(kernel_ekm: jax.Array, q_dtype=float8_e4m3):
     import os
     e, k, m = kernel_ekm.shape
     env_t = os.environ.get("TE_TPU_QDQ_TILE")     # "tk,tm" sweep knob
-    # (256, 512) measured ~5% over (256, 256) in the r5 tile sweep.
-    tk0, tm0 = (map(int, env_t.split(","))) if env_t else (256, 512)
+    # r5 sweep (clean micro, sublane variant): 512,512 = 8.32 ms /
+    # 339 GB/s on the (8,4096,14336) stack vs 10.78 for the first-cut
+    # lanes variant at 256,256.
+    tk0, tm0 = (map(int, env_t.split(","))) if env_t else (512, 512)
     tk, tm = tk0, tm0
     while tk > 32 and k % tk:
         tk //= 2
