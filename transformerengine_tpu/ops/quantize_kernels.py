@@ -689,6 +689,8 @@ def _mxfp8_qdq_kernel(expand_ref, x_ref, nn_ref, tn_ref, *, q_dtype,
         return
     # Default: quantize in the input orientation (K blocks on SUBLANES)
     # with free row-regroup view broadcasts, one bf16 transpose for tn.
+    # (A full-bf16-domain variant — exact for pow2 scales — measured
+    # 8.69 vs 8.32 ms: the VPU does not double-rate bf16 chains here.)
     s_inv = jnp.exp2(-e_t.astype(jnp.float32))[:, None, :]     # (tk/32,1,tm)
     s_deq = jnp.exp2(e_t.astype(jnp.float32))[:, None, :]
     x3 = x.reshape(tk // 32, 32, tm)
