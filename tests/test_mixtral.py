@@ -155,3 +155,27 @@ class TestMixtralModel:
             in_specs=(pspecs, P("ep")),    # batch-shard tokens over ep
             out_specs=P("ep"), check_vma=False)(variables, tokens)
         assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+
+
+class TestMixtralGeneration:
+    def test_cached_matches_uncached_greedy(self):
+        """MoE serving path: KV-cached generation through the routed
+        expert layers equals full-recompute greedy decoding (reference:
+        Mixtral + te_gemma-style cached generation)."""
+        import dataclasses
+        from transformerengine_tpu.inference import generate
+        cfg = dataclasses.replace(MIXTRAL_TINY, num_layers=2)
+        model = MixtralModel(config=cfg)
+        b, sp, n_new = 2, 12, 4
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (b, sp), 1, 200)
+        lengths = jnp.array([sp, sp - 3], jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), tokens)
+        got = generate(model, variables, tokens, lengths, n_new)
+        for i in range(b):
+            seq = tokens[i, : int(lengths[i])]
+            for _ in range(n_new):
+                logits = model.apply(variables, seq[None])
+                seq = jnp.concatenate(
+                    [seq, jnp.argmax(logits[0, -1]).astype(jnp.int32)[None]])
+            ref = seq[int(lengths[i]):]
+            assert jnp.array_equal(got[i], ref), (i, got[i], ref)
