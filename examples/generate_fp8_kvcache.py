@@ -9,9 +9,16 @@ FP8 weights). Here the decode loop is one jitted lax.scan.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
+
+# CPU by default; opt into an attached accelerator explicitly (the
+# ambient environment may preset an unavailable remote platform).
+if os.environ.get("TE_EXAMPLE_ACCEL") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from transformerengine_tpu.inference import generate

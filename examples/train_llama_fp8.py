@@ -12,7 +12,15 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
+import os
+
 import jax
+
+# CPU by default; opt into an attached accelerator explicitly (the
+# ambient environment may preset an unavailable remote platform).
+if os.environ.get("TE_EXAMPLE_ACCEL") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 from flax import linen as nn

@@ -14,7 +14,15 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
+import os
+
 import jax
+
+# CPU by default; opt into an attached accelerator explicitly (the
+# ambient environment may preset an unavailable remote platform).
+if os.environ.get("TE_EXAMPLE_ACCEL") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 from jax.experimental import mesh_utils
@@ -71,8 +79,11 @@ def main():
         param_specs = jax.tree_util.tree_map_with_path(pspec, params)
         # Adam moments mirror the param tree: shard them identically.
         from transformerengine_tpu.optimizers.fused_adam import AdamState
+        # master leaves are None placeholders (no master weights) —
+        # mirror the param-tree structure so the spec prefix matches.
         opt_specs = AdamState(step=P(), mu=param_specs, nu=param_specs,
-                              master=None)
+                              master=jax.tree.map(lambda _: P(),
+                                                  param_specs))
 
         def local_step(params, opt_state, tokens):
             def loss_fn(p):
