@@ -257,3 +257,38 @@ class TestMultiTensor:
         assert jnp.allclose(multi_tensor_l2norm(clipped), 1.0, atol=1e-2)
         not_clipped, _ = clip_by_global_norm(self._tree(), 100.0)
         assert jnp.allclose(not_clipped["a"], self._tree()["a"])
+
+
+class TestLowPrecAdamSharded:
+    def test_remainder_step_under_mesh(self):
+        """The exact-apply remainder step composes with GSPMD: sharded
+        bf16 params + int16 remainder masters produce the same bits as
+        the single-device step (pure bitwise ops shard trivially)."""
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from transformerengine_tpu.optimizers import fused_adam
+
+        p = {"w": jax.random.normal(jax.random.PRNGKey(0), (32, 64)
+                                    ).astype(jnp.bfloat16)}
+        g = {"w": jax.random.normal(jax.random.PRNGKey(1), (32, 64))}
+        opt = fused_adam(1e-2, weight_decay=0.01,
+                         store_param_remainders=True,
+                         exp_avg_dtype=jnp.bfloat16)
+        s = opt.init(p)
+        p_ref, s_ref = p, s
+        for _ in range(3):
+            p_ref, s_ref = jax.jit(opt.step)(g, s_ref, p_ref)
+
+        mesh = Mesh(mesh_utils.create_device_mesh(
+            (4, 2), jax.devices()[:8]), ("dp", "tp"))
+        sh = NamedSharding(mesh, P("dp", "tp"))
+        ps = {"w": jax.device_put(p["w"], sh)}
+        gs = {"w": jax.device_put(g["w"], sh)}
+        ss = jax.tree.map(
+            lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) == 2
+            else x, s)
+        for _ in range(3):
+            ps, ss = jax.jit(opt.step)(gs, ss, ps)
+        assert jnp.array_equal(ps["w"], p_ref["w"])
+        assert jnp.array_equal(ss.master["w"], s_ref.master["w"])
+        assert jnp.array_equal(ss.mu["w"], s_ref.mu["w"])
