@@ -206,6 +206,10 @@ def fused_adam(
         ml = jax.tree.leaves(state.mu, is_leaf=_state_leaf)
         vl = jax.tree.leaves(state.nu, is_leaf=_state_leaf)
         wl = jax.tree.leaves(state.master, is_leaf=_state_leaf)
+        assert len(pl) == len(gl) == len(ml) == len(vl) == len(wl), (
+            "grads/state trees do not match the params tree "
+            f"({len(pl)} params vs {len(gl)} grads, {len(ml)}/{len(vl)}/"
+            f"{len(wl)} state leaves)")
         step = state.step + 1
         new_p, new_m, new_v, new_w = [], [], [], []
         for p, g, m, v, w in zip(pl, gl, ml, vl, wl):
